@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all headline queries (each executed
+to completion via a count-style action that forces the full plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Queries timed by the bench. Grows as the registry grows; keep this the
+#: set of headline operators (one per §2 category) rather than every
+#: micro-query, so the number stays interpretable.
+HEADLINE: tuple[str, ...] = ("risk_join",)
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from udacity_dsnd_projects_spark import registry
+    from udacity_dsnd_projects_spark.session import get_spark
+
+    spark = get_spark("engine-bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)
+
+    # Warm the JVM/session on the smallest corpus so JIT/codegen startup
+    # isn't attributed to the first query.
+    qs[names[0]](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        # Force full execution of every operator in the plan (count()
+        # alone can skip projections; summing a hash of all columns
+        # cannot).
+        df.selectExpr("sum(hash(*)) AS h").collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
