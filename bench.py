@@ -26,7 +26,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Queries timed by the bench. Grows as the registry grows; keep this the
 #: set of headline operators (one per §2 category) rather than every
 #: micro-query, so the number stays interpretable.
-HEADLINE: tuple[str, ...] = ("risk_join",)
+HEADLINE: tuple[str, ...] = (
+    "risk_join",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_unshipped_orders",
+    "hourly_event_rollup",
+    "join_asof",
+    "latest_per_key",
+    "sessionize",
+)
 
 
 def _sf_from_dir(d: str) -> float:

@@ -1,0 +1,196 @@
+"""Aggregations (SURVEY.md §2.5, A1-A4 + engine additions).
+
+A1 is the KSQL turnstile count (``consumers/ksql.py:27-31``), A2 the
+Faust latest-per-key table (``consumers/faust_stream.py:41-71``), A3
+distinct station names (``producers/models/line.py:28``), A4 the
+seed-CSV per-group means (``turnstile_hardware.py:25-33``). Catalyst
+plans all of these as partial (map-side) + final hash aggregations, so
+the shuffle carries pre-aggregated rows — exactly what you want at
+100 TB. Double-valued aggregates are rounded in both faces so the
+oracle hash is summation-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+
+def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the KSQL turnstile summary: ``SELECT station_id, COUNT(*)
+    AS count FROM turnstile GROUP BY station_id``
+    (``consumers/ksql.py:27-31``); events ≅ turnstile rows."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(F.count("*").alias("count"))
+
+
+ORACLE_GROUPED_COUNT = """
+SELECT user_id, COUNT(*) AS count FROM events GROUP BY user_id
+"""
+
+
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — last-write-wins table (Faust ``table[station_id] = ...``,
+    ``faust_stream.py:71``; dashboard latest-train state,
+    ``consumers/models/station.py:26-43``). Batch face: window
+    ``row_number`` over (key, desc event-time) with a unique tiebreaker
+    so the result is deterministic under any partitioning."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — distinct value enumeration
+    (``station_df["station_name"].unique()``, ``line.py:28``)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("event_type").distinct()
+
+
+ORACLE_DISTINCT_VALUES = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
+def avg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — mean per group (the precomputed ridership averages,
+    ``turnstile_hardware.py:25-33``), plus min/max/sum for coverage."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_AVG_PER_GROUP = """
+SELECT o_orderstatus,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (engine addition): distinct parts and
+    suppliers per return flag. Catalyst plans this as expand + two-phase
+    agg; at scale prefer approx_count_distinct (below)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for distinct
+    counts. No oracle (estimator internals differ between engines);
+    the test asserts the estimate is within rsd of the exact count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+def stats_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, exact
+    median/percentile) per group."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+    )
+
+
+ORACLE_STATS_PER_GROUP = """
+SELECT l_linestatus,
+       ROUND(stddev_samp(l_quantity), 4) AS std_qty,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (engine addition; KSQL/Faust have
+    nothing like it, but any OLAP surface needs it)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — wide-format aggregation. Explicit pivot values so the
+    plan is a single pass (no value-discovery job) — required practice
+    at scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+ORACLE_PIVOT_AGG = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -1,0 +1,162 @@
+"""Headline analytical queries — the bench workload.
+
+TPC-H-shaped queries over the corpus exercising the §2 inventory
+end-to-end at scale: scan + pushed filter + broadcast dims + partial
+agg + shuffle agg + sort. These are what ``bench.py`` times at sf0.1
+and what a 1000-executor cluster would actually run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one wide scan, heavy partial aggregation, tiny
+    result. The filter and 7-column projection push into the parquet
+    scan; the shuffle carries 4 groups."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join (orders⋈lineitem) plus a broadcast
+    snowflake (customer→nation→region), filtered to one region. The
+    orders⋈lineitem join shuffles on orderkey; everything else is
+    broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered broadcast dim + fact-fact join +
+    grouped revenue + deterministic top-10."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_UNSHIPPED_ORDERS = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 idiomatic analog — tumbling-window aggregation
+    (events-per-type-per-hour). Batch face via date_trunc; the
+    streaming face is ``groupBy(window("ts", "1 hour"), ...)``
+    (SURVEY.md §2.8 T4)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_HOURLY_EVENT_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""

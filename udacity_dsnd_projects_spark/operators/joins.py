@@ -1,0 +1,214 @@
+"""Joins (SURVEY.md §2.4, J1-J3 + engine additions).
+
+The reference has three join shapes: the stream-stream inner equi-join
+(``sparkpykafkajoin.py:128-130``), key-lookup joins to tiny dimensions
+(``turnstile_hardware.py:22-33``) and stream-to-table enrichment
+(``consumers/models/line.py:48-55``). The engine exposes the full join
+algebra on top (left/semi/anti/full/cross + an as-of join composition)
+since Spark gives them for free and SURVEY.md §2.4 flags them for
+oracle coverage.
+
+Scale notes: dimensions (customer/part/nation/region/supplier) are
+broadcast — no shuffle of the fact side; the fact-fact joins rely on
+AQE for skew handling. The as-of join is the one operator Spark lacks
+natively: composed as range-join + window, with the window partitioned
+by the fact's unique key so state is bounded per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — key-lookup join to a small dimension, batch face of the
+    ridership-seed lookup (``turnstile_hardware.py:22-33``). Broadcast
+    hash join: the fact side never shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST_DIM = """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def join_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — stream-to-table enrichment (dashboard joining events to the
+    station dimension, ``line.py:48-55``), extended to a snowflake
+    chain: events → customer → nation → region. All three dims
+    broadcast; one scan of the fact."""
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_JOIN_ENRICHMENT_CHAIN = """
+SELECT r_name, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — dim side pre-filtered so unmatched fact rows
+    survive with nulls (engine addition per SURVEY.md §2.4)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders
+LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+  ON o_custkey = c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one
+    high-value order."""
+    cust = load_table(spark, "customer", sf_dir)
+    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000.0)
+    return cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no high-value order."""
+    cust = load_table(spark, "customer", sf_dir)
+    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000.0)
+    return cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations vs the nations suppliers live in —
+    unmatched rows survive on both sides."""
+    nation = load_table(spark, "nation", sf_dir)
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        nation.join(sup, nation["n_nationkey"] == sup["s_nationkey"], "full_outer")
+        .select("n_nationkey", "n_name", "s_nationkey", "n_suppliers")
+    )
+
+
+ORACLE_JOIN_FULL_OUTER = """
+SELECT n_nationkey, n_name, s_nationkey, n_suppliers
+FROM nation
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers
+                 FROM supplier GROUP BY s_nationkey) s
+  ON n_nationkey = s_nationkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (small × small only — a cross of two facts would be
+    quadratic; the planner refuses it without an explicit crossJoin)."""
+    region = load_table(spark, "region", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    return region.crossJoin(sup).select("r_name", "s_name")
+
+
+ORACLE_JOIN_CROSS = """
+SELECT r_name, s_name FROM region CROSS JOIN supplier
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine addition — Spark lacks a native one): for each
+    event, the customer's most recent order at-or-before the event time.
+
+    Composition: equi-join on the key + range predicate, then keep the
+    latest order per event via a window on the event's unique id. The
+    equi-key bounds the blow-up (orders-per-customer), so this scales as
+    a normal shuffle join; for time-heavy workloads the scale path is
+    bucketizing the time range (pyspark_guide: as-of pattern).
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = ev.join(
+        orders,
+        (ev["user_id"] == orders["o_custkey"]) & (orders["o_orderdate"] <= ev["ts"]),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+ORACLE_JOIN_ASOF = """
+SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) t
+WHERE rn = 1
+"""

@@ -14,7 +14,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from udacity_dsnd_projects_spark.functions import scalar as _scalar
+from udacity_dsnd_projects_spark.operators import aggregations as _agg
+from udacity_dsnd_projects_spark.operators import analytics as _an
+from udacity_dsnd_projects_spark.operators import joins as _joins
+from udacity_dsnd_projects_spark.operators import projections as _proj
 from udacity_dsnd_projects_spark.operators import risk_join as _risk
+from udacity_dsnd_projects_spark.operators import setops as _setops
+from udacity_dsnd_projects_spark.operators import windows as _win
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -38,3 +45,78 @@ def oracle_sql() -> dict[str, str]:
 # Flagship (SURVEY.md §3.1 / §7 phase 0)
 # --------------------------------------------------------------------------
 register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
+
+# --- Projections / filters (§2.3, P1-P9) ----------------------------------
+register("cast_projection", _proj.cast_projection, _proj.ORACLE_CAST_PROJECTION)
+register("json_parse_flatten", _proj.json_parse_flatten, _proj.ORACLE_JSON_PARSE_FLATTEN)
+register("array_subscript", _proj.array_subscript, _proj.ORACLE_ARRAY_SUBSCRIPT)
+register("array_explode", _proj.array_explode, _proj.ORACLE_ARRAY_EXPLODE)
+register("base64_roundtrip", _proj.base64_roundtrip, _proj.ORACLE_BASE64_ROUNDTRIP)
+register("null_reject_filter", _proj.null_reject_filter, _proj.ORACLE_NULL_REJECT_FILTER)
+register(
+    "column_equality_filter",
+    _proj.column_equality_filter,
+    _proj.ORACLE_COLUMN_EQUALITY_FILTER,
+)
+register(
+    "topic_dispatch_filter", _proj.topic_dispatch_filter, _proj.ORACLE_TOPIC_DISPATCH_FILTER
+)
+register("value_routing", _proj.value_routing, _proj.ORACLE_VALUE_ROUTING)
+
+# --- Joins (§2.4, J1-J3 + additions) --------------------------------------
+register("join_broadcast_dim", _joins.join_broadcast_dim, _joins.ORACLE_JOIN_BROADCAST_DIM)
+register(
+    "join_enrichment_chain",
+    _joins.join_enrichment_chain,
+    _joins.ORACLE_JOIN_ENRICHMENT_CHAIN,
+)
+register("join_left", _joins.join_left, _joins.ORACLE_JOIN_LEFT)
+register("join_semi", _joins.join_semi, _joins.ORACLE_JOIN_SEMI)
+register("join_anti", _joins.join_anti, _joins.ORACLE_JOIN_ANTI)
+register("join_full_outer", _joins.join_full_outer, _joins.ORACLE_JOIN_FULL_OUTER)
+register("join_cross", _joins.join_cross, _joins.ORACLE_JOIN_CROSS)
+register("join_asof", _joins.join_asof, _joins.ORACLE_JOIN_ASOF)
+
+# --- Aggregations (§2.5, A1-A4 + additions) -------------------------------
+register("grouped_count", _agg.grouped_count, _agg.ORACLE_GROUPED_COUNT)
+register("latest_per_key", _agg.latest_per_key, _agg.ORACLE_LATEST_PER_KEY)
+register("distinct_values", _agg.distinct_values, _agg.ORACLE_DISTINCT_VALUES)
+register("avg_per_group", _agg.avg_per_group, _agg.ORACLE_AVG_PER_GROUP)
+register("count_distinct", _agg.count_distinct, _agg.ORACLE_COUNT_DISTINCT)
+register("approx_count_distinct", _agg.approx_count_distinct, None)  # estimator
+register("stats_per_group", _agg.stats_per_group, _agg.ORACLE_STATS_PER_GROUP)
+register("rollup_agg", _agg.rollup_agg, _agg.ORACLE_ROLLUP_AGG)
+register("cube_agg", _agg.cube_agg, _agg.ORACLE_CUBE_AGG)
+register("pivot_agg", _agg.pivot_agg, _agg.ORACLE_PIVOT_AGG)
+
+# --- Windows / sorts / limits (§2.6) --------------------------------------
+register("window_rank", _win.window_rank, _win.ORACLE_WINDOW_RANK)
+register("window_lag_lead", _win.window_lag_lead, _win.ORACLE_WINDOW_LAG_LEAD)
+register("window_running_sum", _win.window_running_sum, _win.ORACLE_WINDOW_RUNNING_SUM)
+register("top_k_per_group", _win.top_k_per_group, _win.ORACLE_TOP_K_PER_GROUP)
+register("sort_limit", _win.sort_limit, _win.ORACLE_SORT_LIMIT)
+register("sessionize", _win.sessionize, _win.ORACLE_SESSIONIZE)
+
+# --- Set operations (§2.6) ------------------------------------------------
+register("union_fan_in", _setops.union_fan_in, _setops.ORACLE_UNION_FAN_IN)
+register("set_intersect", _setops.set_intersect, _setops.ORACLE_SET_INTERSECT)
+register("set_except", _setops.set_except, _setops.ORACLE_SET_EXCEPT)
+
+# --- Scalar functions (§2.7, F1-F12) --------------------------------------
+register("split_derive", _scalar.split_derive, _scalar.ORACLE_SPLIT_DERIVE)
+register("string_normalize", _scalar.string_normalize, _scalar.ORACLE_STRING_NORMALIZE)
+register("case_when_mapping", _scalar.case_when_mapping, _scalar.ORACLE_CASE_WHEN_MAPPING)
+register("date_parts", _scalar.date_parts, _scalar.ORACLE_DATE_PARTS)
+register(
+    "arithmetic_rounding", _scalar.arithmetic_rounding, _scalar.ORACLE_ARITHMETIC_ROUNDING
+)
+register("json_get", _scalar.json_get, _scalar.ORACLE_JSON_GET)
+register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
+
+# --- Headline analytics (bench workload) ----------------------------------
+register("pricing_summary", _an.pricing_summary, _an.ORACLE_PRICING_SUMMARY)
+register("revenue_by_nation", _an.revenue_by_nation, _an.ORACLE_REVENUE_BY_NATION)
+register(
+    "top_unshipped_orders", _an.top_unshipped_orders, _an.ORACLE_TOP_UNSHIPPED_ORDERS
+)
+register("hourly_event_rollup", _an.hourly_event_rollup, _an.ORACLE_HOURLY_EVENT_ROLLUP)
