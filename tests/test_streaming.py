@@ -1,0 +1,242 @@
+"""Streaming-face tests (SURVEY.md §7 phase 2): replay the same rows
+through file streams (multiple micro-batches via maxFilesPerTrigger=1)
+and check the final materialized state equals the batch answer.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from udacity_dsnd_projects_spark.schemas import (
+    STATION,
+    TURNSTILE,
+)
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_dsnd_projects_spark.streaming.cta import (
+    faust_station_transform,
+    station_table_latest,
+    turnstile_summary,
+)
+from udacity_dsnd_projects_spark.streaming.sources import (
+    file_stream,
+    run_foreach_batch,
+    run_to_memory,
+    to_kafka_shape,
+)
+from udacity_dsnd_projects_spark.streaming.stedi import (
+    derive_birth_year,
+    join_risk,
+    parse_redis_envelope,
+    parse_stedi_events,
+)
+
+KV_SCHEMA = T.StructType(
+    [T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]
+)
+
+
+def _b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def _envelope_rows(n: int = 20):
+    """Reference-shaped redis envelopes (FIXTURES.md §3)."""
+    rows = []
+    for i in range(n):
+        cust = {
+            "customerName": f"Cust {i}",
+            "email": f"cust.{i}@test.com",
+            "phone": f"80155512{i:02d}",
+            "birthDay": f"{1950 + i % 50}-01-03",
+        }
+        env = {
+            "key": _b64("Customer"),
+            "existType": "NONE",
+            "Ch": False,
+            "Incr": False,
+            "zSetEntries": [{"element": _b64(json.dumps(cust)), "score": "0.0"}],
+        }
+        rows.append((str(i), json.dumps(env)))
+    return rows
+
+
+def _stedi_rows(n: int = 40):
+    rows = []
+    for i in range(n):
+        ev = {
+            "customer": f"cust.{i % 20}@test.com",
+            "score": str(round(-5.0 + (i * 0.9) % 35, 1)),
+            "riskDate": "2020-09-14T07:54:06.417Z",
+        }
+        rows.append((str(i), json.dumps(ev)))
+    return rows
+
+
+def _write_kv_batches(spark, rows, path, n_batches=4):
+    """Write rows as several parquet files so maxFilesPerTrigger=1
+    yields several micro-batches."""
+    per = max(1, len(rows) // n_batches)
+    for b in range(0, len(rows), per):
+        spark.createDataFrame(rows[b : b + per], KV_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+
+@pytest.fixture(scope="module")
+def stedi_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stedi")
+    env_path = str(root / "envelopes")
+    risk_path = str(root / "risks")
+    _write_kv_batches(spark, _envelope_rows(), env_path)
+    _write_kv_batches(spark, _stedi_rows(), risk_path)
+    return env_path, risk_path
+
+
+def test_envelope_decode_stream_equals_batch(spark, stedi_dirs):
+    env_path, _ = stedi_dirs
+    batch = derive_birth_year(
+        parse_redis_envelope(spark.read.schema(KV_SCHEMA).parquet(env_path))
+    )
+    stream = derive_birth_year(
+        parse_redis_envelope(file_stream(spark, env_path, KV_SCHEMA))
+    )
+    got = run_to_memory(stream, "env_decode").collect()
+    want = batch.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 20
+    assert all(r.birthYear.isdigit() for r in got)
+
+
+def test_stream_stream_join_compat(spark, stedi_dirs):
+    """§3.1 steps 2-10 end-to-end: two file streams, no watermark
+    (compat T3), kafka-shaped sink rows."""
+    env_path, risk_path = stedi_dirs
+    customers = derive_birth_year(
+        parse_redis_envelope(file_stream(spark, env_path, KV_SCHEMA))
+    )
+    risks = parse_stedi_events(file_stream(spark, risk_path, KV_SCHEMA))
+    joined = join_risk(risks, customers)
+    sink = to_kafka_shape(joined, "email")
+    got = run_to_memory(sink, "risk_sink").collect()
+
+    # batch face over the same files
+    bcust = derive_birth_year(
+        parse_redis_envelope(spark.read.schema(KV_SCHEMA).parquet(env_path))
+    )
+    brisk = parse_stedi_events(spark.read.schema(KV_SCHEMA).parquet(risk_path))
+    want = join_risk(brisk, bcust).count()
+
+    assert len(got) == want == 40  # every risk event matches one customer
+    payload = json.loads(got[0].value)
+    assert set(payload) == {"customer", "score", "email", "birthYear"}  # golden shape
+    assert got[0].key == payload["email"]
+
+
+def test_stream_stream_join_with_watermark_runs(spark, stedi_dirs):
+    """Idiomatic T3 mode: watermarked join still yields all on-time rows."""
+    env_path, risk_path = stedi_dirs
+    customers = derive_birth_year(
+        parse_redis_envelope(file_stream(spark, env_path, KV_SCHEMA))
+    ).withColumn("cts", F.current_timestamp())
+    risks = parse_stedi_events(
+        file_stream(spark, risk_path, KV_SCHEMA)
+    ).withColumn("rts", F.current_timestamp())
+    joined = join_risk(risks, customers, watermarks=("rts", "cts"))
+    got = run_to_memory(joined, "risk_wm")
+    assert got.count() == 40
+
+
+@pytest.fixture(scope="module")
+def turnstile_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cta")
+    path = str(root / "turnstiles")
+    rows = [
+        (1000 + i, i % 7, f"station_{i % 7}", ["red", "blue", "green"][i % 3])
+        for i in range(210)
+    ]
+    df = spark.createDataFrame(rows, TURNSTILE)
+    for b in range(3):
+        df.filter(F.col("timestamp") % 3 == b).coalesce(1).write.mode("append").parquet(
+            path
+        )
+    return path
+
+
+def test_turnstile_summary_stream_equals_batch(spark, turnstile_dir):
+    """§3.2 — the KSQL count as an update-mode ('continuously updated
+    table') streaming agg, materialized via foreachBatch upsert (K5/T6)
+    exactly like a compacted changelog topic."""
+    state: dict[int, int] = {}
+
+    def upsert(batch_df, _epoch):
+        for r in batch_df.collect():
+            state[r["STATION_ID"]] = r["COUNT"]
+
+    stream = turnstile_summary(
+        file_stream(spark, turnstile_dir, TURNSTILE), ksql_compat_names=True
+    )
+    run_foreach_batch(stream, upsert, output_mode="update")
+
+    batch = turnstile_summary(spark.read.schema(TURNSTILE).parquet(turnstile_dir))
+    want = {r["station_id"]: r["count"] for r in batch.collect()}
+    assert state == want
+    assert sum(state.values()) == 210
+
+
+def test_faust_station_table_stream_equals_batch(spark, tmp_path_factory):
+    """§3.3 — Faust transform + last-write-wins table: streamed upserts
+    converge to the batch latest-per-key answer."""
+    root = tmp_path_factory.mktemp("stations")
+    path = str(root / "updates")
+    # two updates per station across separate micro-batches: line flips
+    rows = []
+    for seq in range(2):
+        for sid in range(8):
+            rows.append(
+                (
+                    seq * 100 + sid,  # stop_id = monotone sequence
+                    "E",
+                    f"stop_{sid}",
+                    f"station_{sid}",
+                    f"Station {sid}",
+                    sid,
+                    sid,
+                    (sid + seq) % 3 == 0,
+                    (sid + seq) % 3 == 1,
+                    (sid + seq) % 3 == 2,
+                )
+            )
+    df = spark.createDataFrame(rows, STATION)
+    df.filter(F.col("stop_id") < 100).coalesce(1).write.mode("append").parquet(path)
+    df.filter(F.col("stop_id") >= 100).coalesce(1).write.mode("append").parquet(path)
+
+    state: dict[int, tuple] = {}
+
+    def upsert(batch_df, _epoch):
+        # per-batch last-write-wins by the monotone sequence, then upsert
+        latest = station_table_latest(
+            faust_station_transform(batch_df, keep_cols=("stop_id",))
+        )
+        for r in latest.collect():
+            state[r["station_id"]] = (r["station_name"], r["order"], r["line"])
+
+    run_foreach_batch(file_stream(spark, path, STATION), upsert)
+
+    batch_latest = station_table_latest(
+        faust_station_transform(
+            spark.read.schema(STATION).parquet(path), keep_cols=("stop_id",)
+        )
+    )
+    want = {
+        r["station_id"]: (r["station_name"], r["order"], r["line"])
+        for r in batch_latest.collect()
+    }
+    assert state == want
+    assert len(state) == 8
+    # the seq=1 write wins for every station
+    assert all(line in {"red", "blue", "green", ""} for (_, _, line) in state.values())

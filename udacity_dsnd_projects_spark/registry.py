@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
 from udacity_dsnd_projects_spark.operators import aggregations as _agg
 from udacity_dsnd_projects_spark.operators import analytics as _an
+from udacity_dsnd_projects_spark.operators import envelope as _env
 from udacity_dsnd_projects_spark.operators import joins as _joins
 from udacity_dsnd_projects_spark.operators import projections as _proj
 from udacity_dsnd_projects_spark.operators import risk_join as _risk
@@ -45,6 +46,9 @@ def oracle_sql() -> dict[str, str]:
 # Flagship (SURVEY.md §3.1 / §7 phase 0)
 # --------------------------------------------------------------------------
 register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
+register(
+    "redis_envelope_decode", _env.redis_envelope_decode, _env.ORACLE_REDIS_ENVELOPE_DECODE
+)
 
 # --- Projections / filters (§2.3, P1-P9) ----------------------------------
 register("cast_projection", _proj.cast_projection, _proj.ORACLE_CAST_PROJECTION)
