@@ -35,6 +35,9 @@ HEADLINE: tuple[str, ...] = (
     "join_asof",
     "latest_per_key",
     "sessionize",
+    "minhash_lsh_pairs",
+    "cosine_topk_bruteforce",
+    "quality_score",
 )
 
 

@@ -9,19 +9,18 @@ from __future__ import annotations
 import math
 
 
+def _norm_val(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "tolist"):  # numpy scalar or array
+        return _norm_val(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
 def _normalize(rows, cols):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    vals.append(round(v, 6))
-            else:
-                vals.append(v)
-        out.append(tuple(vals))
+    out = [tuple(_norm_val(v) for v in row) for row in rows]
     out.sort(key=lambda r: tuple(str(x) for x in r))
     return out
 

@@ -1,0 +1,395 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7
+phase 4): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- Candidate generation never compares all pairs. N-gram Jaccard uses an
+  inverted-index self-join on shingles (pairs share ≥1 shingle);
+  MinHash/SimHash use banded LSH bucket joins. Both are shuffle joins
+  on high-cardinality keys — AQE handles stragglers from hot shingles
+  (stopword-only shingles are the classic skew source; the distinct
+  per-doc shingle step bounds each doc's contribution).
+- All hashing is the engine's cross-engine polynomial hash
+  (:func:`udacity_dsnd_projects_spark.functions.text.rolling_hash`
+  arithmetic), so every stage is reproducible in the DuckDB oracle —
+  the MinHash permutation constants below feed BOTH faces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.functions.text import HASH_MOD
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+#: MinHash permutation constants h_i(x) = (A[i]*x + B[i]) mod HASH_MOD.
+NUM_PERM = 16
+PERM_A = tuple(2 * i + 3 for i in range(NUM_PERM))
+PERM_B = tuple(101 * i + 17 for i in range(NUM_PERM))
+#: LSH banding: NUM_BANDS bands of BAND_ROWS rows (16 = 4 × 4).
+NUM_BANDS, BAND_ROWS = 4, 4
+#: Near-dup thresholds.
+JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+
+def _shingle_hashes(text: Column) -> Column:
+    """Distinct word-3-gram shingles of normalized text, each hashed
+    with the polynomial rolling hash. Returns array<long>."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    # guard: Spark's sequence(1, n-2) runs DESCENDING when n < 3 —
+    # short docs must yield an empty shingle set, not garbage
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx,
+        lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+    )
+    hashes = F.transform(
+        shingles,
+        lambda s: F.aggregate(
+            F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % HASH_MOD,
+        ),
+    )
+    return F.array_distinct(hashes)
+
+
+_ORACLE_SHINGLES = rf"""
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             list_transform(range(1, len(toks) - 1),
+                            j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]),
+             s -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(string_split(s, ''),
+                                                ch -> CAST(ascii(ch) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % {HASH_MOD}))) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+"""
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 10th doc (new ids) — synthetic exact
+    duplicates so the dedup operators have real work on the corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_ORACLE_PLANTED = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on content, keep the smallest
+    id as canonical. One shuffle on the content hash (never on the
+    full text — the md5 keeps shuffle rows narrow at scale)."""
+    dup = _docs_with_planted_dups(spark, sf_dir)
+    return (
+        dup.groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+ORACLE_EXACT_DEDUP = f"""
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM ({_ORACLE_PLANTED}) d
+GROUP BY md5(text)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via inverted-index self-join:
+    explode distinct shingles, join docs sharing a shingle, count the
+    intersection per pair, compute J = |∩| / (|A|+|B|−|∩|), keep
+    pairs over the threshold. Candidate pairs are exactly those with
+    ≥1 common shingle — no quadratic scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("sh"))
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.filter(jac > JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH docs AS ({_ORACLE_SHINGLES}),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS common, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (na + nb - common), 5) AS jaccard
+FROM pairs
+WHERE common * 1.0 / (na + nb - common) > {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: mh[i] = min over shingle hashes of
+    (A[i]*h + B[i]) mod HASH_MOD. 16 permutations as one array column
+    — one scan, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(F.transform(F.col("sh"), lambda h: (h * a + b) % HASH_MOD))
+
+    mh = F.array(*[perm_min(a, b) for a, b in zip(PERM_A, PERM_B)])
+    return sh.select("doc_id", mh.alias("mh"))
+
+
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle face of :func:`minhash_signatures`: the signature array is
+    serialized to a ``_``-joined string so the value representation is
+    engine-independent (array columns round-trip differently through
+    pandas in Spark vs DuckDB)."""
+    return minhash_signatures(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("_", F.col("mh").cast("array<string>")).alias("mh_sig"),
+    )
+
+
+def _mh_exprs() -> list[str]:
+    return [
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {HASH_MOD}))"
+        for a, b in zip(PERM_A, PERM_B)
+    ]
+
+
+ORACLE_MINHASH_SIGNATURES = f"""
+WITH docs AS ({_ORACLE_SHINGLES})
+SELECT doc_id,
+       list_aggregate(list_transform([{', '.join(_mh_exprs())}],
+                                     x -> CAST(x AS VARCHAR)),
+                      'string_agg', '_') AS mh_sig
+FROM docs WHERE len(sh) > 0
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: band the 16-row signature
+    into 4 bands × 4 rows; docs colliding on any whole band become
+    candidates (bucket join, not all-pairs); estimated Jaccard =
+    fraction of matching signature rows; keep pairs over threshold.
+
+    This is the 100 TB dedup path: cost is O(docs × bands) rows
+    shuffled on band keys instead of an O(n²) comparison."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("mh")[bi * BAND_ROWS + r].cast("string")
+                                for r in range(BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "mh", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mha"),
+            F.col("b.mh").alias("mhb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mha", "mhb", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / NUM_PERM
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 5).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+
+
+def _oracle_band_selects() -> str:
+    selects = []
+    for bi in range(NUM_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh[{bi * BAND_ROWS + r + 1}] AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        selects.append(f"SELECT doc_id, mh, {bi} AS band, {key} AS key FROM sigs")
+    return " UNION ALL ".join(selects)
+
+
+ORACLE_MINHASH_LSH_PAIRS = f"""
+WITH docs AS ({_ORACLE_SHINGLES}),
+sigs AS (SELECT doc_id, [{', '.join(_mh_exprs())}] AS mh FROM docs
+         WHERE len(sh) > 0),
+bands AS ({_oracle_band_selects()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.mh AS mha, b.mh AS mhb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_filter(range(1, {NUM_PERM + 1}), i -> mha[i] = mhb[i]))
+             * 1.0 / {NUM_PERM}, 5) AS est_jaccard
+FROM cand
+WHERE len(list_filter(range(1, {NUM_PERM + 1}), i -> mha[i] = mhb[i]))
+      * 1.0 / {NUM_PERM} >= {JACCARD_THRESHOLD}
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each shingle hash votes ±1 on each of 32 bits (bit j of
+    the hash); fingerprint bit j is 1 iff the vote sum is positive.
+    Near-identical shingle sets → near-identical fingerprints."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    def bit_vote(j: int) -> Column:
+        vote = F.aggregate(
+            F.col("sh"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    bits = [bit_vote(j) for j in range(SIMHASH_BITS)]
+    fp = bits[0]
+    for j in range(1, SIMHASH_BITS):
+        fp = fp + F.shiftleft(bits[j], j)
+    return sh.select("doc_id", fp.alias("simhash"))
+
+
+def _oracle_simhash_bits() -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(sh, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})")
+    return " + ".join(terms)
+
+
+ORACLE_SIMHASH_FINGERPRINTS = f"""
+WITH docs AS ({_ORACLE_SHINGLES})
+SELECT doc_id, {_oracle_simhash_bits()} AS simhash
+FROM docs WHERE len(sh) > 0
+"""
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes;
+    pairs sharing any byte are candidates (pigeonhole: hamming ≤ 6 on
+    32 bits usually leaves one byte intact); verify with exact hamming
+    distance via bit_count(xor)."""
+    sigs = simhash_fingerprints(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUP_PAIRS = f"""
+WITH docs AS ({_ORACLE_SHINGLES}),
+sigs AS (SELECT doc_id, {_oracle_simhash_bits()} AS simhash FROM docs
+         WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""

@@ -1,0 +1,225 @@
+"""Text analysis for training-data pipelines (SURVEY.md §7 phase 4).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + a BPE-ish regex) and document fingerprinting (md5 +
+polynomial rolling hash). Everything is built-in column expressions —
+array/lambda higher-order functions, regexp counting, no Python in the
+data path — so the whole module rides whole-stage codegen and scales
+linearly with a parquet scan. Doc order: one pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+#: Modulus for the polynomial rolling hash (fits acc*31+255 in int64).
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+#: BPE-ish token regex: word pieces or single non-space punctuation.
+BPE_TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+#: Tiny per-language stopword profiles for the n-gram/stopword
+#: heuristic language ID.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai", "you"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash h = (h*31 + byte) mod (2^31-1) over the
+    string — the classic Rabin-Karp-style document fingerprint,
+    chosen because it is exactly reproducible in any SQL engine
+    (plain integer arithmetic, no engine-specific hash)."""
+    codes = F.transform(F.split(text, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_MOD,
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+ORACLE_TOKEN_STATS = rf"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+            AS INTEGER) AS n_unique_tokens,
+       CAST(length(text) AS INTEGER) AS len_chars
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    digit ratio, mean token length, and a composite [0,1] score.
+    Ratio weights follow the usual web-corpus heuristics (length in
+    range, low punctuation/digit noise, healthy stopword density)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    en = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    punct_ratio = n_punct / n_chars
+    digit_ratio = n_digit / n_chars
+    stop_ratio = n_stop / n_tok
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    score = (
+        F.when(n_tok >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 5).alias("punct_ratio"),
+        F.round(digit_ratio, 5).alias("digit_ratio"),
+        F.round(stop_ratio, 5).alias("stopword_ratio"),
+        F.round(mean_tok_len, 5).alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+_EN = "', '".join(LANG_STOPWORDS["en"])
+ORACLE_QUALITY_SCORE = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, n_punct, n_digit,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, x -> list_contains(['{_EN}'], x))) AS DOUBLE)
+           AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       ROUND(n_punct / n_chars, 5) AS punct_ratio,
+       ROUND(n_digit / n_chars, 5) AS digit_ratio,
+       ROUND(n_stop / n_tok, 5) AS stopword_ratio,
+       ROUND((n_chars - (n_tok - 1)) / n_tok, 5) AS mean_token_len,
+       (CASE WHEN n_tok >= 10 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_punct / n_chars < 0.1 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_digit / n_chars < 0.1 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_stop / n_tok > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+FROM s
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: count profile hits per language,
+    argmax with a fixed precedence order. (A character-n-gram model is
+    the production upgrade; the hit-count heuristic keeps the whole
+    thing in codegen'd column expressions.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_col(F.col("text"))
+    def profile_hits(words: tuple[str, ...]) -> Column:
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    hits = {lang: profile_hits(words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("unknown")
+    # precedence: later langs win ties only if strictly greater —
+    # build the CASE in reverse fixed order
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def _oracle_language_id() -> str:
+    hit_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = "', '".join(words)
+        hit_exprs.append(
+            f"CAST(len(list_filter(toks, x -> list_contains(['{lst}'], x))) AS INTEGER)"
+            f" AS hits_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "'unknown'"
+    for lang in reversed(langs):
+        case = f"CASE WHEN hits_{lang} = best THEN '{lang}' ELSE {case} END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, {', '.join(hit_exprs)} FROM t
+), b AS (
+  SELECT *, {best} AS best FROM h
+)
+SELECT doc_id, lang, {', '.join(f'hits_{lang}' for lang in langs)},
+       CASE WHEN best = 0 THEN 'unknown' ELSE {case} END AS predicted_lang
+FROM b
+"""
+
+
+ORACLE_LANGUAGE_ID = _oracle_language_id()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text plus the
+    cross-engine polynomial rolling hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("md5_fp"),
+        rolling_hash(norm).alias("rolling_fp"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(norm, ''),
+                                     ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS rolling_fp
+FROM t
+"""

@@ -14,7 +14,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from udacity_dsnd_projects_spark.functions import dedup as _dedup
+from udacity_dsnd_projects_spark.functions import multimodal as _mm
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
+from udacity_dsnd_projects_spark.functions import similarity as _sim
+from udacity_dsnd_projects_spark.functions import text as _text
 from udacity_dsnd_projects_spark.operators import aggregations as _agg
 from udacity_dsnd_projects_spark.operators import analytics as _an
 from udacity_dsnd_projects_spark.operators import envelope as _env
@@ -124,3 +128,47 @@ register(
     "top_unshipped_orders", _an.top_unshipped_orders, _an.ORACLE_TOP_UNSHIPPED_ORDERS
 )
 register("hourly_event_rollup", _an.hourly_event_rollup, _an.ORACLE_HOURLY_EVENT_ROLLUP)
+
+# --- Text analysis (§7 phase 4) -------------------------------------------
+register("token_stats", _text.token_stats, _text.ORACLE_TOKEN_STATS)
+register("quality_score", _text.quality_score, _text.ORACLE_QUALITY_SCORE)
+register("language_id", _text.language_id, _text.ORACLE_LANGUAGE_ID)
+register("doc_fingerprint", _text.doc_fingerprint, _text.ORACLE_DOC_FINGERPRINT)
+
+# --- Deduplication (§7 phase 4) -------------------------------------------
+register("exact_dedup", _dedup.exact_dedup, _dedup.ORACLE_EXACT_DEDUP)
+register(
+    "ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ORACLE_NGRAM_JACCARD_PAIRS
+)
+register(
+    "minhash_signatures", _dedup.minhash_signatures_q, _dedup.ORACLE_MINHASH_SIGNATURES
+)
+register("minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.ORACLE_MINHASH_LSH_PAIRS)
+register(
+    "simhash_fingerprints",
+    _dedup.simhash_fingerprints,
+    _dedup.ORACLE_SIMHASH_FINGERPRINTS,
+)
+register(
+    "simhash_near_dup_pairs",
+    _dedup.simhash_near_dup_pairs,
+    _dedup.ORACLE_SIMHASH_NEAR_DUP_PAIRS,
+)
+
+# --- Similarity search (§7 phase 4) ---------------------------------------
+register(
+    "cosine_topk_bruteforce",
+    _sim.cosine_topk_bruteforce,
+    _sim.ORACLE_COSINE_TOPK_BRUTEFORCE,
+)
+register(
+    "embedding_lsh_buckets",
+    _sim.embedding_lsh_buckets,
+    _sim.ORACLE_EMBEDDING_LSH_BUCKETS,
+)
+register("embedding_near_dup", _sim.embedding_near_dup, _sim.ORACLE_EMBEDDING_NEAR_DUP)
+register("cosine_scores_pandas", _sim.cosine_scores_pandas, None)  # Pandas-UDF face
+
+# --- Multimodal (§7 phase 4) ----------------------------------------------
+register("media_byte_stats", _mm.media_byte_stats, _mm.ORACLE_MEDIA_BYTE_STATS)
+register("media_feature_pipeline", _mm.media_feature_pipeline, None)  # mapInPandas
