@@ -24,55 +24,89 @@ from udacity_dsnd_projects_spark.functions.text import HASH_MOD
 from udacity_dsnd_projects_spark.sources.catalog import load_table
 
 #: MinHash permutation constants h_i(x) = (A[i]*x + B[i]) mod HASH_MOD.
+#: A must be large pseudo-random (not small odd numbers): with small
+#: multipliers (h*a+b) rarely wraps the modulus, so all permutations
+#: pick the same argmin shingle and the signature rows correlate —
+#: est_jaccard inflates and LSH drowns in false-positive candidates.
+#: h*a stays < 2^62, safe in int64 on both engines.
 NUM_PERM = 16
-PERM_A = tuple(2 * i + 3 for i in range(NUM_PERM))
-PERM_B = tuple(101 * i + 17 for i in range(NUM_PERM))
+PERM_A = tuple((2654435761 * (i + 1) + 40503) % HASH_MOD for i in range(NUM_PERM))
+PERM_B = tuple((1779033703 * (i + 1) + 55665) % HASH_MOD for i in range(NUM_PERM))
 #: LSH banding: NUM_BANDS bands of BAND_ROWS rows (16 = 4 × 4).
 NUM_BANDS, BAND_ROWS = 4, 4
+#: Combiner multiplier for token-hash → shingle-hash (fits int64:
+#: HASH_MOD * SHINGLE_P < 2^52).
+SHINGLE_P = 1_000_003
 #: Near-dup thresholds.
 JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
 
 
-def _shingle_hashes(text: Column) -> Column:
-    """Distinct word-3-gram shingles of normalized text, each hashed
-    with the polynomial rolling hash. Returns array<long>."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    n = F.size(toks)
-    # guard: Spark's sequence(1, n-2) runs DESCENDING when n < 3 —
-    # short docs must yield an empty shingle set, not garbage
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
+def _token_hash(tok: Column) -> Column:
+    return F.aggregate(
+        F.transform(F.split(tok, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_MOD,
     )
-    shingles = F.transform(
-        idx,
-        lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+
+
+def _shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingle hashes of normalized
+    text, as array<long>. Docs with <3 tokens (no 3-gram) are dropped.
+
+    Each token is char-hashed ONCE into a ``th`` column, then the
+    shingle hash combines three consecutive token hashes —
+    ``((th[j]·P + th[j+1]) % M · P + th[j+2]) % M`` — so overlapping
+    shingles never re-scan characters (3× less char work than hashing
+    each shingle string, and the ``th`` materialization stops Catalyst
+    from inlining the char-hash into every element_at reference).
+
+    The repartition before hashing decouples CPU parallelism from the
+    input file layout: a corpus delivered as few large files would
+    otherwise hash on few cores. The partition count is explicit
+    (REPARTITION_BY_NUM) because AQE would coalesce a byte-small
+    shuffle back to one partition — AQE sizes for shuffle bytes, not
+    the CPU cost of the hashing that follows."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
     )
-    hashes = F.transform(
-        shingles,
-        lambda s: F.aggregate(
-            F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 31 + x) % HASH_MOD,
-        ),
+    d = d.select("doc_id", F.transform("toks", _token_hash).alias("th"))
+    th = F.col("th")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("th") - 2),
+        lambda j: (
+            (F.element_at(th, j) * SHINGLE_P + F.element_at(th, j + 1))
+            % HASH_MOD
+            * SHINGLE_P
+            + F.element_at(th, j + 2)
+        )
+        % HASH_MOD,
     )
-    return F.array_distinct(hashes)
+    return d.select("doc_id", F.array_distinct(sh).alias("sh"))
 
 
 _ORACLE_SHINGLES = rf"""
   SELECT doc_id,
          list_distinct(
-           list_transform(
-             list_transform(range(1, len(toks) - 1),
-                            j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]),
-             s -> list_reduce(
-                    list_prepend(CAST(0 AS BIGINT),
-                                 list_transform(string_split(s, ''),
-                                                ch -> CAST(ascii(ch) AS BIGINT))),
-                    (acc, x) -> (acc * 31 + x) % {HASH_MOD}))) AS sh
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        FROM documents)
+           list_transform(range(1, len(th) - 1),
+             j -> ((th[j] * {SHINGLE_P} + th[j+1]) % {HASH_MOD} * {SHINGLE_P}
+                   + th[j+2]) % {HASH_MOD})) AS sh
+  FROM (SELECT doc_id,
+               list_transform(toks,
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(string_split(t, ''),
+                                                    ch -> CAST(ascii(ch) AS BIGINT))),
+                        (acc, x) -> (acc * 31 + x) % {HASH_MOD})) AS th
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)
 """
 
 
@@ -121,11 +155,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode distinct shingles, join docs sharing a shingle, count the
     intersection per pair, compute J = |∩| / (|A|+|B|−|∩|), keep
     pairs over the threshold. Candidate pairs are exactly those with
-    ≥1 common shingle — no quadratic scan."""
+    ≥1 common shingle — no quadratic scan.
+
+    The ``merge`` hint forces a sort-merge self-join: both sides then
+    need the SAME shuffle exchange on ``s``, which Spark's
+    ReuseExchange computes once — the expensive shingle subtree runs
+    one time instead of once per join side (a broadcast self-join
+    would re-evaluate it to build the hash relation)."""
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("sh"))
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
+    sh = _shingled_docs(docs)
+    # explode_outer, deliberately: plain explode makes Catalyst infer a
+    # `size(sh) > 0` filter and push it below the projections, inlining
+    # the whole shingle expression into the Filter — the hashing would
+    # run twice per row. _shingled_docs never yields an empty array, so
+    # outer semantics are identical here.
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
+    a, b = ex.alias("a").hint("merge"), ex.alias("b").hint("merge")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -166,9 +211,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A[i]*h + B[i]) mod HASH_MOD. 16 permutations as one array column
     — one scan, no shuffle."""
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    sh = _shingled_docs(docs)
     def perm_min(a: int, b: int) -> Column:
         return F.array_min(F.transform(F.col("sh"), lambda h: (h * a + b) % HASH_MOD))
 
@@ -211,7 +254,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of matching signature rows; keep pairs over threshold.
 
     This is the 100 TB dedup path: cost is O(docs × bands) rows
-    shuffled on band keys instead of an O(n²) comparison."""
+    shuffled on band keys instead of an O(n²) comparison. The
+    ``merge`` hint makes the self-join sort-merge so ReuseExchange
+    evaluates the signature subtree once (see ngram_jaccard_pairs)."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -234,8 +279,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "mh", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    a, b = bands.alias("a").hint("merge"), bands.alias("b").hint("merge")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a.mh", "b.mh", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / NUM_PERM
+    )
+    # est is a pure function of the pair, so full-row distinct() dedups
+    # band collisions without a first()-style aggregate over arrays
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -245,22 +300,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.mh").alias("mha"),
-            F.col("b.mh").alias("mhb"),
+            F.round(est, 5).alias("est_jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("mha", "mhb", lambda x, y: x == y), lambda eq: eq
-            )
-        )
-        / NUM_PERM
-    )
-    return cand.select(
-        "doc_a", "doc_b", F.round(est, 5).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
 
 
 def _oracle_band_selects() -> str:
@@ -298,9 +342,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash); fingerprint bit j is 1 iff the vote sum is positive.
     Near-identical shingle sets → near-identical fingerprints."""
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    sh = _shingled_docs(docs)
     def bit_vote(j: int) -> Column:
         vote = F.aggregate(
             F.col("sh"),
@@ -358,10 +400,12 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bands.alias("a").hint("merge"), bands.alias("b").hint("merge")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
+    # hamming is a pure function of the pair → distinct() dedups band
+    # collisions exactly (see minhash_lsh_pairs)
     return (
         a.join(
             b,
@@ -375,7 +419,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
 
 

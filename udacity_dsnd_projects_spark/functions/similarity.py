@@ -174,7 +174,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("v"), 64))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # merge hint → sort-merge self-join → both sides share one shuffle
+    # exchange (ReuseExchange), so the bucket subtree is computed once
+    a, b = bucketed.alias("a").hint("merge"), bucketed.alias("b").hint("merge")
     cosine = F.round(
         _dot(F.col("a.v"), F.col("b.v"))
         / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
