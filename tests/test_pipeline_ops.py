@@ -90,6 +90,25 @@ def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
         assert abs(pandas_face[key] - cos) < 1e-4
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-probe IVF top-k must recover most of the exact top-k: with
+    6 hyperplanes and hamming-1 probing, expected recall is well above
+    half (each true neighbor lands in the probed set unless it differs
+    from the query bucket by ≥2 plane signs)."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in cosine_topk_ivf(spark, sf_dir).collect()}
+    assert exact, "bruteforce top-k should be non-empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
 def test_lsh_buckets_group_near_dups(spark, sf_dir):
     """Near-identical vectors must land in the same LSH bucket (the
     corpus has no true embedding dups — max pairwise cosine ≈ 0.51 —

@@ -188,6 +188,39 @@ def test_turnstile_summary_stream_equals_batch(spark, turnstile_dir):
     assert sum(state.values()) == 210
 
 
+def test_stateful_latest_per_key(spark, tmp_path_factory):
+    """T6 — applyInPandasWithState last-write-wins: per-key state
+    persists across micro-batches, and a row with a LOWER sequence
+    arriving in a LATER micro-batch cannot overwrite the stored winner
+    (the case plain per-batch max_by upserts get wrong)."""
+    from udacity_dsnd_projects_spark.streaming.stateful import latest_per_key_stateful
+
+    root = tmp_path_factory.mktemp("stateful")
+    path = str(root / "updates")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    # batch 1 carries the HIGH sequences; batch 2 replays stale rows
+    b1 = [(k, 100 + k, f"new_{k}") for k in range(6)]
+    b2 = [(k, k, f"stale_{k}") for k in range(6)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    out = latest_per_key_stateful(
+        file_stream(spark, path, schema), "k", "seq", ("val",)
+    )
+    rows = run_to_memory(out, "lww_state", output_mode="update").collect()
+    # last emitted row per key is the final table state
+    final: dict[int, tuple] = {}
+    for r in rows:
+        final[r["k"]] = (r["seq"], r["val"])
+    assert final == {k: (100 + k, f"new_{k}") for k in range(6)}
+
+
 def test_faust_station_table_stream_equals_batch(spark, tmp_path_factory):
     """§3.3 — Faust transform + last-write-wins table: streamed upserts
     converge to the batch latest-per-key answer."""

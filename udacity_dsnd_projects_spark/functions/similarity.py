@@ -31,6 +31,12 @@ TOP_K = 5
 #: synthetic corpus (2k vectors → ~30/bucket); production tunes this to
 #: target bucket cardinality, e.g. 16-20 planes for billions of rows.
 N_PLANES = 6
+#: IVF multi-probe depth: probe all buckets within this hamming
+#: distance of the query bucket. The synthetic corpus is near-random
+#: (top neighbors at cosine ≈0.3-0.5 → per-plane agreement barely
+#: above 1/2), so depth 2 is needed for useful recall here; a real
+#: embedding corpus with cluster structure runs depth 1 on more planes.
+PROBE_HAMMING = 2
 #: Similarity threshold for the near-dup report. The synthetic corpus
 #: has no true duplicates (max pairwise cosine ≈ 0.51), so this is set
 #: inside the actual similarity tail; a real dedup run uses ~0.95+.
@@ -216,6 +222,105 @@ WITH e AS (
   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine > {NEAR_DUP_COSINE}
+"""
+
+
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are coarse-quantized
+    into hyperplane-LSH buckets (the inverted file); each query probes
+    every bucket within hamming distance PROBE_HAMMING of its own
+    (multi-probe), scores only those candidates, keeps k best.
+
+    This is the 100 TB ANN path: the corpus is scanned once to build
+    bucket assignments, and per query the comparison count drops from
+    |corpus| to ~(N_PLANES+1)/2^N_PLANES of it. Probing is an equi-join
+    on bucket id: the (small) query-probe list is broadcast and the
+    corpus never moves; with a large query batch the same plan becomes
+    a shuffle join co-partitioned on bucket. Recall is tunable by probe
+    depth; tests measure it against the exact brute-force answer.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("v"), 64))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(m))
+                    for m in _probe_masks()
+                ]
+            )
+        ).alias("probe"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))),
+                5,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def _probe_masks() -> list[int]:
+    """All XOR masks with popcount ≤ PROBE_HAMMING over N_PLANES bits
+    (mask 0 = the query's own bucket), in deterministic order."""
+    from itertools import combinations
+
+    masks = []
+    for d in range(PROBE_HAMMING + 1):
+        for bits in combinations(range(N_PLANES), d):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def _oracle_probe_list() -> str:
+    probes = ", ".join(f"xor(bucket, {m})" for m in _probe_masks())
+    return f"[{probes}]"
+
+
+ORACLE_COSINE_TOPK_IVF = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, v, {_oracle_bucket_expr(64)} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS q, unnest({_oracle_probe_list()}) AS probe
+  FROM bk WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, bk.vec_id,
+         ROUND(
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                         i -> q.q[i] * bk.v[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.q, x -> x * x)),
+                               (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(bk.v, x -> x * x)),
+                                 (acc, x) -> acc + x))), 5) AS cosine
+  FROM bk JOIN q ON bk.bucket = q.probe AND bk.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t WHERE rn <= {TOP_K}
 """
 
 

@@ -176,28 +176,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (engine addition — Spark lacks a native one): for each
     event, the customer's most recent order at-or-before the event time.
 
-    Composition: equi-join on the key + range predicate, then keep the
-    latest order per event via a window on the event's unique id. The
-    equi-key bounds the blow-up (orders-per-customer), so this scales as
-    a normal shuffle join; for time-heavy workloads the scale path is
-    bucketizing the time range (pyspark_guide: as-of pattern).
+    Union-scan formulation: tag order rows and event rows, sort each
+    key's timeline, and carry the latest order forward with
+    ``last(…, ignorenulls=True)`` over a running row frame. ONE shuffle
+    on the join key and zero pair blow-up — the naive
+    equi-join + range predicate materializes every (event, earlier
+    order) pair (orders-per-key × events-per-key rows) and then needs a
+    second shuffle on event_id to pick one; this streams each key's
+    timeline once. At same (key, time), orders sort before events
+    (is_event tiebreak) to honor the <= bound; among same-date orders
+    the highest o_orderkey sorts last and therefore wins.
     """
     ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    joined = ev.join(
-        orders,
-        (ev["user_id"] == orders["o_custkey"]) & (orders["o_orderdate"] <= ev["ts"]),
-        "inner",
+    ord_side = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice").alias("o"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    ev_side = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    timeline = ord_side.unionByName(ev_side, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", F.col("o.o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+        timeline.withColumn("asof", F.last("o", ignorenulls=True).over(w))
+        .filter((F.col("is_event") == 1) & F.col("asof").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("asof.o_orderkey").alias("o_orderkey"),
+            F.col("asof.o_orderdate").alias("o_orderdate"),
+            F.col("asof.o_totalprice").alias("o_totalprice"),
+        )
     )
 
 

@@ -161,6 +161,7 @@ register(
     _sim.cosine_topk_bruteforce,
     _sim.ORACLE_COSINE_TOPK_BRUTEFORCE,
 )
+register("cosine_topk_ivf", _sim.cosine_topk_ivf, _sim.ORACLE_COSINE_TOPK_IVF)
 register(
     "embedding_lsh_buckets",
     _sim.embedding_lsh_buckets,
