@@ -36,7 +36,10 @@ HEADLINE: tuple[str, ...] = (
     "latest_per_key",
     "sessionize",
     "minhash_lsh_pairs",
+    "exact_dedup",
+    "simhash_near_dup_pairs",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "quality_score",
 )
 

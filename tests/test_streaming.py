@@ -188,6 +188,103 @@ def test_turnstile_summary_stream_equals_batch(spark, turnstile_dir):
     assert sum(state.values()) == 210
 
 
+def test_windowed_agg_with_watermark_stream_equals_batch(spark, tmp_path_factory):
+    """T4 — tumbling-window agg with a watermark: replaying the corpus
+    through micro-batches converges to the batch date_trunc rollup
+    (append mode emits each window once its watermark passes; the final
+    state must equal the batch answer for all closed windows)."""
+    root = tmp_path_factory.mktemp("t4")
+    path = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=7 * i), ["click", "view"][i % 2])
+        for i in range(60)
+    ]
+    # replay in (rough) time order — a chunk that revisits times more
+    # than the 10-minute watermark behind the stream's max would have
+    # its rows legitimately dropped as late
+    for b in range(3):
+        spark.createDataFrame(rows[b * 20 : (b + 1) * 20], schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    stream = (
+        file_stream(spark, path, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+    # update mode: keep the latest emission per (window, type)
+    got_rows = run_to_memory(stream, "t4_win", output_mode="update").collect()
+    got: dict[tuple, int] = {}
+    for r in got_rows:
+        got[(r["hour_start"], r["event_type"])] = r["n"]
+
+    batch = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["hour_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_stream_equals_batch_sessionize(spark, tmp_path_factory):
+    """Streaming ``session_window`` (30-min gap) equals the batch
+    lag+cumsum sessionization on the same rows — the two faces of the
+    sessionize operator agree on session boundaries and sizes."""
+    root = tmp_path_factory.mktemp("sessw")
+    path = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for u in range(4):
+        # two sessions per user: a burst, a >30min gap, another burst
+        for i in range(5):
+            rows.append((u, base + dt.timedelta(minutes=u * 3 + i * 5)))
+        for i in range(3):
+            rows.append((u, base + dt.timedelta(minutes=120 + u * 3 + i * 5)))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+    # session windows only support append output, which emits a window
+    # once the watermark passes its close — a far-future sentinel row in
+    # a second micro-batch pushes the watermark beyond every real session
+    spark.createDataFrame(
+        [(999, base + dt.timedelta(days=2))], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        file_stream(spark, path, schema)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in run_to_memory(stream, "sessw", output_mode="append").collect()
+        if r["user_id"] != 999
+    }
+    assert len(got) == 8  # 4 users x 2 sessions
+    assert all(n in {3, 5} for n in got.values())
+
+
 def test_stateful_latest_per_key(spark, tmp_path_factory):
     """T6 — applyInPandasWithState last-write-wins: per-key state
     persists across micro-batches, and a row with a LOWER sequence

@@ -47,16 +47,22 @@ def string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("PT"), F.lpad(F.col("p_partkey").cast("string"), 5, "0")).alias(
             "padded_id"
         ),
-        F.regexp_replace(F.col("p_type"), "_", " ").alias("display_type"),
+        F.initcap(F.regexp_replace(F.lower(F.col("p_type")), "_", " ")).alias(
+            "display_type"
+        ),
     )
 
 
+# DuckDB has no initcap; emulate per space-delimited word.
 ORACLE_STRING_NORMALIZE = """
 SELECT p_partkey,
        regexp_replace(replace(lower(p_name), '/', '_and_'), '[ ''-]', '_', 'g')
          AS topic_name,
        'PT' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS padded_id,
-       replace(p_type, '_', ' ') AS display_type
+       array_to_string(
+         list_transform(string_split(replace(lower(p_type), '_', ' '), ' '),
+                        w -> upper(w[1]) || w[2:]),
+         ' ') AS display_type
 FROM part
 """
 
