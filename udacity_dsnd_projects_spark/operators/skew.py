@@ -1,0 +1,49 @@
+"""Skew mitigation (SURVEY.md §4: "salting/AQE for skewed
+station_id/user_id groupings").
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+the engine session) is the first line of defense and needs no code. The
+explicit salted join here is for the cases AQE cannot fix: a broadcast
+that is too big to broadcast joined on a key where one value dominates,
+or an engine running with AQE off. Salting trades a bounded replication
+of the small side (×n_salt) for an even spread of the hot key across
+n_salt tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` is skewed on ``on``: each big-side row
+    gets a uniform salt in [0, n_salt); the small side is replicated
+    once per salt value; the join key becomes (key, salt), so the hot
+    key's rows land in n_salt different shuffle partitions instead of
+    one straggler task.
+
+    The salt is `rand`-derived — nondeterministic BY DESIGN and
+    result-invariant: it only chooses which task processes a row,
+    never which rows match. Output is exactly `big.join(small, on,
+    how)` for inner/left joins (asserted by tests).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side is replicated)")
+    salted_big = big.withColumn(
+        SALT_COL, (F.rand(seed=0) * n_salt).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias(SALT_COL)
+    replicated_small = small.select("*", salts)
+    return (
+        salted_big.join(replicated_small, on=[on, SALT_COL], how=how)
+        .drop(SALT_COL)
+    )
