@@ -318,6 +318,47 @@ def test_stateful_latest_per_key(spark, tmp_path_factory):
     assert final == {k: (100 + k, f"new_{k}") for k in range(6)}
 
 
+def test_compacted_table_sink(spark, tmp_path_factory):
+    """K5 — the foreachBatch compacted-table sink converges to the
+    batch latest-per-key answer, including stale rows replayed in a
+    later micro-batch (idempotent last-write-wins merge, T7)."""
+    from udacity_dsnd_projects_spark.streaming.sinks import (
+        compacted_table_upsert,
+        latest_per_key,
+    )
+
+    root = tmp_path_factory.mktemp("compact")
+    src = str(root / "updates")
+    table = str(root / "table")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    b1 = [(k, 100 + k, f"new_{k}") for k in range(5)]
+    b2 = [(k, k, f"stale_{k}") for k in range(5)] + [(9, 1, "only_9")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        file_stream(spark, src, schema)
+        .writeStream.foreachBatch(compacted_table_upsert(table, ["k"], "seq"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["seq"], r["val"]) for r in spark.read.parquet(table).collect()}
+    want_df = latest_per_key(spark.read.schema(schema).parquet(src), ["k"], "seq")
+    want = {r["k"]: (r["seq"], r["val"]) for r in want_df.collect()}
+    assert got == want
+    assert got[9] == (1, "only_9")
+    assert got[0] == (100, "new_0")
+
+
 def test_faust_station_table_stream_equals_batch(spark, tmp_path_factory):
     """§3.3 — Faust transform + last-write-wins table: streamed upserts
     converge to the batch latest-per-key answer."""

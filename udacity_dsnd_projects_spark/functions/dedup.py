@@ -247,16 +247,50 @@ FROM docs WHERE len(sh) > 0
 """
 
 
+def _bucket_pairs(bands: DataFrame, payload: str) -> DataFrame:
+    """Within-bucket ordered pair generation WITHOUT a self-join:
+    collect each (band, key) bucket's members (sorted by doc_id) and
+    expand ordered pairs with array combinators. One shuffle, and the
+    expensive signature subtree upstream is evaluated exactly once — a
+    self-join would re-evaluate it per side, because the auto-deduped
+    right plan gets fresh lambda exprIds that defeat ReuseExchange
+    canonicalization.
+
+    Returns columns ``a`` / ``b``: structs of (doc_id, <payload>) with
+    ``a.doc_id < b.doc_id``. Scale guard for production: buckets above
+    a size cap (hyper-common content) should be dropped before the
+    pair expansion — the m² pair array for a mega-bucket is the one
+    place this formulation is worse than the streaming join.
+    """
+    members = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", payload))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    return members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size("ms")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: band the 16-row signature
     into 4 bands × 4 rows; docs colliding on any whole band become
-    candidates (bucket join, not all-pairs); estimated Jaccard =
+    candidates (bucket grouping, not all-pairs); estimated Jaccard =
     fraction of matching signature rows; keep pairs over threshold.
 
     This is the 100 TB dedup path: cost is O(docs × bands) rows
-    shuffled on band keys instead of an O(n²) comparison. The
-    ``merge`` hint makes the self-join sort-merge so ReuseExchange
-    evaluates the signature subtree once (see ngram_jaccard_pairs)."""
+    shuffled on band keys instead of an O(n²) comparison; candidate
+    pairs are generated inside each bucket (see _bucket_pairs)."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -279,7 +313,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "mh", "bk.band", "bk.key")
-    a, b = bands.alias("a").hint("merge"), bands.alias("b").hint("merge")
+    pairs = _bucket_pairs(bands, "mh")
     est = (
         F.size(
             F.filter(
@@ -291,13 +325,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # est is a pure function of the pair, so full-row distinct() dedups
     # band collisions without a first()-style aggregate over arrays
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(est, 5).alias("est_jaccard"),
@@ -400,20 +428,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a").hint("merge"), bands.alias("b").hint("merge")
+    pairs = _bucket_pairs(bands, "simhash")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     # hamming is a pure function of the pair → distinct() dedups band
     # collisions exactly (see minhash_lsh_pairs)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        pairs.filter(hamming <= SIMHASH_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -172,6 +172,34 @@ FROM events
 """
 
 
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (map face, SURVEY.md §1.3) — parse the whole JSON props
+    object into ``map<string,string>`` and explode to key/value rows,
+    the generic form when paths are not known ahead of time (vs
+    :func:`json_get`'s point access). Rolled up per key to keep the
+    result small at any scale."""
+    ev = load_table(spark, "events", sf_dir)
+    kv = ev.select(
+        "event_id",
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias("k", "v"),
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col("v").cast("double")), 5).alias("avg_val"),
+    )
+
+
+ORACLE_JSON_MAP_EXPLODE = """
+WITH kv AS (
+  SELECT event_id, unnest(json_keys(props)) AS k, props FROM events
+)
+SELECT k, COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.' || k) AS DOUBLE)), 5)
+         AS avg_val
+FROM kv GROUP BY k
+"""
+
+
 def timestamp_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 (epoch-millis keys) — ``time_millis()`` producer keys
     (``producers/models/producer.py:68-69``) and the idiomatic

@@ -119,6 +119,9 @@ register(
     "arithmetic_rounding", _scalar.arithmetic_rounding, _scalar.ORACLE_ARITHMETIC_ROUNDING
 )
 register("json_get", _scalar.json_get, _scalar.ORACLE_JSON_GET)
+register(
+    "json_map_explode", _scalar.json_map_explode, _scalar.ORACLE_JSON_MAP_EXPLODE
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 
 # --- Headline analytics (bench workload) ----------------------------------
