@@ -61,8 +61,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] or sorted(qs)
 
     # Warm the JVM/session on the smallest corpus so JIT/codegen startup
-    # isn't attributed to the first query.
-    qs[names[0]](spark, "/root/testdata/sf0.001").count()
+    # isn't attributed to the first query of each family (relational,
+    # text-hashing, embedding math exercise disjoint codepaths).
+    for w in ("risk_join", "minhash_lsh_pairs", "cosine_topk_bruteforce"):
+        if w in qs:
+            qs[w](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:
