@@ -69,6 +69,50 @@ def test_jdbc_scan_options_and_incremental_contract(spark):
     assert opts["numPartitions"] == "4"
 
 
+def test_partitioned_write_prunes(spark, nation_df, tmp_path_factory):
+    from udacity_dsnd_projects_spark.sources.layout import write_partitioned
+
+    path = str(tmp_path_factory.mktemp("part") / "nation")
+    write_partitioned(nation_df, path, ["n_regionkey"])
+    scan = spark.read.parquet(path).filter(F.col("n_regionkey") == 2)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the filter must prune at directory level, not row level
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan
+    assert scan.count() == nation_df.filter("n_regionkey = 2").count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    from udacity_dsnd_projects_spark.sources.layout import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+
+    root = tmp_path_factory.mktemp("buckets")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed_table(orders, "b_orders", str(root / "o"), "o_orderkey", 4)
+    write_bucketed_table(lineitem, "b_lineitem", str(root / "l"), "o_orderkey", 4)
+    # at this test corpus size Catalyst would broadcast; disable so the
+    # plan shows what bucketing buys on two BIG tables: SMJ, no exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # the whole point
+        want = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_avro_round_trip_if_available(spark):
     if not have_avro(spark):
         pytest.skip("spark-avro package not on the classpath")
