@@ -71,6 +71,27 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
         assert abs(approx[k] - v) / v < 0.1
 
 
+def test_quantile_sketch_close_to_exact(spark, duck, sf_dir):
+    """approx_percentile must land within 2% relative error of DuckDB's
+    exact continuous quantile at this corpus size."""
+    from udacity_dsnd_projects_spark.operators.aggregations import quantile_sketch
+
+    got = {r["l_linestatus"]: (r["p50"], r["p90"], r["p99"]) for r in quantile_sketch(spark, sf_dir).collect()}
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            """SELECT l_linestatus, quantile_cont(l_extendedprice, 0.5),
+                      quantile_cont(l_extendedprice, 0.9),
+                      quantile_cont(l_extendedprice, 0.99)
+               FROM lineitem GROUP BY 1"""
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        for a, b in zip(got[k], exact[k]):
+            assert abs(a - b) / b < 0.02, (k, a, b)
+
+
 def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
     """The Arrow/numpy face must agree with the JVM expression face."""
     from udacity_dsnd_projects_spark.functions.similarity import (

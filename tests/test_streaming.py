@@ -318,6 +318,45 @@ def test_stateful_latest_per_key(spark, tmp_path_factory):
     assert final == {k: (100 + k, f"new_{k}") for k in range(6)}
 
 
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    """Streaming exact dedup: a duplicate key replayed in a LATER
+    micro-batch is dropped (state store remembers keys across
+    batches); both the unbounded and watermarked forms agree here."""
+    from udacity_dsnd_projects_spark.streaming.stateful import dedup_stream
+
+    root = tmp_path_factory.mktemp("sdedup")
+    path = str(root / "rows")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    b1 = [(i, base + dt.timedelta(minutes=i), f"first_{i}") for i in range(8)]
+    # batch 2 re-sends ids 0-3 (producer retry) plus new ids 8-9
+    b2 = [(i, base + dt.timedelta(minutes=30 + i), f"retry_{i}") for i in range(4)]
+    b2 += [(i, base + dt.timedelta(minutes=30 + i), f"first_{i}") for i in (8, 9)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    got = run_to_memory(
+        dedup_stream(file_stream(spark, path, schema), ["id"]), "sdedup_unbounded"
+    ).collect()
+    vals = {r["id"]: r["val"] for r in got}
+    assert len(vals) == 10
+    assert all(v.startswith("first_") for v in vals.values())  # retries dropped
+
+    got_wm = run_to_memory(
+        dedup_stream(file_stream(spark, path, schema), ["id"], "ts", "2 hours"),
+        "sdedup_wm",
+    ).collect()
+    assert {r["id"]: r["val"] for r in got_wm} == vals
+
+
 def test_compacted_table_sink(spark, tmp_path_factory):
     """K5 — the foreachBatch compacted-table sink converges to the
     batch latest-per-key answer, including stale rows replayed in a

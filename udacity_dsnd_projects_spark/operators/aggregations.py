@@ -145,6 +145,23 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group via ``approx_percentile``
+    (Greenwald-Khanna sketch): the scale path for percentiles — exact
+    ``percentile`` buffers every value per group; the sketch holds
+    O(1/accuracy) per group regardless of row count, and sketches
+    merge across partitions (map-side combine works). Registered
+    rows-only: the sketch's answer is deterministic but engine-specific,
+    so the test asserts closeness to the exact answer instead of the
+    oracle asserting equality."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99"),
+    )
+
+
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP — hierarchical subtotals (engine addition; KSQL/Faust have
     nothing like it, but any OLAP surface needs it)."""

@@ -29,6 +29,29 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def dedup_stream(
+    updates: DataFrame,
+    keys: list[str],
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST row seen per
+    key across all micro-batches.
+
+    Without ``event_time_col`` the dedup state grows forever (every key
+    ever seen) — the compat form, matching the reference's unbounded
+    stream state (T3). With it, ``dropDuplicatesWithinWatermark``
+    bounds state to the watermark horizon: the 100 TB form, correct
+    whenever true duplicates arrive within ``delay`` of each other
+    (exactly the guarantee a Kafka producer retry needs).
+    """
+    if event_time_col is None:
+        return updates.dropDuplicates(keys)
+    return updates.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def latest_per_key_stateful(
     updates: DataFrame,
     key_col: str,
