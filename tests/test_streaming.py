@@ -318,6 +318,36 @@ def test_stateful_latest_per_key(spark, tmp_path_factory):
     assert final == {k: (100 + k, f"new_{k}") for k in range(6)}
 
 
+def test_envelope_decode_tolerates_corrupt_payloads(spark):
+    """Robustness of the decode chain (P2/P5): malformed envelope JSON,
+    non-base64 elements, and truncated customer JSON must yield null
+    fields — never a task failure — so one poison message can't kill
+    the stream (from_json PERMISSIVE + unbase64 null-on-error)."""
+    good_cust = json.dumps(
+        {"customerName": "G", "email": "g@test.com", "phone": "1", "birthDay": "1990-01-01"}
+    )
+    good_env = json.dumps(
+        {
+            "key": _b64("Customer"),
+            "existType": "NONE",
+            "Ch": False,
+            "Incr": False,
+            "zSetEntries": [{"element": _b64(good_cust), "score": "0.0"}],
+        }
+    )
+    rows = [
+        ("0", good_env),
+        ("1", "{not json at all"),
+        ("2", json.dumps({"key": "x", "zSetEntries": [{"element": "!!!not-b64!!!", "score": "0"}]})),
+        ("3", json.dumps({"key": "x", "zSetEntries": [{"element": _b64("{trunc"), "score": "0"}]})),
+        ("4", None),
+    ]
+    kv = spark.createDataFrame(rows, KV_SCHEMA)
+    out = derive_birth_year(parse_redis_envelope(kv))
+    got = out.collect()  # must not raise
+    assert [(r.email, r.birthYear) for r in got] == [("g@test.com", "1990")]
+
+
 def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
     """Streaming exact dedup: a duplicate key replayed in a LATER
     micro-batch is dropped (state store remembers keys across

@@ -72,6 +72,38 @@ def risk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def risk_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship query through the SQL API — the reference
+    builds this pipeline as temp views + ``spark.sql`` strings
+    (``sparkpykafkajoin.py:77-97``: ``createOrReplaceTempView`` then
+    SQL over the view). Identical logical plan to :func:`risk_join`
+    after analysis (views are just named plan fragments in the session
+    catalog), so Catalyst optimizes both the same way; the oracle is
+    shared."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("rj_events")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("rj_customer")
+    spark.sql(
+        """
+        SELECT user_id AS customer, value AS score,
+               from_json(props, 'k INT').k AS k
+        FROM rj_events WHERE props IS NOT NULL
+        """
+    ).createOrReplaceTempView("rj_risks")
+    spark.sql(
+        """
+        SELECT c_custkey, c_name AS name, split(c_name, '#')[1] AS cust_num
+        FROM rj_customer
+        WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+        """
+    ).createOrReplaceTempView("rj_custs")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ customer, score, k, name, cust_num
+        FROM rj_risks r JOIN rj_custs c ON r.customer = c.c_custkey
+        """
+    )
+
+
 def risk_join_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-sink shape: key + to_json(struct(*)) value
     (sparkpykafkajoin.py:145)."""

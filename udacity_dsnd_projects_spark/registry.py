@@ -50,6 +50,7 @@ def oracle_sql() -> dict[str, str]:
 # Flagship (SURVEY.md §3.1 / §7 phase 0)
 # --------------------------------------------------------------------------
 register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
+register("risk_join_sql", _risk.risk_join_sql, _risk.ORACLE_RISK_JOIN)
 register(
     "redis_envelope_decode", _env.redis_envelope_decode, _env.ORACLE_REDIS_ENVELOPE_DECODE
 )
