@@ -318,6 +318,43 @@ def test_stateful_latest_per_key(spark, tmp_path_factory):
     assert final == {k: (100 + k, f"new_{k}") for k in range(6)}
 
 
+def test_checkpoint_restart_processes_only_new_data(spark, tmp_path_factory):
+    """T2 — checkpointed restart: a query restarted with the same
+    checkpointLocation resumes from committed offsets, so rows from the
+    first run are NOT reprocessed (the reference relies on exactly this
+    via /tmp/kafkacheckpoint, sparkpykafkajoin.py:150)."""
+    root = tmp_path_factory.mktemp("ckpt")
+    src, ckpt = str(root / "src"), str(root / "checkpoint")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    seen: list[int] = []
+
+    def collect(batch_df, _epoch):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    def run_once():
+        q = (
+            file_stream(spark, src, schema)
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(i,) for i in range(5)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert sorted(seen) == [0, 1, 2, 3, 4]
+
+    spark.createDataFrame([(i,) for i in (10, 11)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert sorted(seen) == [0, 1, 2, 3, 4, 10, 11]  # first five not replayed
+
+
 def test_envelope_decode_tolerates_corrupt_payloads(spark):
     """Robustness of the decode chain (P2/P5): malformed envelope JSON,
     non-base64 elements, and truncated customer JSON must yield null
