@@ -1,0 +1,127 @@
+"""End-to-end corpus curation (SURVEY.md §7 phase 4 capstone): the
+training-data pipeline the individual operators exist for, composed as
+ONE declarative plan —
+
+    ingest (with planted duplicates)
+      → quality filter        (length / punctuation / digit heuristics)
+      → exact dedup           (content-hash groupBy, min doc_id wins)
+      → near-dup dedup        (MinHash-LSH candidate pairs; the larger
+                               doc_id of every pair is dropped — the
+                               one-sweep approximation of connected-
+                               component dedup, which at scale runs as
+                               iterated sweeps or a CC algorithm)
+      → corpus rollup         (per-language counts + token stats)
+
+Everything is deterministic modular arithmetic, so the WHOLE pipeline —
+five stages deep — is oracle-checked row-for-row against DuckDB.
+
+Scale shape: two shuffles for dedup (content hash; LSH band buckets),
+one broadcast anti-join of the drop-list, one final rollup. No Python
+in the data path, no collect, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.functions.dedup import (
+    _ORACLE_PLANTED,
+    _docs_with_planted_dups,
+    _oracle_lsh_pairs,
+    lsh_pairs_for,
+)
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+#: Quality gates (web-corpus heuristics, same spirit as text.quality_score).
+MIN_TOKENS = 10
+MAX_PUNCT_RATIO = 0.1
+MAX_DIGIT_RATIO = 0.1
+
+
+def _quality_filter(docs: DataFrame) -> DataFrame:
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_chars = F.length("text")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
+    digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    return docs.filter(
+        (n_tok >= MIN_TOKENS)
+        & (punct / n_chars < MAX_PUNCT_RATIO)
+        & (digit / n_chars < MAX_DIGIT_RATIO)
+    )
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """Run the full curation over a (doc_id, text, lang, ...) frame and
+    return the surviving documents."""
+    clean = _quality_filter(docs)
+    # exact dedup: canonical = min doc_id per content hash
+    canonical = clean.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    exact = clean.join(canonical.select("doc_id"), "doc_id", "semi")
+    # near-dup dedup: drop the larger id of every LSH candidate pair
+    drop = lsh_pairs_for(exact).select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(drop, "doc_id", "anti")
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query face: curate documents ∪ planted duplicates
+    and roll up the surviving corpus per language."""
+    survivors = curate(_docs_with_planted_dups_with_lang(spark, sf_dir))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+    )
+
+
+def _docs_with_planted_dups_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like dedup._docs_with_planted_dups but keeps the lang column for
+    the final rollup."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionByName(copies)
+
+
+_ORACLE_PLANTED_LANG = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang FROM documents
+  WHERE doc_id % 10 = 0
+"""
+
+_ORACLE_QUALITY = rf"""
+  SELECT doc_id, text, lang FROM planted
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= {MIN_TOKENS}
+    AND len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+        < {MAX_PUNCT_RATIO}
+    AND len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+        < {MAX_DIGIT_RATIO}
+"""
+
+ORACLE_CORPUS_CURATION = f"""
+WITH planted AS ({_ORACLE_PLANTED_LANG}),
+clean AS ({_ORACLE_QUALITY}),
+canonical AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+),
+exact AS (
+  SELECT c.* FROM clean c JOIN canonical k ON c.doc_id = k.doc_id
+),
+lsh AS ({_oracle_lsh_pairs("exact")}),
+drop_ids AS (SELECT DISTINCT doc_b AS doc_id FROM lsh),
+survivors AS (
+  SELECT e.* FROM exact e ANTI JOIN drop_ids d ON e.doc_id = d.doc_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+            AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4)
+         AS avg_tokens
+FROM survivors GROUP BY lang
+"""

@@ -91,7 +91,10 @@ def _shingled_docs(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", F.array_distinct(sh).alias("sh"))
 
 
-_ORACLE_SHINGLES = rf"""
+def _oracle_shingles(src: str = "documents") -> str:
+    """The shingle CTE body over an arbitrary source relation (must
+    expose doc_id, text)."""
+    return rf"""
   SELECT doc_id,
          list_distinct(
            list_transform(range(1, len(th) - 1),
@@ -105,9 +108,12 @@ _ORACLE_SHINGLES = rf"""
                                                     ch -> CAST(ascii(ch) AS BIGINT))),
                         (acc, x) -> (acc * 31 + x) % {HASH_MOD})) AS th
         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-              FROM documents)
+              FROM {src})
         WHERE len(toks) >= 3)
 """
+
+
+_ORACLE_SHINGLES = _oracle_shingles()
 
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,17 +212,21 @@ WHERE common * 1.0 / (na + nb - common) > {JACCARD_THRESHOLD}
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: mh[i] = min over shingle hashes of
-    (A[i]*h + B[i]) mod HASH_MOD. 16 permutations as one array column
-    — one scan, no shuffle."""
-    docs = load_table(spark, "documents", sf_dir)
+def signatures_for(docs: DataFrame) -> DataFrame:
+    """MinHash signatures over an arbitrary (doc_id, text) frame:
+    mh[i] = min over shingle hashes of (A[i]*h + B[i]) mod HASH_MOD.
+    16 permutations as one array column — one scan, no shuffle."""
     sh = _shingled_docs(docs)
     def perm_min(a: int, b: int) -> Column:
         return F.array_min(F.transform(F.col("sh"), lambda h: (h * a + b) % HASH_MOD))
 
     mh = F.array(*[perm_min(a, b) for a, b in zip(PERM_A, PERM_B)])
     return sh.select("doc_id", mh.alias("mh"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus face of :func:`signatures_for`."""
+    return signatures_for(load_table(spark, "documents", sf_dir))
 
 
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,16 +292,17 @@ def _bucket_pairs(bands: DataFrame, payload: str) -> DataFrame:
     ).select("p.a", "p.b")
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: band the 16-row signature
-    into 4 bands × 4 rows; docs colliding on any whole band become
-    candidates (bucket grouping, not all-pairs); estimated Jaccard =
-    fraction of matching signature rows; keep pairs over threshold.
+def lsh_pairs_for(docs: DataFrame) -> DataFrame:
+    """MinHash + LSH near-dup candidates over an arbitrary
+    (doc_id, text) frame: band the 16-row signature into 4 bands × 4
+    rows; docs colliding on any whole band become candidates (bucket
+    grouping, not all-pairs); estimated Jaccard = fraction of matching
+    signature rows; keep pairs over threshold.
 
     This is the 100 TB dedup path: cost is O(docs × bands) rows
     shuffled on band keys instead of an O(n²) comparison; candidate
     pairs are generated inside each bucket (see _bucket_pairs)."""
-    sigs = minhash_signatures(spark, sf_dir)
+    sigs = signatures_for(docs)
     bands = sigs.select(
         "doc_id",
         "mh",
@@ -335,6 +346,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus face of :func:`lsh_pairs_for`."""
+    return lsh_pairs_for(load_table(spark, "documents", sf_dir))
+
+
 def _oracle_band_selects() -> str:
     selects = []
     for bi in range(NUM_BANDS):
@@ -345,8 +361,11 @@ def _oracle_band_selects() -> str:
     return " UNION ALL ".join(selects)
 
 
-ORACLE_MINHASH_LSH_PAIRS = f"""
-WITH docs AS ({_ORACLE_SHINGLES}),
+def _oracle_lsh_pairs(src: str = "documents") -> str:
+    """The full LSH candidate-pair SQL over an arbitrary source
+    relation (doc_id, text) — mirrors :func:`lsh_pairs_for`."""
+    return f"""
+WITH docs AS ({_oracle_shingles(src)}),
 sigs AS (SELECT doc_id, [{', '.join(_mh_exprs())}] AS mh FROM docs
          WHERE len(sh) > 0),
 bands AS ({_oracle_band_selects()}),
@@ -363,6 +382,9 @@ FROM cand
 WHERE len(list_filter(range(1, {NUM_PERM + 1}), i -> mha[i] = mhb[i]))
       * 1.0 / {NUM_PERM} >= {JACCARD_THRESHOLD}
 """
+
+
+ORACLE_MINHASH_LSH_PAIRS = _oracle_lsh_pairs()
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from udacity_dsnd_projects_spark.functions import curation as _cur
 from udacity_dsnd_projects_spark.functions import dedup as _dedup
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
@@ -159,6 +160,8 @@ register(
     _dedup.simhash_near_dup_pairs,
     _dedup.ORACLE_SIMHASH_NEAR_DUP_PAIRS,
 )
+
+register("corpus_curation", _cur.corpus_curation, _cur.ORACLE_CORPUS_CURATION)
 
 # --- Similarity search (§7 phase 4) ---------------------------------------
 register(
