@@ -103,7 +103,7 @@ _ORACLE_QUALITY = rf"""
         < {MAX_DIGIT_RATIO}
 """
 
-ORACLE_CORPUS_CURATION = f"""
+ORACLE_CORPUS_CURATION = rf"""
 WITH planted AS ({_ORACLE_PLANTED_LANG}),
 clean AS ({_ORACLE_QUALITY}),
 canonical AS (
