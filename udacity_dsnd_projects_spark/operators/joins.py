@@ -11,8 +11,9 @@ oracle coverage.
 Scale notes: dimensions (customer/part/nation/region/supplier) are
 broadcast — no shuffle of the fact side; the fact-fact joins rely on
 AQE for skew handling. The as-of join is the one operator Spark lacks
-natively: composed as range-join + window, with the window partitioned
-by the fact's unique key so state is bounded per key.
+natively: implemented as a union-scan (sort each key's timeline once,
+carry the latest left-side row forward with last(ignorenulls)) — one
+shuffle, no pair materialization; see join_asof.
 """
 
 from __future__ import annotations
