@@ -145,6 +145,39 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile — the observability query every
+    pipeline run emits (row count, null counts, cardinalities, ranges)
+    computed as ONE aggregate over ONE scan. The naive per-column loop
+    runs C jobs over C scans; this is the declarative form Catalyst
+    folds into a single partial+final hash aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("nulls_returnflag"),
+        F.countDistinct("l_returnflag").alias("distinct_returnflag"),
+        F.countDistinct("l_orderkey").alias("distinct_orderkey"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+ORACLE_TABLE_PROFILE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_returnflag,
+       COUNT(DISTINCT l_returnflag) AS distinct_returnflag,
+       COUNT(DISTINCT l_orderkey) AS distinct_orderkey,
+       MIN(l_shipdate) AS min_shipdate,
+       MAX(l_shipdate) AS max_shipdate,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+"""
+
+
 def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per group via ``approx_percentile``
     (Greenwald-Khanna sketch): the scale path for percentiles — exact

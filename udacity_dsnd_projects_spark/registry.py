@@ -96,6 +96,7 @@ register("count_distinct", _agg.count_distinct, _agg.ORACLE_COUNT_DISTINCT)
 register("approx_count_distinct", _agg.approx_count_distinct, None)  # estimator
 register("stats_per_group", _agg.stats_per_group, _agg.ORACLE_STATS_PER_GROUP)
 register("quantile_sketch", _agg.quantile_sketch, None)  # estimator
+register("table_profile", _agg.table_profile, _agg.ORACLE_TABLE_PROFILE)
 register("rollup_agg", _agg.rollup_agg, _agg.ORACLE_ROLLUP_AGG)
 register("cube_agg", _agg.cube_agg, _agg.ORACLE_CUBE_AGG)
 register("pivot_agg", _agg.pivot_agg, _agg.ORACLE_PIVOT_AGG)
