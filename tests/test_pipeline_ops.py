@@ -71,6 +71,20 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
         assert abs(approx[k] - v) / v < 0.1
 
 
+def test_pandas_simhash_equals_jvm_simhash(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_pandas,
+    )
+
+    a = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}
+    b = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints_pandas(spark, sf_dir).collect()
+    }
+    assert a == b and a
+
+
 def test_quantile_sketch_close_to_exact(spark, duck, sf_dir):
     """approx_percentile must land within 2% relative error of DuckDB's
     exact continuous quantile at this corpus size."""

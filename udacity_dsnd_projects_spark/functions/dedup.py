@@ -427,6 +427,41 @@ FROM docs WHERE len(sh) > 0
 """
 
 
+def simhash_fingerprints_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized face of :func:`simhash_fingerprints`: the 32 bit
+    votes per document run as numpy bit arithmetic over Arrow batches
+    (``mapInPandas``) instead of 32 interpreted ``aggregate`` lambdas
+    per row. Semantically identical (tests assert equality); this is
+    the hot-path choice at scale — the JVM expression face stays as
+    the oracle-checked reference because it needs no Python workers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingled_docs(docs)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def fingerprint(batches):
+        js = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, hashes in enumerate(pdf["sh"]):
+                h = np.asarray(hashes, dtype=np.int64)
+                ones = ((h[:, None] >> js) & 1).sum(axis=0)
+                bits = (2 * ones > len(h)).astype(np.int64)
+                fps[i] = int((bits << js).sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+
+    return sh.mapInPandas(fingerprint, out_schema)
+
+
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes;
     pairs sharing any byte are candidates (pigeonhole: hamming ≤ 6 on

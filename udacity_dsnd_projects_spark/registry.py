@@ -156,6 +156,11 @@ register(
     _dedup.simhash_fingerprints,
     _dedup.ORACLE_SIMHASH_FINGERPRINTS,
 )
+register(  # vectorized face, deterministic-identical -> same oracle
+    "simhash_fingerprints_pandas",
+    _dedup.simhash_fingerprints_pandas,
+    _dedup.ORACLE_SIMHASH_FINGERPRINTS,
+)
 register(
     "simhash_near_dup_pairs",
     _dedup.simhash_near_dup_pairs,
