@@ -23,6 +23,11 @@ if _REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Round-1 recorded total (BENCH_r01.json, sf 0.1, local[32]) — the
+#: regression floor. `tests/test_bench_floor.py` fails the suite if a
+#: fresh run exceeds 2× this; BASELINE.md "Engine bench targets".
+BENCH_FLOOR_SEC = 14.9947
+
 #: Queries timed by the bench. Grows as the registry grows; keep this the
 #: set of headline operators (one per §2 category) rather than every
 #: micro-query, so the number stays interpretable.
@@ -63,7 +68,16 @@ def main() -> None:
     # Warm the JVM/session on the smallest corpus so JIT/codegen startup
     # isn't attributed to the first query of each family (relational,
     # text-hashing, embedding math exercise disjoint codepaths).
-    for w in ("risk_join", "minhash_lsh_pairs", "cosine_topk_bruteforce"):
+    # simhash_near_dup_pairs is in the list because it runs the
+    # vectorized Pandas fingerprint face: the first Python stage of a
+    # session forks every Python worker and imports numpy/pandas in
+    # each — startup cost, not query cost.
+    for w in (
+        "risk_join",
+        "minhash_lsh_pairs",
+        "simhash_near_dup_pairs",
+        "cosine_topk_bruteforce",
+    ):
         if w in qs:
             qs[w](spark, "/root/testdata/sf0.001").count()
 

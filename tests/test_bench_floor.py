@@ -1,0 +1,37 @@
+"""Bench regression guard (BASELINE.md "Engine bench targets"): a
+fresh bench.py run at sf 0.1 must stay within 2× the round-1 recorded
+floor. Runs bench.py exactly as the driver does — a subprocess with
+its own session — so the measurement includes nothing from the test
+session."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_total_within_2x_floor():
+    sys.path.insert(0, str(REPO))
+    from bench import BENCH_FLOOR_SEC
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd=REPO,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["unit"] == "sec" and rec["sf"] == 0.1
+    assert rec["value"] <= 2 * BENCH_FLOOR_SEC, (
+        f"bench regression: {rec['value']:.2f}s > 2x floor "
+        f"({BENCH_FLOOR_SEC}s); per-query: {rec['queries']}"
+    )

@@ -1,0 +1,119 @@
+"""Round-2 hardening tests: the LSH bucket-size cap (mega-bucket
+guard), connected-component near-dup semantics, and planted-duplicate
+recall measurements that pin the NUM_PERM / N_PLANES parameter choices
+by measurement rather than docstring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.functions import dedup as d
+from udacity_dsnd_projects_spark.functions import similarity as sim
+from udacity_dsnd_projects_spark.functions.curation import near_dup_drop_list
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+MEGA = 300  # > MAX_BUCKET_SIZE (256)
+
+
+def _mega_corpus(spark):
+    """MEGA docs with identical text (one mega-bucket per band) plus a
+    control pair of identical docs that must still be found."""
+    mega_text = "the quick brown fox jumps over the lazy dog again and again"
+    ctrl_text = "completely different control sentence about spark shuffle planning"
+    rows = [(i, mega_text) for i in range(MEGA)]
+    rows += [(1000, ctrl_text), (1001, ctrl_text)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_mega_bucket_dropped_control_pair_survives(spark):
+    docs = _mega_corpus(spark)
+    pairs = d.lsh_pairs_for(docs).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # the 300-member bucket would expand ~45k pairs per band; the cap
+    # must drop it entirely...
+    assert all(a >= 1000 for a, _ in found), f"mega-bucket pairs leaked: {found}"
+    # ...while the size-2 control bucket still yields its pair
+    assert (1000, 1001) in found
+    # and the accounting face reports exactly the dropped buckets:
+    # 4 minhash bands × 1 hyper-common key, each with MEGA members
+    over = d.oversize_buckets(d.minhash_bands_for(docs)).collect()
+    assert sorted((r.band, r.n_members) for r in over) == [(b, MEGA) for b in range(4)]
+
+
+def test_mega_bucket_single_shuffle_plan(spark):
+    """The cap's window count must reuse the groupBy's exchange — the
+    guard may not add a second (band, key) shuffle to the LSH path.
+    (The full plan keeps its other exchanges: the explicit CPU
+    repartition in _shingled_docs and the final distinct().)"""
+    import re
+
+    docs = _mega_corpus(spark)
+    plan = d.lsh_pairs_for(docs)._jdf.queryExecution().executedPlan().toString()
+    band_exchanges = re.findall(r"Exchange hashpartitioning\(band#\d+", plan)
+    assert len(band_exchanges) == 1, plan
+
+
+def test_cc_drop_list_chain_and_star(spark):
+    # chain 1~2~3: one component, keep min (1) — C (=3) must also drop
+    # even though its only direct pair partner (2) is dropped
+    chain = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    assert sorted(r.doc_id for r in near_dup_drop_list(chain).collect()) == [2, 3]
+    # star {1~3, 2~3}: one component {1,2,3}, keep 1 — the old one-sweep
+    # drop-doc_b policy kept both 1 and 2
+    star = spark.createDataFrame([(1, 3), (2, 3)], ["doc_a", "doc_b"])
+    assert sorted(r.doc_id for r in near_dup_drop_list(star).collect()) == [2, 3]
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark, sf_dir):
+    """Plant a near-duplicate of every 5th document (one middle token
+    replaced) and measure LSH recall on long docs. Pins NUM_PERM=16 /
+    4×4 banding: J≈0.9+ variants must collide on ≥1 band nearly
+    always."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 == 0)
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    half = (n / 2).cast("int")
+    mutated = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(toks, 1, half),
+            F.array(F.lit("xqzyvariant")),
+            F.slice(toks, half + 2, n),
+        ),
+    )
+    variants = base.select((F.col("doc_id") + 5_000_000).alias("doc_id"), mutated.alias("text"))
+    planted = docs.unionByName(variants)
+    pairs = {(r.doc_a, r.doc_b) for r in d.lsh_pairs_for(planted).collect()}
+    # recall over docs long enough that one swapped token keeps J high
+    long_ids = [
+        r.doc_id
+        for r in base.filter(F.size(F.split(F.col("text"), r"\s+")) >= 30).collect()
+    ]
+    assert len(long_ids) >= 20, "corpus too small for a recall measurement"
+    hits = sum(1 for i in long_ids if (i, i + 5_000_000) in pairs)
+    recall = hits / len(long_ids)
+    assert recall >= 0.8, f"minhash LSH recall {recall:.2f} on planted near-dups"
+
+
+def test_embedding_lsh_recall_on_planted_dups(spark, sf_dir):
+    """Exact duplicate vectors must land in the same hyperplane bucket
+    (recall 1.0); small deterministic perturbations should mostly
+    survive bucketing. Pins N_PLANES=6."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    base = emb.filter(F.col("vec_id") % 7 == 0)
+    exact = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
+    noised = base.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.02 + 0.003).alias("v"),
+    )
+    planted = emb.unionByName(exact).unionByName(noised)
+    pairs = {(r.vec_a, r.vec_b) for r in sim.near_dup_pairs_for(planted).collect()}
+    ids = [r.vec_id for r in base.collect()]
+    assert len(ids) >= 20
+    exact_recall = sum(1 for i in ids if (i, i + 1_000_000) in pairs) / len(ids)
+    noise_recall = sum(1 for i in ids if (i, i + 2_000_000) in pairs) / len(ids)
+    assert exact_recall == 1.0, f"identical vectors missed: {exact_recall:.2f}"
+    assert noise_recall >= 0.6, f"perturbed-vector recall {noise_recall:.2f}"

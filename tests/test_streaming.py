@@ -517,3 +517,36 @@ def test_faust_station_table_stream_equals_batch(spark, tmp_path_factory):
     assert len(state) == 8
     # the seq=1 write wins for every station
     assert all(line in {"red", "blue", "green", ""} for (_, _, line) in state.values())
+
+
+def test_kafka_round_trip_gated(spark, tmp_path_factory):
+    """S1/K1 end-to-end against a real broker — skips VISIBLY when the
+    spark-sql-kafka connector or a localhost broker is absent (the
+    sandbox has neither; mirrors the have_avro gate in test_sources).
+    Semantics under test match sparkpykafkajoin.py:61-67,145-152:
+    earliest-offset subscribe, string-cast projection, kafka sink with
+    checkpoint."""
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        have_kafka,
+        kafka_bytes_as_strings,
+        kafka_stream,
+    )
+
+    if not have_kafka(spark):
+        pytest.skip("spark-sql-kafka connector or localhost:9092 broker absent")
+
+    ckpt = str(tmp_path_factory.mktemp("kafka_ckpt"))
+    raw = kafka_stream(spark, topic="engine-test-in")
+    parsed = kafka_bytes_as_strings(raw)
+    q = (
+        parsed.select(F.col("key"), F.col("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("topic", "engine-test-out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

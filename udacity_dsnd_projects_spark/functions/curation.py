@@ -5,19 +5,23 @@ ONE declarative plan —
     ingest (with planted duplicates)
       → quality filter        (length / punctuation / digit heuristics)
       → exact dedup           (content-hash groupBy, min doc_id wins)
-      → near-dup dedup        (MinHash-LSH candidate pairs; the larger
-                               doc_id of every pair is dropped — the
-                               one-sweep approximation of connected-
-                               component dedup, which at scale runs as
-                               iterated sweeps or a CC algorithm)
+      → near-dup dedup        (MinHash-LSH candidate pairs → connected
+                               components over the pair graph → keep
+                               the min-doc_id representative of each
+                               component, so duplicate CHAINS A≈B≈C
+                               collapse to exactly one survivor)
       → corpus rollup         (per-language counts + token stats)
 
 Everything is deterministic modular arithmetic, so the WHOLE pipeline —
-five stages deep — is oracle-checked row-for-row against DuckDB.
+five stages deep — is oracle-checked row-for-row against DuckDB (the
+component step as a recursive CTE).
 
 Scale shape: two shuffles for dedup (content hash; LSH band buckets),
-one broadcast anti-join of the drop-list, one final rollup. No Python
-in the data path, no collect, no iteration.
+a min-label-propagation loop over the PAIR GRAPH ONLY (orders of
+magnitude smaller than the corpus — the loop's joins never touch
+document text, and each iteration is checkpointed so lineage stays
+flat), one broadcast anti-join of the drop-list, one final rollup.
+No Python in the data path, no collect of data rows.
 """
 
 from __future__ import annotations
@@ -51,6 +55,58 @@ def _quality_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Min-label propagation iteration cap. Convergence takes ≤ the pair
+#: graph's diameter; near-dup components are shallow (chains of
+#: re-posted boilerplate), so 20 covers pathological corpora and the
+#: loop exits early the first pass nothing changes.
+MAX_CC_ITERS = 20
+
+
+def near_dup_drop_list(pairs: DataFrame) -> DataFrame:
+    """Connected components over the near-dup pair graph by min-label
+    propagation to a fixed point; returns the doc_ids to DROP (every
+    node whose component representative — the component's min doc_id —
+    is not itself). A duplicate chain A≈B≈C is one component and keeps
+    exactly A; the one-sweep drop-doc_b policy this replaces both
+    under-deleted stars (kept 2 of {1≈3, 2≈3}) and couldn't converge
+    on chains.
+
+    Scale: the loop runs over the PAIR GRAPH only — ids, never text or
+    signatures. Each iteration is one join + one groupBy of that tiny
+    frame, eagerly checkpointed so the plan doesn't deepen and the
+    upstream LSH subtree is computed exactly once. The convergence
+    probe is a count() on label changes — an action over ids, not a
+    collect of data."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "prev"), "id")
+            .filter(F.col("lbl") < F.col("prev"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.filter(F.col("lbl") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+
+
 def curate(docs: DataFrame) -> DataFrame:
     """Run the full curation over a (doc_id, text, lang, ...) frame and
     return the surviving documents."""
@@ -60,8 +116,8 @@ def curate(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("h")
     ).agg(F.min("doc_id").alias("doc_id"))
     exact = clean.join(canonical.select("doc_id"), "doc_id", "semi")
-    # near-dup dedup: drop the larger id of every LSH candidate pair
-    drop = lsh_pairs_for(exact).select(F.col("doc_b").alias("doc_id")).distinct()
+    # near-dup dedup: keep one representative per connected component
+    drop = near_dup_drop_list(lsh_pairs_for(exact))
     return exact.join(drop, "doc_id", "anti")
 
 
@@ -104,7 +160,7 @@ _ORACLE_QUALITY = rf"""
 """
 
 ORACLE_CORPUS_CURATION = rf"""
-WITH planted AS ({_ORACLE_PLANTED_LANG}),
+WITH RECURSIVE planted AS ({_ORACLE_PLANTED_LANG}),
 clean AS ({_ORACLE_QUALITY}),
 canonical AS (
   SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text)
@@ -113,7 +169,18 @@ exact AS (
   SELECT c.* FROM clean c JOIN canonical k ON c.doc_id = k.doc_id
 ),
 lsh AS ({_oracle_lsh_pairs("exact")}),
-drop_ids AS (SELECT DISTINCT doc_b AS doc_id FROM lsh),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM lsh
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, MIN(lbl) AS lbl FROM walk GROUP BY node),
+drop_ids AS (SELECT node AS doc_id FROM comp WHERE lbl <> node),
 survivors AS (
   SELECT e.* FROM exact e ANTI JOIN drop_ids d ON e.doc_id = d.doc_id
 )

@@ -41,6 +41,16 @@ SHINGLE_P = 1_000_003
 JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
+#: LSH buckets larger than this are dropped before pair expansion — a
+#: hyper-common band key (boilerplate / near-constant content) would
+#: otherwise collect one m-element array and expand m² pair structs in
+#: a single row and OOM the executor. 256 members → ≤32,640 pairs
+#: (~10 MB of structs) per bucket row, safely bounded. Dropped buckets
+#: are observable via :func:`oversize_buckets`; the cap is mirrored in
+#: the DuckDB oracles (QUALIFY over the same window) so both engines
+#: agree at every scale. In a full pipeline the members of a dropped
+#: bucket are near-constant content that exact dedup already collapses.
+MAX_BUCKET_SIZE = 256
 
 
 def _token_hash(tok: Column) -> Column:
@@ -267,13 +277,24 @@ def _bucket_pairs(bands: DataFrame, payload: str) -> DataFrame:
     canonicalization.
 
     Returns columns ``a`` / ``b``: structs of (doc_id, <payload>) with
-    ``a.doc_id < b.doc_id``. Scale guard for production: buckets above
-    a size cap (hyper-common content) should be dropped before the
-    pair expansion — the m² pair array for a mega-bucket is the one
-    place this formulation is worse than the streaming join.
+    ``a.doc_id < b.doc_id``.
+
+    Scale guard: buckets above :data:`MAX_BUCKET_SIZE` are filtered
+    out BEFORE ``collect_list`` — the per-bucket size comes from a
+    window count partitioned on the same (band, key) keys, so the
+    groupBy that follows reuses the window's shuffle exchange (one
+    shuffle total, verified via ``explain``). Without the cap a
+    hyper-common band key collects one array of m members and expands
+    m² pair structs inside a single row — executor OOM at corpus
+    scale. Use :func:`oversize_buckets` to observe what was dropped.
     """
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band", "key")
     members = (
-        bands.groupBy("band", "key")
+        bands.withColumn("__bucket_n", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__bucket_n") <= MAX_BUCKET_SIZE)
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", payload))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
@@ -292,18 +313,24 @@ def _bucket_pairs(bands: DataFrame, payload: str) -> DataFrame:
     ).select("p.a", "p.b")
 
 
-def lsh_pairs_for(docs: DataFrame) -> DataFrame:
-    """MinHash + LSH near-dup candidates over an arbitrary
-    (doc_id, text) frame: band the 16-row signature into 4 bands × 4
-    rows; docs colliding on any whole band become candidates (bucket
-    grouping, not all-pairs); estimated Jaccard = fraction of matching
-    signature rows; keep pairs over threshold.
+def oversize_buckets(bands: DataFrame) -> DataFrame:
+    """Accounting face of the :data:`MAX_BUCKET_SIZE` guard: the
+    (band, key, n_members) rows that :func:`_bucket_pairs` dropped.
+    Run it on the same ``bands`` frame to log/monitor how much content
+    the cap excluded — at corpus scale this is the dashboard metric
+    that tells you boilerplate is flooding a band."""
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > MAX_BUCKET_SIZE)
+    )
 
-    This is the 100 TB dedup path: cost is O(docs × bands) rows
-    shuffled on band keys instead of an O(n²) comparison; candidate
-    pairs are generated inside each bucket (see _bucket_pairs)."""
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, band, key) exploded banding rows — the shared input
+    of :func:`lsh_pairs_for` and :func:`oversize_buckets`."""
     sigs = signatures_for(docs)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         "mh",
         F.explode(
@@ -324,7 +351,19 @@ def lsh_pairs_for(docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "mh", "bk.band", "bk.key")
-    pairs = _bucket_pairs(bands, "mh")
+
+
+def lsh_pairs_for(docs: DataFrame) -> DataFrame:
+    """MinHash + LSH near-dup candidates over an arbitrary
+    (doc_id, text) frame: band the 16-row signature into 4 bands × 4
+    rows; docs colliding on any whole band become candidates (bucket
+    grouping, not all-pairs); estimated Jaccard = fraction of matching
+    signature rows; keep pairs over threshold.
+
+    This is the 100 TB dedup path: cost is O(docs × bands) rows
+    shuffled on band keys instead of an O(n²) comparison; candidate
+    pairs are generated inside each bucket (see _bucket_pairs)."""
+    pairs = _bucket_pairs(minhash_bands_for(docs), "mh")
     est = (
         F.size(
             F.filter(
@@ -368,7 +407,11 @@ def _oracle_lsh_pairs(src: str = "documents") -> str:
 WITH docs AS ({_oracle_shingles(src)}),
 sigs AS (SELECT doc_id, [{', '.join(_mh_exprs())}] AS mh FROM docs
          WHERE len(sh) > 0),
-bands AS ({_oracle_band_selects()}),
+bands_all AS ({_oracle_band_selects()}),
+bands AS (
+  SELECT doc_id, mh, band, key FROM bands_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MAX_BUCKET_SIZE}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.mh AS mha, b.mh AS mhb
@@ -427,19 +470,18 @@ FROM docs WHERE len(sh) > 0
 """
 
 
-def simhash_fingerprints_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized face of :func:`simhash_fingerprints`: the 32 bit
-    votes per document run as numpy bit arithmetic over Arrow batches
-    (``mapInPandas``) instead of 32 interpreted ``aggregate`` lambdas
-    per row. Semantically identical (tests assert equality); this is
-    the hot-path choice at scale — the JVM expression face stays as
-    the oracle-checked reference because it needs no Python workers."""
+def simhash_vectorized(sh: DataFrame) -> DataFrame:
+    """Vectorized SimHash kernel over a (doc_id, sh) frame: all bit
+    votes of an Arrow batch run as a handful of numpy ``bincount``
+    calls (one per output bit, summing the bit-j votes of every
+    shingle hash grouped by document) instead of 32 interpreted
+    ``aggregate`` lambdas per row. Deterministically identical to the
+    JVM expression face (tests assert equality); this is the hot-path
+    fingerprint at scale — ``mapInPandas`` keeps the corpus
+    partitioned, blobs move once through Arrow, nothing shuffles."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-
-    docs = load_table(spark, "documents", sf_dir)
-    sh = _shingled_docs(docs)
 
     out_schema = T.StructType(
         [
@@ -451,24 +493,44 @@ def simhash_fingerprints_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fingerprint(batches):
         js = np.arange(SIMHASH_BITS, dtype=np.int64)
         for pdf in batches:
-            fps = np.empty(len(pdf), dtype=np.int64)
-            for i, hashes in enumerate(pdf["sh"]):
-                h = np.asarray(hashes, dtype=np.int64)
-                ones = ((h[:, None] >> js) & 1).sum(axis=0)
-                bits = (2 * ones > len(h)).astype(np.int64)
-                fps[i] = int((bits << js).sum())
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "simhash": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            lens = np.fromiter(
+                (len(x) for x in pdf["sh"]), dtype=np.int64, count=n
+            )
+            h = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["sh"]])
+            idx = np.repeat(np.arange(n), lens)
+            ones = np.empty((n, SIMHASH_BITS), dtype=np.int64)
+            for j in range(SIMHASH_BITS):
+                # votes for bit j, summed per document in one pass
+                ones[:, j] = np.bincount(
+                    idx, weights=(h >> j) & 1, minlength=n
+                ).astype(np.int64)
+            bits = (2 * ones > lens[:, None]).astype(np.int64)
+            fps = (bits << js).sum(axis=1)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
 
     return sh.mapInPandas(fingerprint, out_schema)
 
 
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes;
-    pairs sharing any byte are candidates (pigeonhole: hamming ≤ 6 on
-    32 bits usually leaves one byte intact); verify with exact hamming
-    distance via bit_count(xor)."""
-    sigs = simhash_fingerprints(spark, sf_dir)
-    bands = sigs.select(
+def simhash_fingerprints_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`simhash_vectorized` over the corpus.
+    The JVM expression face (:func:`simhash_fingerprints`) stays the
+    oracle-checked reference because it needs no Python workers."""
+    return simhash_vectorized(_shingled_docs(load_table(spark, "documents", sf_dir)))
+
+
+def simhash_bands_for(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, key) byte-banding rows over a
+    (doc_id, simhash) frame."""
+    return sigs.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -485,7 +547,19 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    pairs = _bucket_pairs(bands, "simhash")
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes;
+    pairs sharing any byte are candidates (pigeonhole: hamming ≤ 6 on
+    32 bits usually leaves one byte intact); verify with exact hamming
+    distance via bit_count(xor).
+
+    Fingerprints come from the vectorized numpy face (~4× cheaper than
+    the 32-lambda JVM expression face, which remains registered
+    separately as the oracle reference — both are proven identical)."""
+    sigs = simhash_vectorized(_shingled_docs(load_table(spark, "documents", sf_dir)))
+    pairs = _bucket_pairs(simhash_bands_for(sigs), "simhash")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
@@ -506,9 +580,13 @@ ORACLE_SIMHASH_NEAR_DUP_PAIRS = f"""
 WITH docs AS ({_ORACLE_SHINGLES}),
 sigs AS (SELECT doc_id, {_oracle_simhash_bits()} AS simhash FROM docs
          WHERE len(sh) > 0),
-bands AS (
+bands_all AS (
   SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
   FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+),
+bands AS (
+  SELECT doc_id, simhash, band, key FROM bands_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MAX_BUCKET_SIZE}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -171,15 +171,10 @@ FROM e
 """
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine similar/near-dup pairs, LSH-bucketed: only
-    vectors in the same bucket are compared (the 100 TB path — bucket
-    sizes are ~N/2^planes, so the pair count collapses), then exact
-    cosine verifies and thresholds."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("v"), 64))
+def near_dup_pairs_for(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """LSH-bucketed near-dup pairs over an arbitrary (vec_id, v) frame
+    — see :func:`embedding_near_dup` for the scale rationale."""
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("v"), dim))
     # merge hint → sort-merge self-join → both sides share one shuffle
     # exchange (ReuseExchange), so the bucket subtree is computed once
     a, b = bucketed.alias("a").hint("merge"), bucketed.alias("b").hint("merge")
@@ -202,6 +197,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine similar/near-dup pairs, LSH-bucketed: only
+    vectors in the same bucket are compared (the 100 TB path — bucket
+    sizes are ~N/2^planes, so the pair count collapses), then exact
+    cosine verifies and thresholds."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    return near_dup_pairs_for(emb)
 
 
 ORACLE_EMBEDDING_NEAR_DUP = f"""

@@ -13,9 +13,14 @@ The merge is idempotent (T7: at-least-once delivery composes with
 last-write-wins by sequence into exactly-once table contents), which is
 precisely why the reference keys its changelog by station_id. On a real
 deployment this function is replaced by `MERGE INTO` on a lakehouse
-table (Delta/Iceberg) — same logic, transactional commit; plain parquet
-needs the localCheckpoint materialization below to safely overwrite a
-path it just read.
+table (Delta/Iceberg) — same logic, transactional commit. Plain
+parquet has no transaction log, so the upsert stages the merged table
+at a temp path and swaps it in with filesystem renames: the new table
+is fully written before the live path is touched, and a crash at any
+point leaves either the old table or the old table's `.bak` plus the
+complete staged table — never a half-written live path. (The staging
+write also means the merge reads the live files while writing
+elsewhere, so no localCheckpoint materialization is needed.)
 """
 
 from __future__ import annotations
@@ -57,7 +62,18 @@ def compacted_table_upsert(table_path: str, key_cols: list[str], seq_col: str):
             )
         except AnalysisException:  # first epoch: table does not exist yet
             merged = fresh
-        # materialize off the input files before overwriting them
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_path)
+        # stage the complete new table, then swap: live -> .bak, staged
+        # -> live, drop .bak. Any crash leaves a recoverable state.
+        staged = f"{table_path}.__staged-{epoch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        jvm = spark._jvm
+        fs_path = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        backup = jvm.org.apache.hadoop.fs.Path(f"{table_path}.bak")
+        fs.delete(backup, True)
+        if fs.exists(fs_path):
+            fs.rename(fs_path, backup)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staged), fs_path)
+        fs.delete(backup, True)
 
     return upsert

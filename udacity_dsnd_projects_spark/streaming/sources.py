@@ -17,6 +17,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def have_kafka(spark: SparkSession, bootstrap_servers: str = "localhost:9092") -> bool:
+    """True when BOTH the spark-sql-kafka connector is on the classpath
+    AND a broker answers at ``bootstrap_servers`` — the same runtime
+    capability gate pattern as ``sources.formats.have_avro``. The
+    connector ships separately from Spark core and the sandbox has no
+    broker, so Kafka integration tests skip VISIBLY through this gate
+    instead of failing or silently not existing."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        return False
+    import socket
+
+    host, _, port = bootstrap_servers.partition(":")
+    try:
+        with socket.create_connection((host, int(port or 9092)), timeout=0.5):
+            return True
+    except OSError:
+        return False
+
+
 def kafka_stream(
     spark: SparkSession,
     topic: str | None = None,
