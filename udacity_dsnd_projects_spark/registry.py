@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from udacity_dsnd_projects_spark.functions import curation as _cur
 from udacity_dsnd_projects_spark.functions import dedup as _dedup
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
+from udacity_dsnd_projects_spark.functions import pipeline as _pipe
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
 from udacity_dsnd_projects_spark.functions import similarity as _sim
 from udacity_dsnd_projects_spark.functions import text as _text
@@ -202,3 +203,17 @@ register(  # vectorized face, deterministic-identical -> same oracle
 )
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, None)  # Pandas-UDF face
 register("media_feature_pipeline", _mm.media_feature_pipeline, None)  # mapInPandas
+
+# --- Pipeline extras (round 2; rotate into the window in round 3) ---------
+register("repetition_score", _pipe.repetition_score, _pipe.ORACLE_REPETITION_SCORE)
+register(
+    "ngram_contamination",
+    _pipe.ngram_contamination,
+    _pipe.ORACLE_NGRAM_CONTAMINATION,
+)
+register("hash_split", _pipe.hash_split, _pipe.ORACLE_HASH_SPLIT)
+register(
+    "stratified_sample", _pipe.stratified_sample, _pipe.ORACLE_STRATIFIED_SAMPLE
+)
+register("pii_scrub", _pipe.pii_scrub, _pipe.ORACLE_PII_SCRUB)
+register("kmeans_assign", _pipe.kmeans_assign, _pipe.ORACLE_KMEANS_ASSIGN)
