@@ -62,21 +62,12 @@ def _quality_filter(docs: DataFrame) -> DataFrame:
 MAX_CC_ITERS = 20
 
 
-def near_dup_drop_list(pairs: DataFrame) -> DataFrame:
-    """Connected components over the near-dup pair graph by min-label
-    propagation to a fixed point; returns the doc_ids to DROP (every
-    node whose component representative — the component's min doc_id —
-    is not itself). A duplicate chain A≈B≈C is one component and keeps
-    exactly A; the one-sweep drop-doc_b policy this replaces both
-    under-deleted stars (kept 2 of {1≈3, 2≈3}) and couldn't converge
-    on chains.
-
-    Scale: the loop runs over the PAIR GRAPH only — ids, never text or
-    signatures. Each iteration is one join + one groupBy of that tiny
-    frame, eagerly checkpointed so the plan doesn't deepen and the
-    upstream LSH subtree is computed exactly once. The convergence
-    probe is a count() on label changes — an action over ids, not a
-    collect of data."""
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, component) labels over the near-dup pair graph:
+    min-doc_id label propagation to a fixed point — see
+    :func:`near_dup_drop_list` for the scale rationale. Only nodes
+    that appear in some pair are labeled (isolated docs are their own
+    trivial component and are omitted, keeping the frame pair-sized)."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -102,9 +93,51 @@ def near_dup_drop_list(pairs: DataFrame) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    return labels.filter(F.col("lbl") != F.col("id")).select(
-        F.col("id").alias("doc_id")
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face: connected components over the corpus's
+    MinHash-LSH near-dup pairs — the duplicate-cluster map a dedup
+    pipeline reports before choosing representatives."""
+    return connected_components(
+        lsh_pairs_for(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     )
+
+
+ORACLE_NEAR_DUP_COMPONENTS = f"""
+WITH RECURSIVE lsh AS ({_oracle_lsh_pairs("documents")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM lsh
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM walk GROUP BY node
+"""
+
+
+def near_dup_drop_list(pairs: DataFrame) -> DataFrame:
+    """Connected components over the near-dup pair graph by min-label
+    propagation to a fixed point; returns the doc_ids to DROP (every
+    node whose component representative — the component's min doc_id —
+    is not itself). A duplicate chain A≈B≈C is one component and keeps
+    exactly A; the one-sweep drop-doc_b policy this replaces both
+    under-deleted stars (kept 2 of {1≈3, 2≈3}) and couldn't converge
+    on chains.
+
+    Scale: the loop runs over the PAIR GRAPH only — ids, never text or
+    signatures. Each iteration is one join + one groupBy of that tiny
+    frame, eagerly checkpointed so the plan doesn't deepen and the
+    upstream LSH subtree is computed exactly once. The convergence
+    probe is a count() on label changes — an action over ids, not a
+    collect of data."""
+    comp = connected_components(pairs)
+    return comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
 
 
 def curate(docs: DataFrame) -> DataFrame:

@@ -223,3 +223,73 @@ SELECT doc_id,
          (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS rolling_fp
 FROM t
 """
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf × ln(N/df)) — the
+    classic keyword/feature-extraction primitive.
+
+    Scale shape: one (doc, term) shuffle builds the term frequencies
+    with map-side combine; document frequencies re-aggregate that
+    table on term alone (the shuffle moves vocab-sized partial counts,
+    not token rows) and come back as a BROADCAST join because df is
+    vocab-sized; the corpus count N is a one-row broadcast. The final
+    per-doc top-k is the top-k-per-group window. Ties break on the
+    term string, and tfidf values with equal (tf, df) are bit-identical
+    across engines, so the ordering is deterministic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 5).alias("tfidf"),
+            F.col("rn").alias("term_rank"),
+        )
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n * 1.0 / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, ROUND(tfidf, 5) AS tfidf, term_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS term_rank
+  FROM scored
+) t WHERE term_rank <= {TFIDF_TOP_K}
+"""

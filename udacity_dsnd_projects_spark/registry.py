@@ -217,3 +217,9 @@ register(
 )
 register("pii_scrub", _pipe.pii_scrub, _pipe.ORACLE_PII_SCRUB)
 register("kmeans_assign", _pipe.kmeans_assign, _pipe.ORACLE_KMEANS_ASSIGN)
+register(
+    "near_dup_components",
+    _cur.near_dup_components,
+    _cur.ORACLE_NEAR_DUP_COMPONENTS,
+)
+register("tfidf_top_terms", _text.tfidf_top_terms, _text.ORACLE_TFIDF_TOP_TERMS)
