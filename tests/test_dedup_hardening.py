@@ -117,3 +117,12 @@ def test_embedding_lsh_recall_on_planted_dups(spark, sf_dir):
     noise_recall = sum(1 for i in ids if (i, i + 2_000_000) in pairs) / len(ids)
     assert exact_recall == 1.0, f"identical vectors missed: {exact_recall:.2f}"
     assert noise_recall >= 0.6, f"perturbed-vector recall {noise_recall:.2f}"
+
+
+def test_vectorized_minhash_equals_jvm(spark, sf_dir):
+    """The numpy MinHash kernel on the LSH hot path must be
+    bit-identical to the JVM expression face that the oracle checks."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    a = {r["doc_id"]: list(r["mh"]) for r in d.signatures_for(docs).collect()}
+    b = {r["doc_id"]: list(r["mh"]) for r in d.signatures_vectorized(docs).collect()}
+    assert a == b

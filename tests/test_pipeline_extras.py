@@ -71,3 +71,35 @@ def test_contamination_planted_benchmark_copy(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["contamination"] for r in p.contamination_for(docs).collect()}
     assert out == {5: 1.0}
+
+
+def test_resize_media_matches_numpy_downsample(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import multimodal as mm
+
+    media = mm.synthesize_media(spark, sf_dir)
+    src = {r["media_id"]: bytes(r["content"]) for r in media.filter(
+        F.col("modality") == "image").collect()}
+    out = {r["media_id"]: bytes(r["resized"]) for r in mm.resize_media(media).collect()}
+    assert set(out) == set(src)
+    for mid, data in src.items():
+        if len(data) <= mm.RESIZE_TARGET_BYTES:
+            expected = data
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            pos = (np.arange(mm.RESIZE_TARGET_BYTES) * len(data)) // mm.RESIZE_TARGET_BYTES
+            expected = arr[pos].tobytes()
+        assert out[mid] == expected
+
+
+def test_sample_frames_slices_payload(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import multimodal as mm
+
+    media = mm.synthesize_media(spark, sf_dir)
+    frames = mm.sample_frames(media).collect()
+    assert frames, "no video frames sampled"
+    src = {r["media_id"]: bytes(r["content"]) for r in media.filter(
+        F.col("modality") == "video").collect()}
+    for r in frames:
+        lo = r["frame_idx"] * mm.FRAME_BYTES
+        assert bytes(r["frame"]) == src[r["media_id"]][lo : lo + mm.FRAME_BYTES]
+        assert r["ts_ms"] == r["frame_idx"] * mm.FRAME_EVERY_MS

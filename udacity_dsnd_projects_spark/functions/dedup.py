@@ -234,6 +234,94 @@ def signatures_for(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", mh.alias("mh"))
 
 
+def signatures_vectorized(docs: DataFrame) -> DataFrame:
+    """Vectorized MinHash kernel: tokens split JVM-side, then one
+    ``mapInPandas`` stage does char-hash → shingle-hash → distinct →
+    16 permutation minima as flat numpy array passes (per Arrow batch:
+    a byte-matrix Horner loop over token chars, one ``np.unique`` for
+    per-doc distinct shingles, and ``np.minimum.reduceat`` per
+    permutation over the doc segments). Bit-identical to
+    :func:`signatures_for` — same modular arithmetic, asserted equal
+    in tests; the JVM expression face stays the oracle reference.
+
+    Scale: the corpus stays partitioned (the explicit repartition
+    decouples CPU parallelism from file layout exactly like
+    :func:`_shingled_docs`); tokens move once through Arrow; nothing
+    shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mh", T.ArrayType(T.LongType())),
+        ]
+    )
+    A = np.array(PERM_A, dtype=np.int64)
+    B = np.array(PERM_B, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "mh": pd.Series([], dtype="object")})
+                continue
+            tok_lists = pdf["toks"]
+            n_toks = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+            flat = [t for ts in tok_lists for t in ts]
+            # char-hash every token: Horner acc = (acc*31 + byte) % M
+            # over a padded byte matrix (vectorized across all tokens)
+            lens = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
+            width = int(lens.max()) if len(flat) else 0
+            mat = np.zeros((len(flat), width), dtype=np.int64)
+            for i, t in enumerate(flat):
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                # non-ASCII chars: ascii() in the JVM face hashes the
+                # code point; synthetic corpus is ASCII, but mirror it
+                if len(b) != len(t):
+                    b = np.fromiter((ord(c) for c in t), np.uint8, count=len(t))
+                mat[i, : len(t)] = b
+            th = np.zeros(len(flat), dtype=np.int64)
+            for j in range(width):
+                live = lens > j
+                th[live] = (th[live] * 31 + mat[live, j]) % HASH_MOD
+            # shingle hashes over consecutive token triples, per doc
+            doc_of_tok = np.repeat(np.arange(n), n_toks)
+            starts = np.concatenate(([0], np.cumsum(n_toks)))[:-1]
+            keep = np.ones(len(flat), dtype=bool)  # last 2 toks of each doc: no shingle
+            for off in (1, 2):
+                keep[np.minimum(starts + n_toks - off, len(flat) - 1)] = False
+            t0 = th[keep]
+            t1 = np.roll(th, -1)[keep]
+            t2 = np.roll(th, -2)[keep]
+            sh = ((t0 * SHINGLE_P + t1) % HASH_MOD * SHINGLE_P + t2) % HASH_MOD
+            doc_of_sh = doc_of_tok[keep]
+            # distinct (doc, shingle): np.unique on a fused key
+            fused = doc_of_sh * (HASH_MOD + 1) + sh
+            fused = np.unique(fused)
+            u_doc = fused // (HASH_MOD + 1)
+            u_sh = fused % (HASH_MOD + 1)
+            seg = np.concatenate(([0], np.cumsum(np.bincount(u_doc.astype(np.intp), minlength=n))))[:-1]
+            mh = np.empty((n, NUM_PERM), dtype=np.int64)
+            for p in range(NUM_PERM):
+                vals = (u_sh * A[p] + B[p]) % HASH_MOD
+                mh[:, p] = np.minimum.reduceat(vals, seg)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mh": list(mh)})
+
+    return d.mapInPandas(kernel, out_schema)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus face of :func:`signatures_for`."""
     return signatures_for(load_table(spark, "documents", sf_dir))
@@ -328,8 +416,13 @@ def oversize_buckets(bands: DataFrame) -> DataFrame:
 
 def minhash_bands_for(docs: DataFrame) -> DataFrame:
     """(doc_id, mh, band, key) exploded banding rows — the shared input
-    of :func:`lsh_pairs_for` and :func:`oversize_buckets`."""
-    sigs = signatures_for(docs)
+    of :func:`lsh_pairs_for` and :func:`oversize_buckets`. Signatures
+    come from the vectorized kernel (measured faster than the JVM
+    expression face even at test scale, and the gap widens with
+    per-row lambda-interpretation cost at corpus scale); the JVM face
+    remains the registered oracle reference and is asserted
+    bit-identical in tests."""
+    sigs = signatures_vectorized(docs)
     return sigs.select(
         "doc_id",
         "mh",

@@ -166,3 +166,145 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
 FROM documents
 GROUP BY 1
 """
+
+
+#: Frame sampling defaults: one frame per second of media time, 64
+#: payload bytes per frame.
+FRAME_EVERY_MS = 1000
+FRAME_BYTES = 64
+#: Resize default: target payload size for the byte-downsample fake.
+RESIZE_TARGET_BYTES = 256
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = FRAME_EVERY_MS,
+    frame_bytes: int = FRAME_BYTES,
+) -> DataFrame:
+    """Frame sampling for video rows — the UDTF-shaped face (one input
+    row → many frame rows) via ``mapInPandas``. A real deployment's
+    codec seeks to ``ts_ms`` and decodes; the stand-in slices the
+    payload into consecutive ``frame_bytes`` chunks (deterministic, so
+    the row counts and byte lengths are exactly oracle-checkable).
+    Frames stream out per Arrow batch — a 2-hour video never
+    materializes all its frames in one row, unlike an explode over a
+    collected frame array."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                data = bytes(content) if content is not None else b""
+                duration = int(meta["duration_ms"]) if meta is not None else 0
+                n_frames = min(duration // every_ms, max(len(data) // frame_bytes, 0))
+                for i in range(n_frames):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(data[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.filter(F.col("modality") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_bytes: int = RESIZE_TARGET_BYTES) -> DataFrame:
+    """Resize for image rows. The stand-in is a nearest-neighbor
+    DOWNSAMPLE over the payload bytes (numpy fancy-indexing at evenly
+    spaced positions) — the honest 1-D analog of image NN-resize, so
+    the plumbing (binary in → smaller binary out, vectorized batch
+    kernel, no shuffle) is real even though no pixel codec exists in
+    this container; ``register_codec`` swaps in a real resampler.
+    Payloads already at or under ``target_bytes`` pass through
+    unchanged (no upsampling)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_orig, out_res = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                out_ids.append(media_id)
+                out_orig.append(len(data))
+                if len(data) <= target_bytes:
+                    out_res.append(data)
+                else:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    pos = (np.arange(target_bytes) * len(data)) // target_bytes
+                    out_res.append(arr[pos].tobytes())
+            yield pd.DataFrame(
+                {"media_id": out_ids, "orig_bytes": out_orig, "resized": out_res}
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable rollup of :func:`sample_frames`: frames and
+    frame bytes per video. The chunking arithmetic is deterministic,
+    so DuckDB reproduces it from the source table exactly."""
+    frames = sample_frames(synthesize_media(spark, sf_dir))
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("frame_bytes"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
+ORACLE_FRAME_SAMPLE_STATS = f"""
+WITH video AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+), sized AS (
+  SELECT media_id,
+         LEAST(duration_ms // {FRAME_EVERY_MS}, n_bytes // {FRAME_BYTES}) AS n_frames
+  FROM video
+)
+SELECT media_id,
+       n_frames,
+       CAST(n_frames * {FRAME_BYTES} AS BIGINT) AS frame_bytes,
+       CAST((n_frames - 1) * {FRAME_EVERY_MS} AS INTEGER) AS last_ts_ms
+FROM sized WHERE n_frames >= 1
+"""
+
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable rollup of :func:`resize_media`: original vs
+    resized byte sizes per image (the resized payload itself is
+    asserted byte-for-byte against numpy in pytest)."""
+    resized = resize_media(synthesize_media(spark, sf_dir))
+    return resized.select(
+        "media_id",
+        "orig_bytes",
+        F.octet_length("resized").alias("resized_bytes"),
+    )
+
+
+ORACLE_MEDIA_RESIZE_STATS = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       LEAST(octet_length(encode(text)), {RESIZE_TARGET_BYTES}) AS resized_bytes
+FROM documents WHERE doc_id % 3 = 0
+"""

@@ -223,3 +223,9 @@ register(
     _cur.ORACLE_NEAR_DUP_COMPONENTS,
 )
 register("tfidf_top_terms", _text.tfidf_top_terms, _text.ORACLE_TFIDF_TOP_TERMS)
+register(
+    "frame_sample_stats", _mm.frame_sample_stats, _mm.ORACLE_FRAME_SAMPLE_STATS
+)
+register(
+    "media_resize_stats", _mm.media_resize_stats, _mm.ORACLE_MEDIA_RESIZE_STATS
+)
