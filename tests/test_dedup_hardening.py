@@ -126,3 +126,20 @@ def test_vectorized_minhash_equals_jvm(spark, sf_dir):
     a = {r["doc_id"]: list(r["mh"]) for r in d.signatures_for(docs).collect()}
     b = {r["doc_id"]: list(r["mh"]) for r in d.signatures_vectorized(docs).collect()}
     assert a == b
+
+
+def test_stop_shingle_capped_in_jaccard_index(spark):
+    """A 3-gram shared by >SHINGLE_DF_CAP docs must not create join
+    candidates (m^2 blowup) nor count toward Jaccard, while docs
+    sharing RARE shingles still pair up."""
+    common = "alpha beta gamma"  # shared stop-shingle across all docs
+    rows = [(i, f"{common} unique{i}a unique{i}b unique{i}c") for i in range(150)]
+    # one genuine near-dup pair sharing rare shingles
+    rows += [(900, "red green blue cyan magenta yellow"),
+             (901, "red green blue cyan magenta teal")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in d.jaccard_pairs_for(docs).collect()}
+    assert all(a >= 900 for a, _ in got), f"stop-shingle pairs leaked: {got}"
+    assert (900, 901) in got
+    # 6 toks -> 4 shingles each, 3 shared rare shingles: J = 3/(4+4-3)
+    assert abs(got[(900, 901)] - 0.6) < 1e-6

@@ -41,6 +41,14 @@ SHINGLE_P = 1_000_003
 JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
+#: Shingles appearing in more than this many documents are excluded
+#: from the n-gram Jaccard inverted index (and from the per-doc
+#: shingle counts, so J stays consistent). A stop-shingle ("in the
+#: of", boilerplate headers) contributes m² join rows for m sharing
+#: docs while carrying no dedup signal; at corpus scale that's the
+#: join-blowup analog of the LSH mega-bucket. Mirrored in the DuckDB
+#: oracle; at test scale max DF is ~25 so results are unchanged.
+SHINGLE_DF_CAP = 128
 #: LSH buckets larger than this are dropped before pair expansion — a
 #: hyper-common band key (boilerplate / near-constant content) would
 #: otherwise collect one m-element array and expand m² pair structs in
@@ -177,27 +185,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the SAME shuffle exchange on ``s``, which Spark's
     ReuseExchange computes once — the expensive shingle subtree runs
     one time instead of once per join side (a broadcast self-join
-    would re-evaluate it to build the hash relation)."""
-    docs = load_table(spark, "documents", sf_dir)
+    would re-evaluate it to build the hash relation).
+
+    Stop-shingles (document frequency > :data:`SHINGLE_DF_CAP`) are
+    excluded from the index AND from the per-doc shingle counts, so
+    the Jaccard estimate stays internally consistent — J is then the
+    Jaccard of the docs' RARE-shingle sets, which is the signal that
+    matters for dedup. The DF comes from a window count over the same
+    ``s`` key the join shuffles on, so the guard rides the exchange
+    the join needs anyway."""
+    return jaccard_pairs_for(load_table(spark, "documents", sf_dir))
+
+
+def jaccard_pairs_for(docs: DataFrame) -> DataFrame:
+    """See :func:`ngram_jaccard_pairs` — over an arbitrary
+    (doc_id, text) frame."""
+    from pyspark.sql import Window
+
     sh = _shingled_docs(docs)
     # explode_outer, deliberately: plain explode makes Catalyst infer a
     # `size(sh) > 0` filter and push it below the projections, inlining
     # the whole shingle expression into the Filter — the hashing would
     # run twice per row. _shingled_docs never yields an empty array, so
     # outer semantics are identical here.
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s"))
-    a, b = ex.alias("a").hint("merge"), ex.alias("b").hint("merge")
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
+    kept = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "s")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(
-            F.count("*").alias("common"),
-            F.first("a.n").alias("na"),
-            F.first("b.n").alias("nb"),
-        )
+        .agg(F.count("*").alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
@@ -208,17 +235,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD_PAIRS = f"""
 WITH docs AS ({_ORACLE_SHINGLES}),
-ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM docs),
+ex_all AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+ex AS (
+  SELECT doc_id, s FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         COUNT(*) AS common, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b,
-       ROUND(common * 1.0 / (na + nb - common), 5) AS jaccard
-FROM pairs
-WHERE common * 1.0 / (na + nb - common) > {JACCARD_THRESHOLD}
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.common * 1.0 / (sa.n + sb.n - p.common), 5) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.common * 1.0 / (sa.n + sb.n - p.common) > {JACCARD_THRESHOLD}
 """
 
 

@@ -160,3 +160,81 @@ SELECT date_trunc('hour', ts) AS hour_start, event_type,
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
+
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis over the event stream: a user converts
+    to stage k when their FIRST stage-k event is at or after their
+    first stage-(k-1) event, chained from signup → view → click →
+    purchase. The product-analytics staple (sequence detection
+    without a self-join).
+
+    Scale shape: ONE shuffle — groupBy(user) with conditional-min
+    partial aggregation compresses each user's history map-side to 4
+    timestamps; the stage flags and the 4-row unpivot are driver-free
+    column arithmetic on the aggregated frame."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    flags = firsts
+    prev = None
+    for i in range(len(FUNNEL_STAGES)):
+        cond = F.col(f"t{i}").isNotNull()
+        if prev is not None:
+            cond = cond & F.col(prev) & (F.col(f"t{i}") >= F.col(f"t{i-1}"))
+        flags = flags.withColumn(f"s{i}", cond.isNotNull() & cond)
+        prev = f"s{i}"
+    counts = flags.agg(
+        *[
+            F.sum(F.col(f"s{i}").cast("long")).alias(f"c{i}")
+            for i in range(len(FUNNEL_STAGES))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', c{i}, round(cast(c{i} as double) / cast(c0 as double), 5)"
+        for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return counts.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack_args})"
+        " AS (stage_order, stage, n_users, conversion)"
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT
+    COALESCE(t0 IS NOT NULL, FALSE) AS s0,
+    COALESCE(t0 IS NOT NULL AND t1 >= t0, FALSE) AS s1,
+    COALESCE(t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1, FALSE) AS s2,
+    COALESCE(t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 AND t3 >= t2, FALSE) AS s3
+  FROM firsts
+), counts AS (
+  SELECT SUM(CASE WHEN s0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS c3
+  FROM flags
+)
+SELECT 1 AS stage_order, 'signup' AS stage, CAST(c0 AS BIGINT) AS n_users,
+       ROUND(c0 * 1.0 / c0, 5) AS conversion FROM counts
+UNION ALL
+SELECT 2, 'view', CAST(c1 AS BIGINT), ROUND(c1 * 1.0 / c0, 5) FROM counts
+UNION ALL
+SELECT 3, 'click', CAST(c2 AS BIGINT), ROUND(c2 * 1.0 / c0, 5) FROM counts
+UNION ALL
+SELECT 4, 'purchase', CAST(c3 AS BIGINT), ROUND(c3 * 1.0 / c0, 5) FROM counts
+"""

@@ -229,3 +229,4 @@ register(
 register(
     "media_resize_stats", _mm.media_resize_stats, _mm.ORACLE_MEDIA_RESIZE_STATS
 )
+register("funnel_conversion", _an.funnel_conversion, _an.ORACLE_FUNNEL_CONVERSION)
