@@ -103,3 +103,9 @@ def test_sample_frames_slices_payload(spark, sf_dir):
         lo = r["frame_idx"] * mm.FRAME_BYTES
         assert bytes(r["frame"]) == src[r["media_id"]][lo : lo + mm.FRAME_BYTES]
         assert r["ts_ms"] == r["frame_idx"] * mm.FRAME_EVERY_MS
+
+
+def test_grouped_map_zscore_equals_window_face(spark, sf_dir):
+    a = sorted(map(str, p.lang_zscore(spark, sf_dir).collect()))
+    b = sorted(map(str, p.lang_zscore_pandas(spark, sf_dir).collect()))
+    assert a == b

@@ -310,42 +310,7 @@ def signatures_vectorized(docs: DataFrame) -> DataFrame:
                 yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                     "mh": pd.Series([], dtype="object")})
                 continue
-            tok_lists = pdf["toks"]
-            n_toks = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
-            flat = [t for ts in tok_lists for t in ts]
-            # char-hash every token: Horner acc = (acc*31 + byte) % M
-            # over a padded byte matrix (vectorized across all tokens)
-            lens = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
-            width = int(lens.max()) if len(flat) else 0
-            mat = np.zeros((len(flat), width), dtype=np.int64)
-            for i, t in enumerate(flat):
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                # non-ASCII chars: ascii() in the JVM face hashes the
-                # code point; synthetic corpus is ASCII, but mirror it
-                if len(b) != len(t):
-                    b = np.fromiter((ord(c) for c in t), np.uint8, count=len(t))
-                mat[i, : len(t)] = b
-            th = np.zeros(len(flat), dtype=np.int64)
-            for j in range(width):
-                live = lens > j
-                th[live] = (th[live] * 31 + mat[live, j]) % HASH_MOD
-            # shingle hashes over consecutive token triples, per doc
-            doc_of_tok = np.repeat(np.arange(n), n_toks)
-            starts = np.concatenate(([0], np.cumsum(n_toks)))[:-1]
-            keep = np.ones(len(flat), dtype=bool)  # last 2 toks of each doc: no shingle
-            for off in (1, 2):
-                keep[np.minimum(starts + n_toks - off, len(flat) - 1)] = False
-            t0 = th[keep]
-            t1 = np.roll(th, -1)[keep]
-            t2 = np.roll(th, -2)[keep]
-            sh = ((t0 * SHINGLE_P + t1) % HASH_MOD * SHINGLE_P + t2) % HASH_MOD
-            doc_of_sh = doc_of_tok[keep]
-            # distinct (doc, shingle): np.unique on a fused key
-            fused = doc_of_sh * (HASH_MOD + 1) + sh
-            fused = np.unique(fused)
-            u_doc = fused // (HASH_MOD + 1)
-            u_sh = fused % (HASH_MOD + 1)
-            seg = np.concatenate(([0], np.cumsum(np.bincount(u_doc.astype(np.intp), minlength=n))))[:-1]
+            u_sh, counts, seg = _np_distinct_shingles(pdf["toks"], n)
             mh = np.empty((n, NUM_PERM), dtype=np.int64)
             for p in range(NUM_PERM):
                 vals = (u_sh * A[p] + B[p]) % HASH_MOD
@@ -353,6 +318,52 @@ def signatures_vectorized(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "mh": list(mh)})
 
     return d.mapInPandas(kernel, out_schema)
+
+
+def _np_distinct_shingles(tok_lists, n: int):
+    """Shared numpy shingle kernel over one Arrow batch of token
+    lists: char-hash every token (Horner over a padded byte matrix),
+    combine consecutive triples into shingle hashes, and distinct them
+    per document. Returns ``(u_sh, counts, seg)``: the per-doc-sorted
+    distinct shingle hashes, the distinct count per doc, and the
+    segment start offsets for ``np.*.reduceat`` — identical arithmetic
+    to :func:`_shingled_docs` (asserted in tests)."""
+    import numpy as np
+
+    n_toks = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+    flat = [t for ts in tok_lists for t in ts]
+    lens = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
+    width = int(lens.max()) if len(flat) else 0
+    mat = np.zeros((len(flat), width), dtype=np.int64)
+    for i, t in enumerate(flat):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        # non-ASCII chars: ascii() in the JVM face hashes the code
+        # point; synthetic corpus is ASCII, but mirror it
+        if len(b) != len(t):
+            b = np.fromiter((ord(c) for c in t), np.uint8, count=len(t))
+        mat[i, : len(t)] = b
+    th = np.zeros(len(flat), dtype=np.int64)
+    for j in range(width):
+        live = lens > j
+        th[live] = (th[live] * 31 + mat[live, j]) % HASH_MOD
+    # shingle hashes over consecutive token triples, per doc
+    doc_of_tok = np.repeat(np.arange(n), n_toks)
+    starts = np.concatenate(([0], np.cumsum(n_toks)))[:-1]
+    keep = np.ones(len(flat), dtype=bool)  # last 2 toks per doc: no shingle
+    for off in (1, 2):
+        keep[np.minimum(starts + n_toks - off, len(flat) - 1)] = False
+    t0 = th[keep]
+    t1 = np.roll(th, -1)[keep]
+    t2 = np.roll(th, -2)[keep]
+    sh = ((t0 * SHINGLE_P + t1) % HASH_MOD * SHINGLE_P + t2) % HASH_MOD
+    doc_of_sh = doc_of_tok[keep]
+    # distinct (doc, shingle): np.unique on a fused key
+    fused = np.unique(doc_of_sh * (HASH_MOD + 1) + sh)
+    u_doc = fused // (HASH_MOD + 1)
+    u_sh = fused % (HASH_MOD + 1)
+    counts = np.bincount(u_doc.astype(np.intp), minlength=n)
+    seg = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return u_sh, counts, seg
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,18 +607,27 @@ FROM docs WHERE len(sh) > 0
 """
 
 
-def simhash_vectorized(sh: DataFrame) -> DataFrame:
-    """Vectorized SimHash kernel over a (doc_id, sh) frame: all bit
-    votes of an Arrow batch run as a handful of numpy ``bincount``
-    calls (one per output bit, summing the bit-j votes of every
-    shingle hash grouped by document) instead of 32 interpreted
-    ``aggregate`` lambdas per row. Deterministically identical to the
-    JVM expression face (tests assert equality); this is the hot-path
-    fingerprint at scale — ``mapInPandas`` keeps the corpus
-    partitioned, blobs move once through Arrow, nothing shuffles."""
+def simhash_vectorized(docs: DataFrame) -> DataFrame:
+    """Vectorized SimHash over a (doc_id, text) frame: tokens split
+    JVM-side, then ONE ``mapInPandas`` stage runs the shared numpy
+    shingle kernel (:func:`_np_distinct_shingles` — the same one
+    MinHash uses) followed by the 32 bit votes as ``add.reduceat``
+    passes over the per-doc shingle segments. No JVM lambda hashing
+    anywhere on this path, and no shuffle. Deterministically identical
+    to the JVM expression face (tests assert equality); that face
+    stays the oracle-checked reference."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
 
     out_schema = T.StructType(
         [
@@ -628,29 +648,23 @@ def simhash_vectorized(sh: DataFrame) -> DataFrame:
                     }
                 )
                 continue
-            lens = np.fromiter(
-                (len(x) for x in pdf["sh"]), dtype=np.int64, count=n
-            )
-            h = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["sh"]])
-            idx = np.repeat(np.arange(n), lens)
+            u_sh, counts, seg = _np_distinct_shingles(pdf["toks"], n)
             ones = np.empty((n, SIMHASH_BITS), dtype=np.int64)
             for j in range(SIMHASH_BITS):
                 # votes for bit j, summed per document in one pass
-                ones[:, j] = np.bincount(
-                    idx, weights=(h >> j) & 1, minlength=n
-                ).astype(np.int64)
-            bits = (2 * ones > lens[:, None]).astype(np.int64)
+                ones[:, j] = np.add.reduceat((u_sh >> j) & 1, seg)
+            bits = (2 * ones > counts[:, None]).astype(np.int64)
             fps = (bits << js).sum(axis=1)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
 
-    return sh.mapInPandas(fingerprint, out_schema)
+    return d.mapInPandas(fingerprint, out_schema)
 
 
 def simhash_fingerprints_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered face of :func:`simhash_vectorized` over the corpus.
     The JVM expression face (:func:`simhash_fingerprints`) stays the
     oracle-checked reference because it needs no Python workers."""
-    return simhash_vectorized(_shingled_docs(load_table(spark, "documents", sf_dir)))
+    return simhash_vectorized(load_table(spark, "documents", sf_dir))
 
 
 def simhash_bands_for(sigs: DataFrame) -> DataFrame:
@@ -684,7 +698,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprints come from the vectorized numpy face (~4× cheaper than
     the 32-lambda JVM expression face, which remains registered
     separately as the oracle reference — both are proven identical)."""
-    sigs = simhash_vectorized(_shingled_docs(load_table(spark, "documents", sf_dir)))
+    sigs = simhash_vectorized(load_table(spark, "documents", sf_dir))
     pairs = _bucket_pairs(simhash_bands_for(sigs), "simhash")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

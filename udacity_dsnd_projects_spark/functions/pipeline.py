@@ -426,3 +426,69 @@ def kmeans_lloyd(emb: DataFrame, k: int = KMEANS_K, n_iters: int = 5) -> DataFra
         ]
         centroids.sort()
     return assign_to_centroids(emb, centroids)
+
+
+# --------------------------------------------------------------------------
+# Per-stratum normalization (grouped-map applyInPandas face)
+# --------------------------------------------------------------------------
+def lang_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document token counts — the per-stratum
+    feature-normalization primitive. JVM face: one window over the
+    stratum key (single shuffle; avg/stddev_pop computed in the same
+    pass). Degenerate strata (zero variance) normalize to 0."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", "lang", F.size(_toks()).alias("n_tok"))
+    w = Window.partitionBy("lang")
+    mu = F.avg("n_tok").over(w)
+    sd = F.stddev_pop("n_tok").over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise((F.col("n_tok") - mu) / sd)
+    return d.select("doc_id", "lang", "n_tok", F.round(z, 5).alias("z"))
+
+
+ORACLE_LANG_ZSCORE = rf"""
+WITH d AS (
+  SELECT doc_id, lang, len({_ORACLE_TOKS}) AS n_tok FROM documents
+)
+SELECT doc_id, lang, n_tok,
+       ROUND(CASE WHEN stddev_pop(n_tok) OVER (PARTITION BY lang) = 0
+                  THEN 0.0
+                  ELSE (n_tok - avg(n_tok) OVER (PARTITION BY lang))
+                       / stddev_pop(n_tok) OVER (PARTITION BY lang)
+             END, 5) AS z
+FROM d
+"""
+
+
+def lang_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map face of :func:`lang_zscore` via ``applyInPandas``:
+    each language stratum arrives as one pandas frame and is
+    normalized with numpy. Same shuffle shape as the window face (one
+    exchange on the stratum key); the trade is JVM window arithmetic
+    vs an Arrow hop + per-group vectorized Python — worth it when the
+    per-group transform outgrows SQL (rank-gauss, winsorized scaling,
+    sklearn-style fitting). Asserted equal to the JVM face; shares its
+    oracle. Strata must fit in executor memory — the contract of every
+    grouped-map op; for heavy-tailed strata use the window face."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", "lang", F.size(_toks()).alias("n_tok"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_tok"].to_numpy(dtype=np.float64)
+        sd = x.std()  # population, ddof=0 — matches stddev_pop
+        z = np.zeros_like(x) if sd == 0 else (x - x.mean()) / sd
+        return pdf.assign(z=np.round(z, 5))
+
+    return d.groupBy("lang").applyInPandas(normalize, out_schema)

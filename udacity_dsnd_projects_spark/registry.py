@@ -230,3 +230,7 @@ register(
     "media_resize_stats", _mm.media_resize_stats, _mm.ORACLE_MEDIA_RESIZE_STATS
 )
 register("funnel_conversion", _an.funnel_conversion, _an.ORACLE_FUNNEL_CONVERSION)
+register("lang_zscore", _pipe.lang_zscore, _pipe.ORACLE_LANG_ZSCORE)
+register(  # applyInPandas grouped-map face, asserted-identical -> same oracle
+    "lang_zscore_pandas", _pipe.lang_zscore_pandas, _pipe.ORACLE_LANG_ZSCORE
+)
