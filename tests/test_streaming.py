@@ -550,3 +550,49 @@ def test_kafka_round_trip_gated(spark, tmp_path_factory):
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_corpus_quality_rollup_stream_equals_batch(spark, tmp_path_factory):
+    """Phase-4 ops are mode-agnostic like the §2 core: the curation
+    quality gate + per-language token rollup, replayed through file
+    micro-batches in complete mode, converges to the batch answer on
+    the same data."""
+    from udacity_dsnd_projects_spark.functions.curation import _quality_filter
+
+    root = tmp_path_factory.mktemp("corpus_stream")
+    path = str(root / "docs")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    # three chunks -> three micro-batches (maxFilesPerTrigger=1)
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def rollup(df):
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        return _quality_filter(df).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+        )
+
+    got_rows = run_to_memory(
+        rollup(file_stream(spark, path, schema)),
+        "corpus_rollup",
+        output_mode="complete",
+    ).collect()
+    got = {r["lang"]: (r["n_docs"], r["total_tokens"]) for r in got_rows}
+    want = {
+        r["lang"]: (r["n_docs"], r["total_tokens"])
+        for r in rollup(spark.read.schema(schema).parquet(path)).collect()
+    }
+    assert got == want and len(got) > 0
