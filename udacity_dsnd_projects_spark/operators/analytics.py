@@ -238,3 +238,99 @@ SELECT 3, 'click', CAST(c2 AS BIGINT), ROUND(c2 * 1.0 / c0, 5) FROM counts
 UNION ALL
 SELECT 4, 'purchase', CAST(c3 AS BIGINT), ROUND(c3 * 1.0 / c0, 5) FROM counts
 """
+
+
+def rolling_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-24-hour average of
+    the event value — the moving-aggregate shape a rows-based frame
+    can't express (gaps in event time must not shrink the window).
+    One shuffle on user_id; the frame is evaluated in a single sorted
+    pass per partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 5).alias("avg_24h"),
+    )
+
+
+ORACLE_ROLLING_AVG_24H = """
+SELECT event_id, user_id, ts,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+       ), 5) AS avg_24h
+FROM events
+"""
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    event; retention = the share of each cohort active again the NEXT
+    week. Two narrow shuffles (per-user first-event; distinct
+    user-weeks) and a broadcast-sized cohort join — the classic
+    product-analytics rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    # the week is emitted as an ISO string: DATE columns round-trip
+    # differently through pandas in Spark vs DuckDB (date vs midnight
+    # timestamp), strings are engine-stable
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .distinct()
+    )
+    nxt = firsts.join(
+        active,
+        (firsts["user_id"] == active["user_id"])
+        & (active["week"] == F.date_add(firsts["cohort_week"], 7)),
+        "left",
+    ).select(firsts["user_id"], "cohort_week", active["week"].alias("next_week"))
+    return (
+        nxt.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("next_week").alias("n_retained"),
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "n_users",
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double") / F.col("n_users").cast("double"), 5
+            ).alias("retention"),
+        )
+    )
+
+
+ORACLE_WEEKLY_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), nxt AS (
+  SELECT f.user_id, f.cohort_week, a.week AS next_week
+  FROM firsts f
+  LEFT JOIN active a
+    ON f.user_id = a.user_id AND a.week = f.cohort_week + INTERVAL 7 DAY
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       COUNT(*) AS n_users,
+       COUNT(next_week) AS n_retained,
+       ROUND(COUNT(next_week) * 1.0 / COUNT(*), 5) AS retention
+FROM nxt GROUP BY cohort_week
+"""

@@ -230,6 +230,8 @@ register(
     "media_resize_stats", _mm.media_resize_stats, _mm.ORACLE_MEDIA_RESIZE_STATS
 )
 register("funnel_conversion", _an.funnel_conversion, _an.ORACLE_FUNNEL_CONVERSION)
+register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
+register("weekly_retention", _an.weekly_retention, _an.ORACLE_WEEKLY_RETENTION)
 register("lang_zscore", _pipe.lang_zscore, _pipe.ORACLE_LANG_ZSCORE)
 register(  # applyInPandas grouped-map face, asserted-identical -> same oracle
     "lang_zscore_pandas", _pipe.lang_zscore_pandas, _pipe.ORACLE_LANG_ZSCORE
