@@ -143,3 +143,54 @@ def test_stop_shingle_capped_in_jaccard_index(spark):
     assert (900, 901) in got
     # 6 toks -> 4 shingles each, 3 shared rare shingles: J = 3/(4+4-3)
     assert abs(got[(900, 901)] - 0.6) < 1e-6
+
+
+def test_vectorized_shingles_equal_jvm_on_adversarial_text(spark):
+    """Property-style check of the shared numpy shingle kernel against
+    the JVM face on text the synthetic corpus never produces:
+    non-ASCII code points (> U+00FF), repeated tokens, single-char
+    tokens, long tokens, mixed whitespace."""
+    rows = [
+        (1, "héllo wörld ünïcode tökens ärë fün"),
+        (2, "中文 分词 测试 中文 分词"),
+        (3, "a b c d e f g"),
+        (4, "the the the the the"),
+        (5, "supercalifragilisticexpialidocious antidisestablishmentarianism floccinaucinihilipilification"),
+        (6, "  spaced   out\ttokens \n everywhere  "),
+        (7, "mix中en gлish日 tокens好 here中"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: list(r["mh"]) for r in d.signatures_for(docs).collect()}
+    b = {r["doc_id"]: list(r["mh"]) for r in d.signatures_vectorized(docs).collect()}
+    assert a == b
+    fa = {r["doc_id"]: r["simhash"] for r in _jvm_simhash(docs).collect()}
+    fb = {r["doc_id"]: r["simhash"] for r in d.simhash_vectorized(docs).collect()}
+    assert fa == fb
+
+
+def _jvm_simhash(docs):
+    """JVM simhash over an arbitrary frame (the registered face is
+    table-bound)."""
+    from pyspark.sql import functions as F2
+
+    sh = d._shingled_docs(docs)
+
+    def bit_vote(j):
+        vote = F2.aggregate(
+            F2.col("sh"),
+            F2.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F2.when(F2.shiftright(h, j).bitwiseAND(F2.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F2.when(vote > 0, F2.lit(1).cast("long")).otherwise(F2.lit(0).cast("long"))
+
+    bits = [bit_vote(j) for j in range(d.SIMHASH_BITS)]
+    fp = bits[0]
+    for j in range(1, d.SIMHASH_BITS):
+        fp = fp + F2.shiftleft(bits[j], j)
+    return sh.select("doc_id", fp.alias("simhash"))
+
+
+def test_cc_empty_pair_graph(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert near_dup_drop_list(empty).count() == 0

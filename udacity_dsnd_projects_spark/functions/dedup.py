@@ -337,10 +337,11 @@ def _np_distinct_shingles(tok_lists, n: int):
     mat = np.zeros((len(flat), width), dtype=np.int64)
     for i, t in enumerate(flat):
         b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        # non-ASCII chars: ascii() in the JVM face hashes the code
-        # point; synthetic corpus is ASCII, but mirror it
+        # non-ASCII chars: the JVM face hashes each character's full
+        # code point (F.ascii), so int64 here — uint8 would wrap
+        # anything past U+00FF
         if len(b) != len(t):
-            b = np.fromiter((ord(c) for c in t), np.uint8, count=len(t))
+            b = np.fromiter((ord(c) for c in t), np.int64, count=len(t))
         mat[i, : len(t)] = b
     th = np.zeros(len(flat), dtype=np.int64)
     for j in range(width):
