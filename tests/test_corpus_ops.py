@@ -1,0 +1,93 @@
+"""Behavioral tests for the corpus-structure ops (functions/corpus.py).
+Registry-oracle equivalence is covered by test_queries.py; these pin
+semantics the hash compare can't see."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.functions import corpus as c
+from udacity_dsnd_projects_spark.operators import analytics as an
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+
+def test_chunks_cover_text_exactly(spark):
+    df = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(n)),) for n in (1, 15, 16, 17, 40)],
+        ["text"],
+    )
+    out = df.select(
+        F.size(F.split("text", r"\s+")).alias("n"),
+        F.size(c._chunks(F.split("text", r"\s+"))).alias("k"),
+    ).collect()
+    for r in out:
+        assert r["k"] == math.ceil(r["n"] / c.CHUNK_W)
+
+
+def test_identical_windows_hash_equal_distinct_differ(spark):
+    words = " ".join(f"w{i}" for i in range(c.CHUNK_W))
+    df = spark.createDataFrame([(words + " " + words,), (words + " tail",)], ["text"])
+    rows = df.select(c._chunks(F.split("text", r"\s+")).alias("h")).collect()
+    two_same, one_plus_tail = rows[0]["h"], rows[1]["h"]
+    assert two_same[0] == two_same[1] == one_plus_tail[0]
+    assert one_plus_tail[1] != one_plus_tail[0]
+
+
+def test_passage_dedup_bounds_and_totals(spark, sf_dir, duck):
+    out = c.passage_dedup(spark, sf_dir).toPandas()
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(out) == n_docs
+    assert (out["n_dup_chunks"] <= out["n_chunks"]).all()
+    assert out["dup_ratio"].between(0, 1).all()
+    # at least some boilerplate exists in the synthetic corpus
+    assert out["n_dup_chunks"].sum() > 0
+
+
+def test_source_matrix_is_upper_triangle(spark, sf_dir):
+    out = c.passage_source_matrix(spark, sf_dir).toPandas()
+    assert (out["src_a"] < out["src_b"]).all()
+    assert (out["n_shared_chunks"] >= 1).all()
+
+
+def test_word_entropy_extremes(spark, sf_dir):
+    out = c.word_entropy(spark, sf_dir).toPandas()
+    assert (out["entropy"] >= 0).all()
+    # H <= ln(n_unique) (uniform bound), allowing rounding slack
+    bound = np.log(out["n_unique"].to_numpy(dtype=float)) + 1e-4
+    assert (out["entropy"].to_numpy() <= bound).all()
+    # docs with all-distinct tokens hit the bound exactly
+    allu = out[out["n_unique"] == out["n_tok"]]
+    for _, r in allu.iterrows():
+        assert abs(r["entropy"] - round(math.log(r["n_tok"]), 5)) < 1e-4
+
+
+def test_embedding_centroids_match_numpy(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).toPandas()
+    out = c.embedding_centroids(spark, sf_dir).toPandas()
+    for label, grp in emb.groupby("label"):
+        M = np.array(grp["embedding"].tolist(), dtype=np.float64)
+        want = np.round(M.mean(axis=0), 5)
+        got = (
+            out[out["label"] == label].sort_values("dim")["c"].to_numpy()
+        )
+        assert np.allclose(got, want, atol=1e-5)
+
+
+def test_decile_sizes_balanced(spark, sf_dir):
+    out = an.decile_stats(spark, sf_dir).toPandas()
+    for flag, grp in out.groupby("l_returnflag"):
+        assert sorted(grp["decile"]) == list(range(1, 11))
+        assert grp["n"].max() - grp["n"].min() <= 1
+        ordered = grp.sort_values("decile")
+        # deciles partition the price axis monotonically
+        assert (ordered["min_price"].diff().dropna() >= 0).all()
+
+
+def test_iqr_outliers_sane(spark, sf_dir):
+    out = an.iqr_outliers(spark, sf_dir).toPandas()
+    assert (out["q1"] <= out["q3"]).all()
+    assert (out["n_outliers"] <= out["n_rows"]).all()

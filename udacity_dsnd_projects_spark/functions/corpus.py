@@ -1,0 +1,268 @@
+"""Corpus-level structure operators (round-2 additions): passage-level
+dedup, source-overlap matrix, unigram entropy, and label centroids.
+
+These fill the remaining gaps of a web-scale training-data pipeline
+(reference has no analog — these extend the engine the way RefinedWeb/
+Gopher-style curation stacks extend a crawler):
+
+- ``passage_dedup`` — exact dedup at sub-document granularity. C4/
+  RefinedWeb drop *passages* repeated across the corpus (boilerplate,
+  navigation chrome, license headers) even when whole documents are
+  unique. Documents here are single-line word streams, so the passage
+  unit is a fixed ``CHUNK_W``-word window rather than a newline split;
+  the operator shape (chunk → hash → corpus-wide count → per-doc
+  rollup) is identical either way.
+- ``passage_source_matrix`` — which sources share boilerplate: the
+  source×source matrix of shared duplicated chunks. The standard
+  "which crawls/dumps overlap" diagnostic before mixing sources.
+- ``word_entropy`` — per-doc unigram Shannon entropy, the classic
+  gibberish/boilerplate quality signal complementing
+  ``pipeline.repetition_score`` (low entropy = repetitive or
+  template text).
+- ``embedding_centroids`` — per-label mean vector in long form, the
+  reduction underlying cluster profiling, nearest-class-mean
+  classification, and drift monitoring.
+
+Scale shapes (100 TB standard):
+
+- ``passage_dedup``: chunks are hashed to 32-byte md5 before any
+  exchange, so the shuffle carries (doc_id, hash), never text. Two
+  exchanges: one on chunk-hash for the corpus-wide count, one on
+  doc_id for the rollup.
+- ``passage_source_matrix``: groupBy-bucket pair generation (the
+  dedup.py pattern) — the per-hash bucket is a *source set*, bounded
+  by the number of sources, not by corpus size, so the in-row pair
+  expansion is O(sources²) worst-case regardless of data volume. No
+  self-join → the chunking subtree is evaluated once (self-joins
+  re-evaluate both sides; see memory of Catalyst self-join recompute).
+- ``word_entropy``: two exchanges with map-side combine, carrying
+  (doc_id, word, count) then (doc_id, partial-sums). The entropy
+  rewrite  H = ln n − (Σ c·ln c)/n  turns the per-word probability
+  form into plain SUMs, so the whole thing is an ordinary two-level
+  aggregation — no window, no collect_list of word histograms.
+- ``embedding_centroids``: one exchange of K×dim partial sums
+  (groupBy label with ``EMB_DIM`` avg aggregates over array slots —
+  map-side combine reduces every partition to ≤K rows before the
+  shuffle). The corpus is never exploded; the long-form output comes
+  from posexploding the K aggregated rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.functions.pipeline import _ORACLE_TOKS, _toks
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+#: Passage window: 16 words ≈ a sentence — long enough that an exact
+#: cross-doc repeat means shared boilerplate, short enough to catch
+#: partial-document duplication. (RefinedWeb operates on lines; the
+#: synthetic corpus has no newlines, so a fixed word window stands in.)
+CHUNK_W = 16
+
+#: Embedding dimensionality of the corpus (embeddings.parquet is
+#: fixed-width float[64]; validated by tests).
+EMB_DIM = 64
+
+
+def _chunks(toks: Column, w: int = CHUNK_W) -> Column:
+    """Array of md5 hashes of consecutive ``w``-word windows (the last
+    window may be shorter). Hashing happens before any shuffle so
+    downstream exchanges carry 32-byte keys, not text."""
+    return F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / w)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * w + 1, w))),
+    )
+
+
+def _oracle_chunks(w: int = CHUNK_W, toks: str = "toks") -> str:
+    return (
+        f"list_transform(range(0, CAST(ceil(len({toks}) / {w}.0) AS BIGINT)), "
+        f"i -> md5(array_to_string(list_slice({toks}, i*{w}+1, (i+1)*{w}), ' ')))"
+    )
+
+
+def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h) — one row per passage chunk, md5-hashed."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", "source", _toks().alias("t")).filter(F.size("t") >= 1)
+    # explode_outer, not explode: avoids the InferFiltersFromGenerate
+    # double-evaluation of the chunking expression (size>=1 above
+    # guarantees at least one chunk, so outer semantics are identical).
+    return d.select(
+        "doc_id", "source", F.explode_outer(_chunks(F.col("t"))).alias("h")
+    )
+
+
+# --------------------------------------------------------------------------
+# Passage-level exact dedup
+# --------------------------------------------------------------------------
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document passage-duplication report: of the doc's
+    ``CHUNK_W``-word chunks, how many also occur elsewhere in the
+    corpus (counting a chunk duplicated *within* one doc too — any
+    hash with corpus-wide multiplicity > 1). High ``dup_ratio`` docs
+    are boilerplate candidates for removal or passage-stripping."""
+    chunks = _chunk_table(spark, sf_dir)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = chunks.select("doc_id", (cnt > 1).cast("int").alias("is_dup"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 5).alias("dup_ratio"),
+        )
+    )
+
+
+ORACLE_PASSAGE_DEDUP = rf"""
+WITH d AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+  WHERE len({_ORACLE_TOKS}) >= 1
+), c AS (
+  SELECT doc_id, unnest({_oracle_chunks()}) AS h FROM d
+), w AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM c
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_chunks,
+       ROUND(count(*) FILTER (WHERE cnt > 1) * 1.0 / count(*), 5) AS dup_ratio
+FROM w GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Source-overlap matrix
+# --------------------------------------------------------------------------
+def passage_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair boilerplate overlap: for every unordered pair of
+    sources, the number of distinct passage chunks both contain.
+    GroupBy-bucket pair generation: each chunk hash aggregates its
+    distinct source set (bounded by #sources, not corpus size), pairs
+    expand inside the row, then one count rollup — no self-join, so
+    the chunking subtree runs once."""
+    chunks = _chunk_table(spark, sf_dir)
+    buckets = (
+        chunks.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = buckets.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                        lambda y: F.struct(
+                            x.alias("src_a"), y.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )
+
+
+ORACLE_PASSAGE_SOURCE_MATRIX = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_ORACLE_TOKS} AS toks FROM documents
+  WHERE len({_ORACLE_TOKS}) >= 1
+), c AS (
+  SELECT DISTINCT source, unnest({_oracle_chunks()}) AS h FROM d
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_chunks
+FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram entropy
+# --------------------------------------------------------------------------
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats), with token and
+    vocabulary counts. Uses the sum rewrite H = ln n − (Σ c·ln c)/n so
+    both aggregation levels are plain SUM/COUNT with map-side combine
+    (no per-doc histogram materialization)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", _toks().alias("t")).filter(F.size("t") >= 1)
+    words = d.select("doc_id", F.explode_outer("t").alias("w"))
+    counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_unique",
+            F.round(
+                F.log("n_tok") - F.col("clogc") / F.col("n_tok"), 5
+            ).alias("entropy"),
+        )
+    )
+
+
+ORACLE_WORD_ENTROPY = rf"""
+WITH d AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+  WHERE len({_ORACLE_TOKS}) >= 1
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM d
+), counts AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tok,
+       count(*) AS n_unique,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 5) AS entropy
+FROM counts GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Label centroids
+# --------------------------------------------------------------------------
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in long form (label, dim, c). The
+    aggregation runs as ``EMB_DIM`` avg aggregates over array slots —
+    map-side combine reduces each partition to ≤K label rows before
+    the single exchange; the corpus rows are never exploded. Long form
+    (rather than an array column) keeps the result oracle-hashable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = emb.groupBy("label").agg(
+        *[
+            F.round(F.avg(F.col("embedding")[i].cast("double")), 5).alias(f"c{i}")
+            for i in range(EMB_DIM)
+        ]
+    )
+    return cent.select(
+        "label",
+        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(EMB_DIM)])).alias(
+            "dim", "c"
+        ),
+    ).select("label", F.col("dim").cast("long").alias("dim"), "c")
+
+
+ORACLE_EMBEDDING_CENTROIDS = f"""
+SELECT label, i AS dim,
+       ROUND(avg(CAST(embedding[i + 1] AS DOUBLE)), 5) AS c
+FROM embeddings CROSS JOIN range(0, {EMB_DIM}) t(i)
+GROUP BY label, i
+"""

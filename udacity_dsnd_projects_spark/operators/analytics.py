@@ -334,3 +334,109 @@ SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
        ROUND(COUNT(next_week) * 1.0 / COUNT(*), 5) AS retention
 FROM nxt GROUP BY cohort_week
 """
+
+
+def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group price deciles: ntile(10) within each return flag,
+    then per-decile count/min/max/avg. The window partitions by the
+    group key so every flag's sort runs in parallel (no global sort);
+    the order key is made total with (orderkey, linenumber) so tile
+    assignment is deterministic. At 100 TB the same query over an
+    ungrouped column would use range partitioning (repartitionByRange)
+    instead of one window partition."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_DECILE_STATS = """
+WITH t AS (
+  SELECT l_returnflag, l_extendedprice,
+         NTILE(10) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS decile
+  FROM lineitem
+)
+SELECT l_returnflag, decile,
+       COUNT(*) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM t GROUP BY l_returnflag, decile
+"""
+
+
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per return flag: exact q1/q3 via
+    ``percentile`` (linear interpolation — same definition as DuckDB's
+    ``quantile_cont``), broadcast the 3-row fence table back onto the
+    fact, count rows outside [q1−1.5·IQR, q3+1.5·IQR]. Two exchanges
+    (quartile agg + final rollup); the fact-side join is broadcast so
+    the big table never reshuffles."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    fences = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = li.join(F.broadcast(fences), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("q1"), 4).alias("q1"),
+            F.round(F.first("q3"), 4).alias("q3"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+ORACLE_IQR_OUTLIERS = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT li.l_returnflag,
+       ROUND(ANY_VALUE(f.q1), 4) AS q1,
+       ROUND(ANY_VALUE(f.q3), 4) AS q3,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) FILTER (
+         WHERE li.l_extendedprice < f.lo OR li.l_extendedprice > f.hi
+       ) AS BIGINT) AS n_outliers
+FROM lineitem li JOIN f USING (l_returnflag)
+GROUP BY li.l_returnflag
+"""

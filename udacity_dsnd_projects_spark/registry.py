@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from udacity_dsnd_projects_spark.functions import corpus as _corp
 from udacity_dsnd_projects_spark.functions import curation as _cur
 from udacity_dsnd_projects_spark.functions import dedup as _dedup
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
@@ -236,3 +237,17 @@ register("lang_zscore", _pipe.lang_zscore, _pipe.ORACLE_LANG_ZSCORE)
 register(  # applyInPandas grouped-map face, asserted-identical -> same oracle
     "lang_zscore_pandas", _pipe.lang_zscore_pandas, _pipe.ORACLE_LANG_ZSCORE
 )
+register("passage_dedup", _corp.passage_dedup, _corp.ORACLE_PASSAGE_DEDUP)
+register(
+    "passage_source_matrix",
+    _corp.passage_source_matrix,
+    _corp.ORACLE_PASSAGE_SOURCE_MATRIX,
+)
+register("word_entropy", _corp.word_entropy, _corp.ORACLE_WORD_ENTROPY)
+register(
+    "embedding_centroids",
+    _corp.embedding_centroids,
+    _corp.ORACLE_EMBEDDING_CENTROIDS,
+)
+register("decile_stats", _an.decile_stats, _an.ORACLE_DECILE_STATS)
+register("iqr_outliers", _an.iqr_outliers, _an.ORACLE_IQR_OUTLIERS)
