@@ -244,3 +244,65 @@ SELECT l_returnflag,
        ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# Profiling additions: fixed-width histogram + correlation panel
+# --------------------------------------------------------------------------
+#: Histogram bin width for order totals (dollars).
+HIST_WIDTH = 50_000
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the profiling primitive
+    behind distribution dashboards and drift checks. Binning is a pure
+    projection (floor-divide), so the whole thing is one map-side-
+    combined aggregation; bins, not rows, cross the shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * HIST_WIDTH).cast("double").alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = f"""
+SELECT CAST(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / {HIST_WIDTH}) * {HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def corr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlations and covariance between the
+    lineitem measures — the feature-relationship profile a pipeline
+    computes before modeling. All four moments aggregate in ONE pass
+    over the fact (Spark and DuckDB both use the textbook sample
+    estimators); only 3 group rows cross the shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 5).alias("corr_price_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 5).alias("cov_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_CORR_PANEL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+       ROUND(corr(l_extendedprice, l_discount), 5) AS corr_price_disc,
+       ROUND(covar_samp(l_quantity, l_discount), 5) AS cov_qty_disc,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -234,3 +234,130 @@ FROM (
 ) t
 WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join — engine addition
+# --------------------------------------------------------------------------
+#: Incident window length and the bucketing granularity of the range
+#: join. BUCKET == window length, so every interval spans at most two
+#: buckets and replication is O(2) per interval regardless of data.
+INTERVAL_WINDOW_SEC = 900
+
+
+def interval_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key), bucketed: every ``error`` event
+    opens a 15-minute incident window; count the events (and distinct
+    users) landing inside each window.
+
+    Spark plans a naive ``a.ts BETWEEN b.start AND b.end`` join as a
+    broadcast-nested-loop — O(n·m) compares. The scalable form turns
+    the range predicate into an equi key: bucket time into
+    window-length cells, replicate each interval to the (≤2) cells it
+    overlaps, hash-join points to intervals on the cell id, then apply
+    the exact range filter. Each point lives in exactly one cell, so no
+    post-join dedup is needed. One shuffle on the cell id; interval
+    replication is bounded by ceil(len/bucket)+1, independent of rows.
+    Skewed cells (event bursts) are AQE's skew-join case."""
+    ev = load_table(spark, "events", sf_dir)
+    w = INTERVAL_WINDOW_SEC
+    pts = ev.select(
+        "event_id", "user_id", F.col("ts").alias("pts"),
+        F.floor(F.unix_timestamp("ts") / w).alias("cell"),
+    )
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("start"),
+            # exact micros-preserving end: unix_timestamp() truncates to
+            # seconds, which would shave the window edge vs the oracle
+            F.timestamp_add("SECOND", F.lit(w), F.col("ts")).alias("end"),
+        )
+        .select(
+            "window_id", "start", "end",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp("start") / w),
+                    F.floor(F.unix_timestamp("end") / w),
+                )
+            ).alias("cell"),
+        )
+    )
+    hits = pts.join(iv, "cell").filter(
+        (F.col("pts") > F.col("start"))
+        & (F.col("pts") <= F.col("end"))
+        & (F.col("event_id") != F.col("window_id"))
+    )
+    return hits.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_INTERVAL_COUNT_JOIN = f"""
+WITH iv AS (
+  SELECT event_id AS window_id, ts AS t0,
+         ts + INTERVAL {INTERVAL_WINDOW_SEC} SECOND AS t1
+  FROM events WHERE event_type = 'error'
+)
+SELECT iv.window_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN iv
+  ON e.ts > iv.t0 AND e.ts <= iv.t1 AND e.event_id <> iv.window_id
+GROUP BY iv.window_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy join (entity resolution) — engine addition
+# --------------------------------------------------------------------------
+#: Max edit distance for two part names to count as variants.
+FUZZY_MAX_DIST = 4
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: near-identical name pairs by
+    Levenshtein distance, with blocking. All-pairs edit distance is
+    O(n²) and never runs at scale; the standard shape is (1) reduce to
+    DISTINCT names — cardinality of the vocabulary, not the table —
+    then (2) compare only within a blocking key (here the name's last
+    token, e.g. 'widget' for 'red widget') so each block is vocabulary-
+    sized. GroupBy-bucket pair generation keeps it one shuffle with no
+    self-join (the distinct subtree evaluates once); the in-row pair
+    expansion is bounded by block size, not corpus size."""
+    part = load_table(spark, "part", sf_dir)
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.groupBy(
+        F.element_at(F.split("name", " "), -1).alias("block")
+    ).agg(F.array_sort(F.collect_set("name")).alias("ns"))
+    pairs = blocked.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ns"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                        lambda y: F.struct(x.alias("name_a"), y.alias("name_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.name_a", "p.name_b")
+    return pairs.select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    ).filter(F.col("dist") <= FUZZY_MAX_DIST)
+
+
+ORACLE_FUZZY_NAME_PAIRS = f"""
+WITH n AS (
+  SELECT DISTINCT p_name AS name,
+         split_part(p_name, ' ', -1) AS block
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""

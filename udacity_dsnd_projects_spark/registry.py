@@ -251,3 +251,11 @@ register(
 )
 register("decile_stats", _an.decile_stats, _an.ORACLE_DECILE_STATS)
 register("iqr_outliers", _an.iqr_outliers, _an.ORACLE_IQR_OUTLIERS)
+register(
+    "interval_count_join",
+    _joins.interval_count_join,
+    _joins.ORACLE_INTERVAL_COUNT_JOIN,
+)
+register("fuzzy_name_pairs", _joins.fuzzy_name_pairs, _joins.ORACLE_FUZZY_NAME_PAIRS)
+register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
+register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
