@@ -596,3 +596,51 @@ def test_corpus_quality_rollup_stream_equals_batch(spark, tmp_path_factory):
         for r in rollup(spark.read.schema(schema).parquet(path)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path_factory):
+    """Stream-stream time-interval join (points into 15-min incident
+    windows) emits exactly the batch join's match set when the corpus
+    is replayed through micro-batches."""
+    from udacity_dsnd_projects_spark.streaming.interval import (
+        interval_join_batch_reference,
+        interval_join_stream,
+    )
+
+    root = tmp_path_factory.mktemp("ivj")
+    path = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=5 * i, seconds=i % 3),
+            "error" if i % 7 == 0 else "click",
+            i % 4,
+        )
+        for i in range(60)
+    ]
+    for b in range(3):
+        spark.createDataFrame(rows[b * 20 : (b + 1) * 20], schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    got_rows = run_to_memory(
+        interval_join_stream(file_stream(spark, path, schema)),
+        "ivj_join",
+        output_mode="append",
+    ).collect()
+    got = {(r["window_id"], r["event_id"], r["user_id"]) for r in got_rows}
+
+    batch = interval_join_batch_reference(spark.read.schema(schema).parquet(path))
+    want = {(r["window_id"], r["event_id"], r["user_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
