@@ -26,7 +26,7 @@ No Python in the data path, no collect of data rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_dsnd_projects_spark.functions.dedup import (
@@ -224,4 +224,77 @@ SELECT lang,
        ROUND(AVG(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4)
          AS avg_tokens
 FROM survivors GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Blended quality gate
+# --------------------------------------------------------------------------
+#: Keep the top KEEP_PCT fraction per language by blended score.
+QUALITY_KEEP_PCT = 0.5
+
+
+def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-blended curation gate: rank documents within each
+    language by a blend of quality signals (length entropy proxy:
+    distinct-token ratio, and raw length), keep the top half. Real
+    curation stacks blend many signals exactly this way —
+    percent_rank makes heterogeneous signals commensurable, the
+    per-stratum window keeps every language represented (a global cut
+    would drop whole low-resource languages). One shuffle on the
+    stratum key; both ranks compute in the same window pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+    ).filter(F.col("n_tok") >= 1)
+    w_len = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    w_ttr = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.percent_rank().over(w_len).alias("pr_len"),
+        F.percent_rank().over(w_ttr).alias("pr_ttr"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.round((F.col("pr_len") + F.col("pr_ttr")) / 2, 6).alias("blend"),
+    )
+    w_blend = Window.partitionBy("lang").orderBy(
+        F.col("blend").desc(), F.col("doc_id")
+    )
+    n = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_blend))
+        .withColumn("n_lang", F.count(F.lit(1)).over(n))
+        .filter(F.col("rk") <= F.ceil(F.col("n_lang") * QUALITY_KEEP_PCT))
+        .select("doc_id", "lang", "blend")
+    )
+
+
+ORACLE_QUALITY_TOPK_FILTER = rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
+         len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+           * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ttr
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1
+), scored AS (
+  SELECT doc_id, lang,
+         ROUND((percent_rank() OVER (PARTITION BY lang ORDER BY n_tok, doc_id)
+              + percent_rank() OVER (PARTITION BY lang ORDER BY ttr, doc_id))
+              / 2, 6) AS blend
+  FROM d
+), ranked AS (
+  SELECT doc_id, lang, blend,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY blend DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+)
+SELECT doc_id, lang, blend FROM ranked
+WHERE rk <= CEIL(n_lang * {QUALITY_KEEP_PCT})
 """

@@ -181,3 +181,56 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sessions GROUP BY user_id, session_id
 """
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction: turn each
+    user's event log into validity intervals — one row per state
+    change, carrying valid_from/valid_to and a current-row flag. The
+    warehouse primitive behind dimension history tables and
+    point-in-time joins. One shuffle (the per-key window); lead()
+    closes each interval with the next change's timestamp, the last
+    interval stays open (valid_to NULL). Only rows where the tracked
+    value actually changes survive — consecutive duplicates collapse
+    via a lag() compare in the same window pass."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+"""

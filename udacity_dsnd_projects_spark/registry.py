@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from udacity_dsnd_projects_spark.functions import corpus as _corp
 from udacity_dsnd_projects_spark.functions import curation as _cur
 from udacity_dsnd_projects_spark.functions import dedup as _dedup
+from udacity_dsnd_projects_spark.functions import graph as _graph
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
 from udacity_dsnd_projects_spark.functions import pipeline as _pipe
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
@@ -259,3 +260,8 @@ register(
 register("fuzzy_name_pairs", _joins.fuzzy_name_pairs, _joins.ORACLE_FUZZY_NAME_PAIRS)
 register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
 register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
+register("scd2_history", _win.scd2_history, _win.ORACLE_SCD2_HISTORY)
+register(
+    "quality_topk_filter", _cur.quality_topk_filter, _cur.ORACLE_QUALITY_TOPK_FILTER
+)
+register("trade_pagerank", _graph.trade_pagerank, _graph.ORACLE_TRADE_PAGERANK)
