@@ -46,6 +46,11 @@ HEADLINE: tuple[str, ...] = (
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "quality_score",
+    # round-2 scale additions: bucketed range join, iterative graph,
+    # sub-document dedup
+    "interval_count_join",
+    "trade_pagerank",
+    "passage_dedup",
 )
 
 

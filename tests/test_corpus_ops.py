@@ -91,3 +91,33 @@ def test_iqr_outliers_sane(spark, sf_dir):
     out = an.iqr_outliers(spark, sf_dir).toPandas()
     assert (out["q1"] <= out["q3"]).all()
     assert (out["n_outliers"] <= out["n_rows"]).all()
+
+
+def test_perplexity_uniform_text_is_low(spark, sf_dir):
+    """A doc made of one repeated character pair has near-zero
+    cross-entropy; corpus docs land strictly higher."""
+    from udacity_dsnd_projects_spark.functions import text as t
+
+    out = t.perplexity_score(spark, sf_dir).toPandas()
+    assert (out["cross_entropy"] >= 0).all()
+    assert out["cross_entropy"].mean() > 0.5  # natural text ≠ degenerate
+    # n_bigrams = len(s) - 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    lens = docs.set_index("doc_id")["text"].str.strip().str.lower().str.len()
+    merged = out.set_index("doc_id").join(lens.rename("L"))
+    assert (merged["n_bigrams"] == merged["L"] - 1).all()
+
+
+def test_chunks_empty_and_single_token(spark):
+    from udacity_dsnd_projects_spark.functions import corpus as c
+
+    df = spark.createDataFrame([("solo",), ("a b",)], ["text"])
+    rows = df.select(c._chunks(F.split("text", r"\s+")).alias("h")).collect()
+    assert len(rows[0]["h"]) == 1 and len(rows[1]["h"]) == 1
+
+
+def test_pagerank_empty_edges(spark):
+    from udacity_dsnd_projects_spark.functions import graph as g
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert g.pagerank(edges).count() == 0

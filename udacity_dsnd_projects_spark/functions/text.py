@@ -293,3 +293,76 @@ SELECT doc_id, term, tf, df, ROUND(tfidf, 5) AS tfidf, term_rank FROM (
   FROM scored
 ) t WHERE term_rank <= {TFIDF_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Char-bigram LM perplexity (CCNet-style quality signal)
+# --------------------------------------------------------------------------
+def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a char-bigram language model
+    trained on the corpus itself — the CCNet/KenLM quality-filtering
+    shape (docs that look unlike the corpus score high). Two passes:
+    (1) global bigram + unigram-context counts (one shuffle each with
+    map-side combine, vocabulary-sized results), (2) score every doc
+    by joining its bigrams to the broadcast log-prob table and
+    averaging -ln P(c2|c1). The model is vocabulary-sized (~1k rows
+    here; ≤65k for full byte bigrams) so the score join is always a
+    broadcast — the corpus shuffles only for the per-doc rollup.
+    Every bigram seen at scoring time exists in the model (same
+    corpus), so no smoothing term muddies the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s")).filter(
+        F.length("s") >= 2
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 1),
+                lambda i: F.col("s").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c_bg").alias("c_ctx")
+    )
+    model = counts.select(
+        "bg",
+        F.substring("bg", 1, 1).alias("c1"),
+        "c_bg",
+    ).join(ctx, "c1").select(
+        "bg", (F.log("c_ctx") - F.log("c_bg")).alias("nll")
+    )
+    return (
+        grams.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 5).alias("cross_entropy"),
+        )
+    )
+
+
+ORACLE_PERPLEXITY_SCORE = r"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS s FROM documents
+  WHERE len(lower(trim(text))) >= 2
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(s)), i -> s[i:i+1])) AS bg
+  FROM d
+), counts AS (
+  SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY bg
+), ctx AS (
+  SELECT bg[1:1] AS c1, SUM(c_bg) AS c_ctx FROM counts GROUP BY 1
+), model AS (
+  SELECT bg, ln(c_ctx) - ln(c_bg) AS nll
+  FROM counts JOIN ctx ON counts.bg[1:1] = ctx.c1
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(m.nll), 5) AS cross_entropy
+FROM grams g JOIN model m USING (bg)
+GROUP BY g.doc_id
+"""

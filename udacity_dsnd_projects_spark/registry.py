@@ -265,3 +265,4 @@ register(
     "quality_topk_filter", _cur.quality_topk_filter, _cur.ORACLE_QUALITY_TOPK_FILTER
 )
 register("trade_pagerank", _graph.trade_pagerank, _graph.ORACLE_TRADE_PAGERANK)
+register("perplexity_score", _text.perplexity_score, _text.ORACLE_PERPLEXITY_SCORE)
