@@ -111,3 +111,20 @@ def test_zorder_shrinks_file_stat_rectangles(spark, sf_dir, tmp_path):
     z_area = float(np.mean(_file_stat_areas(zpath, "l_partkey", "l_suppkey")))
     r_area = float(np.mean(_file_stat_areas(rpath, "l_partkey", "l_suppkey")))
     assert z_area < 0.5 * r_area, (z_area, r_area)
+
+
+def test_zorder_frame_has_no_global_window(spark, sf_dir):
+    """The rank-scaling must not use a partition-less Window (that
+    funnels the whole dataset through one task). approxQuantile +
+    Bucketizer keeps the plan window-free and fully parallel."""
+    from udacity_dsnd_projects_spark.sources.layout import zorder_frame
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    plan = (
+        zorder_frame(li, "l_partkey", "l_suppkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -64,11 +64,15 @@ def zorder_value(col_a, col_b, bits: int = 16):
     bit i of each input lands at bit 2i / 2i+1 of the output, so
     sorting by the result clusters rows that are close in BOTH
     dimensions. Inputs must already be scaled to [0, 2^bits) ints —
-    compose with ntile/percent_rank for arbitrary distributions.
+    compose with rank bucketing for arbitrary distributions.
 
     Pure integer column expression (shift/mask/or, fully codegen'd):
     interleaving doubles the bit positions by iterated masked shifts
-    (the classic 'spread bits' sequence), no UDF."""
+    (the classic 'spread bits' sequence), no UDF. The mask sequence
+    spreads a 16-bit lane, so wider inputs would silently corrupt the
+    interleave — rejected up front."""
+    if not 1 <= bits <= 16:
+        raise ValueError(f"zorder_value interleaves at most 16-bit inputs, got bits={bits}")
     from pyspark.sql import functions as F
 
     def spread(c):
@@ -84,47 +88,69 @@ def zorder_value(col_a, col_b, bits: int = 16):
     return spread(col_a).bitwiseOR(F.shiftleft(spread(col_b), 1))
 
 
+def zorder_frame(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 10
+) -> DataFrame:
+    """``df`` plus a ``__z`` Morton-code column over the rank spaces of
+    the two cluster columns. Rank scaling is approxQuantile boundaries
+    (one-pass Greenwald-Khanna sketch over both columns; the driver
+    receives 2^bits-1 floats per column — metadata, not data) followed
+    by ``ml.feature.Bucketizer`` (binary-search bucket lookup, JVM
+    side). No window function anywhere: the naive
+    ``percent_rank().over(Window.orderBy(col))`` formulation funnels
+    the whole dataset through ONE task per dimension, which is exactly
+    the shape that cannot survive 100 TB."""
+    from pyspark.ml.feature import Bucketizer
+    from pyspark.sql import functions as F
+
+    n_ranks = 1 << bits
+    probs = [i / n_ranks for i in range(1, n_ranks)]
+    bounds_a, bounds_b = df.stat.approxQuantile(
+        [col_a, col_b], probs, 1.0 / (4 * n_ranks)
+    )
+
+    def splits(bounds: list[float]) -> list[float]:
+        # Bucketizer needs strictly increasing splits; heavy hitters
+        # produce duplicate quantiles — dedupe (bucket ids stay
+        # rank-ordered, resolution degrades only where mass piles up)
+        return [float("-inf"), *sorted(set(bounds)), float("inf")]
+
+    scaled = Bucketizer(
+        splitsArray=[splits(bounds_a), splits(bounds_b)],
+        inputCols=[col_a, col_b],
+        outputCols=["__ra", "__rb"],
+        handleInvalid="keep",
+    ).transform(df)
+    return scaled.select(
+        "*",
+        zorder_value(
+            F.col("__ra").cast("long"), F.col("__rb").cast("long"), bits
+        ).alias("__z"),
+    ).drop("__ra", "__rb")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     col_a: str,
     col_b: str,
     n_files: int = 16,
-    bits: int = 16,
+    bits: int = 10,
     mode: str = "overwrite",
 ) -> None:
-    """Z-order-clustered parquet: rank-scale the two cluster columns,
-    Morton-interleave, range-partition + sort by the z-value, write.
-    Each output file then covers a small rectangle of the (a, b) space
-    instead of a full-width stripe, so parquet row-group min/max stats
-    prune reads for predicates on EITHER column — the lakehouse
-    multi-dimensional clustering trick (Delta/Iceberg OPTIMIZE ZORDER)
-    expressed as a plain Spark write.
-
-    The rank scaling uses percent_rank windows over each column — one
-    sort-shuffle per dimension at write time; at 100 TB you'd swap in
-    approx quantile boundaries to avoid the global sorts, which
-    changes nothing downstream."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    lim = (1 << bits) - 1
-    scaled = df.select(
-        "*",
-        F.floor(
-            F.percent_rank().over(Window.orderBy(col_a)) * lim
-        ).alias("__ra"),
-        F.floor(
-            F.percent_rank().over(Window.orderBy(col_b)) * lim
-        ).alias("__rb"),
-    )
-    z = scaled.select(
-        "*", zorder_value(F.col("__ra"), F.col("__rb"), bits).alias("__z")
-    )
+    """Z-order-clustered parquet: rank-scale the two cluster columns
+    (see :func:`zorder_frame` — approx-quantile bucketing, no global
+    sort), Morton-interleave, range-partition + sort by the z-value,
+    write. Each output file then covers a small rectangle of the
+    (a, b) space instead of a full-width stripe, so parquet row-group
+    min/max stats prune reads for predicates on EITHER column — the
+    lakehouse multi-dimensional clustering trick (Delta/Iceberg
+    OPTIMIZE ZORDER) expressed as a plain Spark write."""
     (
-        z.repartitionByRange(n_files, "__z")
+        zorder_frame(df, col_a, col_b, bits)
+        .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__ra", "__rb", "__z")
+        .drop("__z")
         .write.mode(mode)
         .parquet(path)
     )
