@@ -64,6 +64,22 @@ def test_cc_drop_list_chain_and_star(spark):
     assert sorted(r.doc_id for r in near_dup_drop_list(star).collect()) == [2, 3]
 
 
+def test_cc_long_path_converges_within_cap(spark):
+    """Pointer doubling: a 300-edge path graph (diameter 300 >> the
+    20-round cap) must still converge — plain min-label propagation
+    would need ~300 rounds and previously returned silently-wrong
+    labels; the shortcut step makes rounds O(log2 diameter)."""
+    from udacity_dsnd_projects_spark.functions.curation import connected_components
+
+    n = 300
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    ).coalesce(4)
+    comp = connected_components(path).collect()
+    assert len(comp) == n + 1
+    assert {r.component for r in comp} == {0}
+
+
 def test_minhash_lsh_recall_on_planted_near_dups(spark, sf_dir):
     """Plant a near-duplicate of every 5th document (one middle token
     replaced) and measure LSH recall on long docs. Pins NUM_PERM=16 /

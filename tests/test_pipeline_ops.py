@@ -67,8 +67,9 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
         r.l_returnflag: r.approx_parts
         for r in approx_count_distinct(spark, sf_dir).collect()
     }
+    # HLL++ configured at rsd=0.02 — 5% is a 2.5-sigma bound
     for k, v in exact.items():
-        assert abs(approx[k] - v) / v < 0.1
+        assert abs(approx[k] - v) / v < 0.05, (k, approx[k], v)
 
 
 def test_pandas_simhash_equals_jvm_simhash(spark, sf_dir):

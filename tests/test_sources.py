@@ -122,3 +122,81 @@ def test_avro_round_trip_if_available(spark):
     df = spark.range(10).select(avro_encode(F.col("id")).alias("a"))
     back = df.select(avro_decode(F.col("a"), schema_json).alias("id"))
     assert [r.id for r in back.collect()] == list(range(10))
+
+
+def _have_embedded_derby(spark) -> bool:
+    """Derby ships in Spark's jars (for the Hive metastore), giving an
+    embedded JDBC database with zero external services."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        return True
+    except Exception:
+        return False
+
+
+def test_jdbc_incremental_poll_round_trip(spark, tmp_path):
+    """S2 — a REAL JDBC round-trip against embedded Derby: bulk-load a
+    stations-shaped table, then poll it with incremental_predicate and
+    assert the Kafka Connect ``mode=incrementing`` contract (reference
+    producers/connector.py:39-43): each poll returns only rows with a
+    STRICTLY greater incrementing column, polls never overlap, and the
+    union of polls is exactly the table."""
+    if not _have_embedded_derby(spark):
+        pytest.skip("no embedded Derby driver on the classpath (skip reason: "
+                    "JDBC round-trip needs org.apache.derby.jdbc.EmbeddedDriver)")
+    url = f"jdbc:derby:{tmp_path}/stationsdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [(i, f"station_{i}", i % 3 == 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "stop_id INT, station_name STRING, red BOOLEAN")
+    df.write.format("jdbc").option("url", url).option("dbtable", "stations").options(
+        **props
+    ).save()
+
+    # full scan
+    full_reader, _ = jdbc_scan(spark, url, "stations", properties=props)
+    assert full_reader.load().count() == 40
+
+    # incremental polls: batch 1 from -1, batch 2 from batch-1 max.
+    # Spark's JDBC writer creates quoted (case-sensitive) identifiers
+    # in Derby, so the pushed-down predicate must quote them too.
+    col = '"stop_id"'
+    last_max = -1
+    seen: list[int] = []
+    for _ in range(3):
+        reader, opts = jdbc_scan(
+            spark,
+            url,
+            "stations",
+            predicate=incremental_predicate(col, last_max)
+            + f" AND {col} <= " + str(last_max + 15),  # batch.max.rows analog
+            properties=props,
+        )
+        assert f"{col} > {last_max}" in opts["dbtable"]  # pushed into the query
+        batch = [r.stop_id for r in reader.load().collect()]
+        assert all(s > last_max for s in batch)  # strictly increasing
+        assert not set(batch) & set(seen)  # no overlap between polls
+        seen += batch
+        if batch:
+            last_max = max(batch)
+    assert sorted(seen) == list(range(40))  # polls tile the table exactly
+
+
+def test_jdbc_partitioned_read_parallelism(spark, tmp_path):
+    """S2 — partitionColumn/bounds split the scan into parallel range
+    queries: the only way a JDBC read scales past one connection."""
+    if not _have_embedded_derby(spark):
+        pytest.skip("no embedded Derby driver on the classpath")
+    url = f"jdbc:derby:{tmp_path}/pardb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    spark.range(100).selectExpr("CAST(id AS INT) AS stop_id").write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "seq").options(**props).save()
+    reader, _ = jdbc_scan(
+        spark, url, "seq",
+        partition_column="stop_id", num_partitions=4,
+        lower_bound=0, upper_bound=100,
+        properties=props,
+    )
+    loaded = reader.load()
+    assert loaded.rdd.getNumPartitions() == 4
+    assert loaded.count() == 100

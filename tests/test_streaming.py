@@ -465,6 +465,36 @@ def test_compacted_table_sink(spark, tmp_path_factory):
     assert got[0] == (100, "new_0")
 
 
+def test_compacted_table_sink_crash_recovery(spark, tmp_path):
+    """T7 — a crash between rename(live -> .bak) and rename(staged ->
+    live) leaves .bak as the only copy. The next epoch must restore it
+    and merge, NOT treat the missing live path as a first epoch (which
+    would drop all prior keys and then delete the backup)."""
+    import os
+
+    from udacity_dsnd_projects_spark.streaming.sinks import compacted_table_upsert
+
+    table = str(tmp_path / "table")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    up = compacted_table_upsert(table, ["k"], "seq")
+    up(spark.createDataFrame([(k, 1, f"old_{k}") for k in range(5)], schema), 0)
+
+    # simulate the mid-swap crash: live renamed away, backup is the
+    # only copy (exactly the state after the first rename of epoch 1)
+    os.rename(table, f"{table}.bak")
+    up(spark.createDataFrame([(9, 1, "only_9")], schema), 1)
+
+    got = {r["k"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert got == {0: "old_0", 1: "old_1", 2: "old_2", 3: "old_3", 4: "old_4", 9: "only_9"}
+    assert not os.path.exists(f"{table}.bak")
+
+
 def test_faust_station_table_stream_equals_batch(spark, tmp_path_factory):
     """§3.3 — Faust transform + last-write-wins table: streamed upserts
     converge to the batch latest-per-key answer."""

@@ -55,19 +55,29 @@ def _quality_filter(docs: DataFrame) -> DataFrame:
     )
 
 
-#: Min-label propagation iteration cap. Convergence takes ≤ the pair
-#: graph's diameter; near-dup components are shallow (chains of
-#: re-posted boilerplate), so 20 covers pathological corpora and the
-#: loop exits early the first pass nothing changes.
+#: Min-label propagation iteration cap. With the pointer-doubling
+#: shortcut each round, convergence takes O(log2 diameter) rounds, so
+#: 20 covers diameters up to ~2^20 — effectively unreachable for any
+#: real pair graph. Hitting the cap unconverged raises rather than
+#: returning silently-wrong labels (they would diverge from the
+#: recursive-CTE oracle and leave >1 survivor per component).
 MAX_CC_ITERS = 20
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:
     """(doc_id, component) labels over the near-dup pair graph:
-    min-doc_id label propagation to a fixed point — see
-    :func:`near_dup_drop_list` for the scale rationale. Only nodes
+    min-doc_id label propagation with pointer-doubling shortcuts
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    see :func:`near_dup_drop_list` for the scale rationale. Only nodes
     that appear in some pair are labeled (isolated docs are their own
-    trivial component and are omitted, keeping the frame pair-sized)."""
+    trivial component and are omitted, keeping the frame pair-sized).
+
+    Each round does (1) neighbor propagation: take the min label over
+    each node's neighborhood, then (2) shortcutting: replace every
+    label with its OWN current label (labels are node ids, so one
+    self-join follows the pointer one hop). Step 2 squares the
+    propagation distance per round — a path graph of diameter D
+    converges in O(log2 D) rounds instead of D."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -79,10 +89,24 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         nbr = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("lbl")
         )
-        new = (
+        prop = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: lbl <- min(lbl, labels[lbl]). A label is
+        # always a node id present in prop, but left+coalesce keeps the
+        # step total even mid-convergence.
+        new = (
+            prop.alias("a")
+            .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.lbl"), F.coalesce(F.col("b.lbl"), F.col("a.lbl"))
+                ).alias("lbl"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -93,6 +117,11 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixed point in {MAX_CC_ITERS} rounds "
+            "(pair graph diameter > 2^20 — check the input for pathology)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component"))
 
 

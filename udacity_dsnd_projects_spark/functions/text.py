@@ -309,21 +309,33 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; ≤65k for full byte bigrams) so the score join is always a
     broadcast — the corpus shuffles only for the per-doc rollup.
     Every bigram seen at scoring time exists in the model (same
-    corpus), so no smoothing term muddies the oracle."""
+    corpus), so no smoothing term muddies the oracle.
+
+    The explode feeds BOTH the model aggregation and the scoring join,
+    so the shared subtree is reduced to per-doc bigram COUNTS first
+    (one shuffle, frame size = docs x distinct-bigrams-per-doc, far
+    smaller than the raw gram stream) and checkpointed — evaluated
+    once, and the scoring join then moves counts, not repeated
+    grams."""
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s")).filter(
         F.length("s") >= 2
     )
-    grams = d.select(
-        "doc_id",
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(1), F.length("s") - 1),
-                lambda i: F.col("s").substr(i, F.lit(2)),
-            )
-        ).alias("bg"),
+    doc_grams = (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 1),
+                    lambda i: F.col("s").substr(i, F.lit(2)),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    counts = doc_grams.groupBy("bg").agg(F.sum("n").alias("c_bg"))
     ctx = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("c_bg").alias("c_ctx")
     )
@@ -335,11 +347,13 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bg", (F.log("c_ctx") - F.log("c_bg")).alias("nll")
     )
     return (
-        grams.join(F.broadcast(model), "bg")
+        doc_grams.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("nll"), 5).alias("cross_entropy"),
+            F.sum("n").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 5).alias(
+                "cross_entropy"
+            ),
         )
     )
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 
 def latest_per_key(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
@@ -54,26 +53,49 @@ def compacted_table_upsert(table_path: str, key_cols: list[str], seq_col: str):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hadoop_path = jvm.org.apache.hadoop.fs.Path
+        live = hadoop_path(table_path)
+        backup = hadoop_path(f"{table_path}.bak")
+        fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+
+        # Crash recovery BEFORE reading: a prior epoch that died between
+        # rename(live -> .bak) and rename(staged -> live) leaves the
+        # backup as the ONLY copy of the compacted table. Treating that
+        # as "first epoch" would rebuild from the current batch alone
+        # and the later delete(backup) would destroy all prior state.
+        if not fs.exists(live) and fs.exists(backup):
+            if not fs.rename(backup, live):
+                raise IOError(
+                    f"upsert recovery: restore {table_path}.bak -> live failed"
+                )
+
         fresh = latest_per_key(batch_df, key_cols, seq_col)
-        try:
+        if fs.exists(live):
             current = spark.read.parquet(table_path)
             merged = latest_per_key(
                 current.unionByName(fresh.select(current.columns)), key_cols, seq_col
             )
-        except AnalysisException:  # first epoch: table does not exist yet
+        else:  # genuinely first epoch
             merged = fresh
-        # stage the complete new table, then swap: live -> .bak, staged
-        # -> live, drop .bak. Any crash leaves a recoverable state.
-        staged = f"{table_path}.__staged-{epoch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        jvm = spark._jvm
-        fs_path = jvm.org.apache.hadoop.fs.Path(table_path)
-        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        backup = jvm.org.apache.hadoop.fs.Path(f"{table_path}.bak")
+
+        # Stage the complete new table, then swap: live -> .bak, staged
+        # -> live, drop .bak. Renames are checked — a failed rename
+        # aborts with the previous table (or its .bak) intact, and the
+        # recovery block above heals the half-swapped state next epoch.
+        staged_str = f"{table_path}.__staged-{epoch_id}"
+        staged = hadoop_path(staged_str)
+        fs.delete(staged, True)  # stale stage dir from a crashed attempt
+        merged.write.mode("overwrite").parquet(staged_str)
         fs.delete(backup, True)
-        if fs.exists(fs_path):
-            fs.rename(fs_path, backup)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(staged), fs_path)
+        if fs.exists(live):
+            if not fs.rename(live, backup):
+                fs.delete(staged, True)
+                raise IOError(f"upsert swap: rename live -> {table_path}.bak failed")
+        if not fs.rename(staged, live):
+            if fs.exists(backup):  # put the old table back
+                fs.rename(backup, live)
+            raise IOError(f"upsert swap: rename staged -> {table_path} failed")
         fs.delete(backup, True)
 
     return upsert
