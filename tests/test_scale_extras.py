@@ -128,3 +128,36 @@ def test_zorder_frame_has_no_global_window(spark, sf_dir):
     )
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def _win_specs(df) -> list[str]:
+    """All windowspecdefinition(...) argument lists in the executed plan."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+def test_decile_stats_windows_are_bucket_partitioned(spark, sf_dir):
+    """decile_stats must not sort the fact table through a window
+    partitioned only by the 3-value return flag (ntile's shape): every
+    window in the plan must partition by (group, __rank_bkt) so the
+    sort spreads over groups x buckets tasks."""
+    from udacity_dsnd_projects_spark.operators import analytics as an
+
+    df = an.decile_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, plan
+    specs = _win_specs(df)
+    assert specs and all("__rank_bkt" in s for s in specs), specs
+
+
+def test_quality_topk_windows_are_bucket_partitioned(spark, sf_dir):
+    """Same guarantee for the three rankings in quality_topk_filter:
+    no lang-only window partitions (a handful of strata = a handful of
+    sort tasks); every window partitions by (lang, __rank_bkt)."""
+    df = cur.quality_topk_filter(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan, plan
+    specs = _win_specs(df)
+    assert specs and all("__rank_bkt" in s for s in specs), specs

@@ -200,3 +200,26 @@ def test_jdbc_partitioned_read_parallelism(spark, tmp_path):
     loaded = reader.load()
     assert loaded.rdd.getNumPartitions() == 4
     assert loaded.count() == 100
+
+
+def test_load_table_ts_type_matches_driver_session(spark, sf_dir):
+    """The corpus writes `ts` as parquet timestamp[us] with
+    isAdjustedToUTC=false, which Spark 4 (inferTimestampNTZ on, pinned
+    in session.get_spark) surfaces as TIMESTAMP_NTZ on a raw scan —
+    the exact type the driver's CORRECTNESS session sees. The
+    catalog.load_table choke point must normalize it to session-zoned
+    TimestampType so epoch arithmetic (unix_millis, cast long, range
+    frames) stays legal everywhere downstream."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert isinstance(raw.schema["ts"].dataType, TimestampNTZType), (
+        "raw scan type drifted from the driver session's TIMESTAMP_NTZ — "
+        f"got {raw.schema['ts'].dataType}"
+    )
+    df = load_table(spark, "events", sf_dir)
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    # and epoch arithmetic is legal post-normalization (would raise
+    # CAST_WITHOUT_SUGGESTION on NTZ)
+    df.select(F.unix_millis("ts"), F.col("ts").cast("long")).limit(1).collect()
+

@@ -265,13 +265,25 @@ QUALITY_KEEP_PCT = 0.5
 
 def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-blended curation gate: rank documents within each
-    language by a blend of quality signals (length entropy proxy:
-    distinct-token ratio, and raw length), keep the top half. Real
-    curation stacks blend many signals exactly this way —
-    percent_rank makes heterogeneous signals commensurable, the
-    per-stratum window keeps every language represented (a global cut
-    would drop whole low-resource languages). One shuffle on the
-    stratum key; both ranks compute in the same window pass."""
+    language by a blend of quality signals (length, and an entropy
+    proxy: distinct-token ratio), keep the top half. Real curation
+    stacks blend many signals exactly this way — percent_rank makes
+    heterogeneous signals commensurable, the per-stratum cut keeps
+    every language represented (a global cut would drop whole
+    low-resource languages).
+
+    NOT implemented with ``lang``-partitioned windows: a handful of
+    language strata would funnel the whole corpus through a handful of
+    sort tasks, three times. Each of the three rankings (length, TTR,
+    blend) instead uses
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    — approxQuantile range buckets → strata × buckets parallel window
+    partitions → broadcast offsets — which reproduces
+    ``percent_rank``/``row_number`` bit-for-bit (doc_id tie-breaks make
+    every order total, so rank == row_number) while staying parallel at
+    any corpus size."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = docs.select(
@@ -280,28 +292,27 @@ def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tok"),
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
     ).filter(F.col("n_tok") >= 1)
-    w_len = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
-    w_ttr = Window.partitionBy("lang").orderBy("ttr", "doc_id")
-    scored = d.select(
+    r1 = exact_group_rank(
+        d, ["lang"], "n_tok", ["doc_id"], rank_col="rk_len", count_col="n_lang"
+    )
+    r2 = exact_group_rank(r1, ["lang"], "ttr", ["doc_id"], rank_col="rk_ttr")
+    # percent_rank = (rank - 1) / (n - 1); 0.0 for single-row strata
+    denom = F.col("n_lang") - 1
+    pr = lambda rk: F.when(  # noqa: E731
+        denom > 0, (F.col(rk) - 1) / denom
+    ).otherwise(F.lit(0.0))
+    scored = r2.select(
         "doc_id",
         "lang",
-        F.percent_rank().over(w_len).alias("pr_len"),
-        F.percent_rank().over(w_ttr).alias("pr_ttr"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.round((F.col("pr_len") + F.col("pr_ttr")) / 2, 6).alias("blend"),
+        "n_lang",
+        F.round((pr("rk_len") + pr("rk_ttr")) / 2, 6).alias("blend"),
     )
-    w_blend = Window.partitionBy("lang").orderBy(
-        F.col("blend").desc(), F.col("doc_id")
+    r3 = exact_group_rank(
+        scored, ["lang"], "blend", ["doc_id"], descending=True, rank_col="rk_blend"
     )
-    n = Window.partitionBy("lang")
-    return (
-        scored.withColumn("rk", F.row_number().over(w_blend))
-        .withColumn("n_lang", F.count(F.lit(1)).over(n))
-        .filter(F.col("rk") <= F.ceil(F.col("n_lang") * QUALITY_KEEP_PCT))
-        .select("doc_id", "lang", "blend")
-    )
+    return r3.filter(
+        F.col("rk_blend") <= F.ceil(F.col("n_lang") * QUALITY_KEEP_PCT)
+    ).select("doc_id", "lang", "blend")
 
 
 ORACLE_QUALITY_TOPK_FILTER = rf"""

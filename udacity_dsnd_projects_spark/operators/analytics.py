@@ -337,22 +337,39 @@ FROM nxt GROUP BY cohort_week
 
 
 def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group price deciles: ntile(10) within each return flag,
-    then per-decile count/min/max/avg. The window partitions by the
-    group key so every flag's sort runs in parallel (no global sort);
-    the order key is made total with (orderkey, linenumber) so tile
-    assignment is deterministic. At 100 TB the same query over an
-    ungrouped column would use range partitioning (repartitionByRange)
-    instead of one window partition."""
-    from pyspark.sql import Window
+    """Per-group price deciles (NTILE(10) semantics, bit-exact) then
+    per-decile count/min/max/avg.
 
-    li = load_table(spark, "lineitem", sf_dir)
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    NOT implemented as ``ntile(10) over (partition by l_returnflag
+    order by ...)``: l_returnflag has 3 values, so that window funnels
+    the whole fact table through 3 sort tasks — the plan that cannot
+    survive 100 TB. Instead the exact rank comes from
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    (approxQuantile range-buckets → groups × buckets parallel window
+    partitions → broadcast bucket offsets) and the tile from the closed
+    -form NTILE reconstruction — identical output, no few-task sort.
+    The order key is made total with (orderkey, linenumber) so tile
+    assignment is deterministic."""
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_rank,
+        ntile_from_rank,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = exact_group_rank(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        rank_col="rk",
+        count_col="n_grp",
     )
     return (
-        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("rk"), F.col("n_grp"), 10)
+        )
         .groupBy("l_returnflag", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

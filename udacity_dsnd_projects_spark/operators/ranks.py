@@ -1,0 +1,125 @@
+"""Distributed exact ranking — the scale-safe replacement for
+``rank``/``ntile``/``percent_rank`` windows partitioned by a
+low-cardinality key.
+
+``Window.partitionBy(group).orderBy(keys)`` funnels every group through
+ONE task: a 3-value group key means the whole table sorts on 3 cores no
+matter how many executors exist. The distributed fix is the
+range-partition + offset shape (the same idea behind TeraSort and
+Spark's own ``rangepartitioning`` sort):
+
+1. ``approxQuantile`` boundaries on the primary order column — one
+   Greenwald-Khanna sketch pass; the driver receives ~``n_buckets``
+   floats (metadata, not data);
+2. ``ml.feature.Bucketizer`` assigns each row a contiguous value-range
+   bucket (equal order-column values always share a bucket, so bucket
+   boundaries respect any total order that starts with that column);
+3. per-(group, bucket) counts → driver (groups × buckets rows),
+   prefix-summed into bucket start offsets per group;
+4. ``row_number()`` over ``Window.partitionBy(group, bucket)`` — now
+   groups × buckets parallel window partitions — plus the broadcast
+   offset = the exact global rank of the row within its group.
+
+Exactness does NOT depend on quantile accuracy: skewed boundaries only
+unbalance bucket sizes, never reorder rows. At 100 TB the input should
+be persisted by the caller (the helper scans it three times: sketch,
+counts, final); everything driver-side stays metadata-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BKT = "__rank_bkt"
+
+
+def exact_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str],
+    *,
+    descending: bool = False,
+    n_buckets: int = 64,
+    relative_error: float | None = None,
+    rank_col: str = "rk",
+    count_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus ``rank_col`` = the exact 1-based rank of each row
+    within its ``group_cols`` group under the total order
+    ``(order_col [DESC], *tiebreak_cols ASC)`` — equivalent to
+    ``row_number() over (partition by group order by ...)`` but with
+    groups × ``n_buckets`` parallel sort partitions instead of one task
+    per group. ``count_col``, if given, additionally carries the group
+    row count (for percent_rank/ntile denominators) without a second
+    window pass.
+
+    ``order_col`` must be numeric and non-null (Bucketizer
+    ``handleInvalid="error"`` fails loudly otherwise); ties in
+    ``order_col`` must be broken to a total order by ``tiebreak_cols``.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(order_col, probs, err)
+    splits = [float("-inf"), *sorted({float(b) for b in bounds}), float("inf")]
+
+    bucketed = Bucketizer(
+        splits=splits, inputCol=order_col, outputCol=_BKT, handleInvalid="error"
+    ).transform(df)
+
+    # groups × buckets rows — metadata-sized at any data scale
+    counts = (
+        bucketed.groupBy(*group_cols, _BKT).agg(F.count(F.lit(1)).alias("__c")).collect()
+    )
+    per_group: dict[tuple, list[tuple[float, int]]] = {}
+    for r in counts:
+        key = tuple(r[c] for c in group_cols)
+        per_group.setdefault(key, []).append((r[_BKT], r["__c"]))
+    rows = []
+    for key, buckets in per_group.items():
+        buckets.sort(key=lambda t: t[0], reverse=descending)
+        total = sum(c for _, c in buckets)
+        acc = 0
+        for bkt, c in buckets:
+            rows.append((*key, float(bkt), acc, total))
+            acc += c
+
+    schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField(_BKT, T.DoubleType()),
+            T.StructField("__off", T.LongType()),
+            T.StructField("__n", T.LongType()),
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(rows, schema)
+
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    order += [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols, _BKT).orderBy(*order)
+    out = (
+        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(w)).cast("long"))
+    )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.col("__n"))
+    return out.drop(_BKT, "__off", "__n")
+
+
+def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
+    """SQL ``NTILE(k)`` reconstructed from an exact rank and the group
+    size: the first ``n % k`` tiles get ``n // k + 1`` rows, the rest
+    ``n // k`` — bit-for-bit the window function's assignment, computed
+    without the single-task-per-group window."""
+    q = F.floor(n / k)  # base tile size
+    rem = n % k  # tiles that get one extra row
+    head = rem * (q + F.lit(1))  # rows covered by the bigger tiles
+    return (
+        F.when(rank <= head, F.ceil(rank / (q + F.lit(1))))
+        .otherwise(rem + F.ceil((rank - head) / q))
+        .cast("long")
+    )

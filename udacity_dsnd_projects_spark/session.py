@@ -42,6 +42,11 @@ def get_spark(
         # corpus events.parquet stores TIMESTAMP(NANOS); read as long
         # (converted to TimestampType in sources.catalog.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pin timestamp-affecting confs so local sessions see the exact
+        # ts type the driver's CORRECTNESS session sees (NTZ from
+        # timestamp[us] parquet; normalized in catalog.load_table)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER"):  # not under spark-submit
