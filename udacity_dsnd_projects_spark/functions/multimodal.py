@@ -138,11 +138,58 @@ def extract_features(media: DataFrame, batch_target_rows: int = 1024) -> DataFra
 
 
 def media_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end: synthesize → extract → project features with byte
-    stats. Registered rows-only (the mapInPandas stage is not SQL);
-    the deterministic parts (n_bytes) are asserted against the oracle
-    in :func:`media_byte_stats`."""
+    """End-to-end: synthesize → extract → full feature arrays. This
+    array-returning face is for library users and pytest; the
+    registry exposes :func:`media_feature_summary` (scalar columns
+    only) because array cells crash the driver's row canonicalizer."""
     return extract_features(synthesize_media(spark, sf_dir))
+
+
+def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-safe projection of the full pipeline: scalar columns
+    only, with the feature array folded to a checksum sum. The fake
+    decode is deterministic byte math over an ASCII corpus (byte ==
+    codepoint, asserted in pytest), so the checksum is exactly
+    reproducible in the DuckDB oracle — a full value verdict for the
+    whole synthesize → mapInPandas → fold chain, not just rows-only."""
+    feats = media_feature_pipeline(spark, sf_dir)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 5
+        ).alias("feature_sum"),
+    )
+
+
+#: Reproduces _fake_decode's 8 features from the source text in SQL:
+#: [n, first_byte, last_byte, sum(bytes) % 997, min, max,
+#:  frac(bytes > 127), width-or-sample-rate] — byte values come from
+#: per-char codepoints, valid because the corpus is pure ASCII (the
+#: pipeline itself handles arbitrary bytes; only the oracle leans on
+#: the fixture's ASCII-ness, and pytest asserts that assumption).
+ORACLE_MEDIA_FEATURE_SUMMARY = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1))) AS bs,
+         CAST(n_chars % 640 AS INTEGER) AS width
+  FROM documents
+)
+SELECT media_id, modality, CAST(n AS BIGINT) AS n_bytes,
+       ROUND(CASE WHEN n = 0 THEN 0.0 ELSE
+         CAST(n AS DOUBLE) + bs[1] + bs[n] + (list_sum(bs) % 997)
+         + list_min(bs) + list_max(bs)
+         + CAST(len(list_filter(bs, x -> x > 127)) AS DOUBLE) / n
+         + (CASE WHEN width = 0 THEN 16000 ELSE width END)
+       END, 5) AS feature_sum
+FROM b
+"""
 
 
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

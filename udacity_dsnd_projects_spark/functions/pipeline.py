@@ -492,3 +492,61 @@ def lang_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf.assign(z=np.round(z, 5))
 
     return d.groupBy("lang").applyInPandas(normalize, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (round-4 addition)
+# --------------------------------------------------------------------------
+#: Token budget per packed training sequence/bin.
+SEQ_PACK_BUDGET = 2048
+
+
+def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: documents stream in doc_id
+    order within each language and fill fixed token-budget bins — the
+    batch-prep step that turns a shuffled corpus into dense
+    fixed-length training sequences. ``bin`` is the budget bucket the
+    document STARTS in (``floor(tokens_before / budget)``), so bins are
+    contiguous, deterministic, and independent of partitioning.
+
+    The running token count is
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_cumsum`
+    — the distributed prefix-sum (quantile buckets + driver-folded
+    partial sums + parallel per-bucket windows), NOT
+    ``sum() over (partition by lang order by doc_id)``, which would
+    drag the whole corpus through one task per language."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_cumsum
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", "lang", F.size(_toks()).cast("long").alias("n_tok")
+    )
+    c = exact_group_cumsum(
+        d, ["lang"], "doc_id", [], "n_tok", cumsum_col="cum_tok"
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "cum_tok",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / F.lit(float(SEQ_PACK_BUDGET)))
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+ORACLE_SEQ_PACK_BINS = rf"""
+WITH d AS (
+  SELECT doc_id, lang, len({_ORACLE_TOKS}) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM d
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok,
+       CAST(FLOOR((cum_tok - n_tok) / {SEQ_PACK_BUDGET}.0) AS BIGINT) AS bin
+FROM c
+"""

@@ -335,8 +335,10 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast query matrix with one numpy matmul per Arrow
     batch (``mapInPandas``). Semantically identical to the JVM
     expression path (tests assert so); wins when vectors are wide or
-    k is large. Not oracle-registered — the JVM face covers
-    correctness."""
+    k is large. The raw matmul scores stream out of the UDF and the
+    5-digit rounding happens JVM-side with ``F.round`` — the same
+    rounding path every oracle-green sibling uses, so the DuckDB
+    oracle (:data:`ORACLE_COSINE_SCORES`) compares bit-stable."""
     import numpy as np
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -372,7 +374,7 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": [qid for _ in range(n) for qid in qi],
                     "vec_id": pdf["vec_id"].repeat(len(qi)).to_numpy(),
-                    "cosine": [round(c, 5) for row in cos for c in row],
+                    "cosine": cos.ravel(),
                 }
             )
 
@@ -380,4 +382,30 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding")
         .mapInPandas(score, out_schema)
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            # + 0.0 collapses IEEE negative zero (round(-1e-7) = -0.0)
+            # so both engines emit one canonical zero
+            (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
+        )
     )
+
+
+ORACLE_COSINE_SCORES = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id,
+       ROUND(
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q) + 1),
+                       i -> q.q[i] * e.v[i])), (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.q, x -> x * x)),
+                             (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)),
+                               (acc, x) -> acc + x))), 5) + 0.0 AS cosine
+FROM e JOIN q ON e.vec_id <> q.query_id
+"""

@@ -1,0 +1,168 @@
+"""Web-corpus URL operators (round-4 additions): canonical-URL
+normalization and URL-level dedup — the other table-stakes web-crawl
+curation op next to content dedup (crawl frontiers and WARC indexes
+dedupe by canonical URL before any text is even fetched).
+
+The corpus has no URL column, so — like
+:func:`~udacity_dsnd_projects_spark.functions.multimodal.synthesize_media`
+— a deterministic URL is synthesized per document, built to exercise
+every normalization rule: mixed-case scheme/host, a ``www.`` prefix,
+default ports (``:80``/``:443``) vs a real port (``:8080``), tracking
+query parameters (``utm_*``, ``ref``), optional leading ``id`` param,
+trailing slashes, and fragments. Normalization is a pure
+``regexp_replace`` chain — JVM-side, whole-stage-codegen'd, no UDF —
+and every pattern avoids lookarounds so the same rules run under both
+Java regex (Spark) and RE2 (the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+#: Tracking query parameters stripped by normalization.
+TRACKING_PARAMS = "utm_[a-z]+|ref|fbclid|gclid"
+
+
+def synthesize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) — deterministic synthetic raw URLs. The residues
+    (mod 2/3/4/5/6) drive every messy-URL variant, so distinct doc_ids
+    produce colliding canonical forms — real dedup work, not a no-op."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, "HTTP").otherwise("https")
+    port = (
+        F.when(did % 4 == 0, F.when(did % 2 == 0, ":80").otherwise(":443"))
+        .when(did % 4 == 1, ":8080")
+        .otherwise("")
+    )
+    id_param = F.when(did % 6 == 0, "").otherwise(
+        F.concat(F.lit("id="), (did % 5).cast("string"), F.lit("&"))
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://WWW.Example.COM"),
+        port,
+        F.lit("/docs/"),
+        (did % 3).cast("string"),
+        F.when(did % 5 == 0, "/").otherwise(""),
+        F.lit("?"),
+        id_param,
+        F.lit("utm_source=feed&utm_campaign=c"),
+        (did % 3).cast("string"),
+        F.lit("&ref=rss#sec"),
+        (did % 4).cast("string"),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def normalize_url(u: Column) -> Column:
+    """Canonical URL: drop fragment → lowercase scheme://host[:port] →
+    strip ``www.`` → strip scheme-default ports → strip tracking query
+    params (fixing up ``?``/``&`` seams) → strip trailing slashes.
+    Path case is preserved (paths are case-sensitive; only the
+    authority section is case-insensitive per RFC 3986)."""
+    # fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme + authority (everything before the first '/'
+    # after '//'); the path/query tail is untouched
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^[^/]*//[^/]*", 0)),
+        F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?].*)?$", "$1$2")
+    # tracking params: '&p=v' anywhere, then a leading '?p=v&' (promote
+    # the next param), then a lone '?p=v' tail
+    u = F.regexp_replace(u, rf"&(?:{TRACKING_PARAMS})=[^&]*", "")
+    u = F.regexp_replace(u, rf"\?(?:{TRACKING_PARAMS})=[^&]*&", "?")
+    u = F.regexp_replace(u, rf"\?(?:{TRACKING_PARAMS})=[^&]*$", "")
+    # trailing slash (before '?' or at end); dangling '?'
+    u = F.regexp_replace(u, r"/\?", "?")
+    u = F.regexp_replace(u, r"/$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    return u
+
+
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document raw → canonical URL. Pure projection: one scan, no
+    shuffle, all regexp chains inside whole-stage codegen."""
+    return synthesize_urls(spark, sf_dir).select(
+        "doc_id", "url", normalize_url(F.col("url")).alias("canon_url")
+    )
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: group by canonical URL, keep the lowest doc_id
+    (stable winner), count the duplicates. One shuffle on the
+    canonical string; at crawl scale the groupBy key would be
+    ``xxhash64(canon_url)`` to keep exchanges narrow — here the string
+    key stays so the output is human-readable."""
+    return (
+        url_normalize(spark, sf_dir)
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+_ORACLE_RAW_URL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+  || '://WWW.Example.COM'
+  || CASE WHEN doc_id % 4 = 0
+          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+          WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+  || '/docs/' || CAST(doc_id % 3 AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+  || '?'
+  || CASE WHEN doc_id % 6 = 0 THEN ''
+          ELSE 'id=' || CAST(doc_id % 5 AS VARCHAR) || '&' END
+  || 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+  || '&ref=rss#sec' || CAST(doc_id % 4 AS VARCHAR)
+"""
+
+#: The same normalization chain in DuckDB RE2 (\\1 backrefs, explicit
+#: 'g' flag — DuckDB replaces only the first match by default).
+_ORACLE_CANON = rf"""
+  regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(u, '^[^/]*//[^/]*'))
+          || regexp_replace(u, '^[^/]*//[^/]*', ''),
+        '^(https?://)www\.', '\1'),
+      '^(http://[^/:?]+):80([/?].*)?$', '\1\2'),
+    '^(https://[^/:?]+):443([/?].*)?$', '\1\2'),
+    '&(?:{TRACKING_PARAMS})=[^&]*', '', 'g'),
+    '\?(?:{TRACKING_PARAMS})=[^&]*&', '?'),
+    '\?(?:{TRACKING_PARAMS})=[^&]*$', ''),
+  '/\?', '?'), '/$', '')
+"""
+
+ORACLE_URL_NORMALIZE = rf"""
+WITH raw AS (
+  SELECT doc_id, {_ORACLE_RAW_URL} AS url FROM documents
+), defrag AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw
+)
+SELECT doc_id, url,
+       regexp_replace({_ORACLE_CANON}, '\?$', '') AS canon_url
+FROM defrag
+"""
+
+ORACLE_URL_DEDUP = rf"""
+WITH raw AS (
+  SELECT doc_id, {_ORACLE_RAW_URL} AS url FROM documents
+), defrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), canon AS (
+  SELECT doc_id, regexp_replace({_ORACLE_CANON}, '\?$', '') AS canon_url
+  FROM defrag
+)
+SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM canon GROUP BY canon_url
+"""

@@ -110,6 +110,71 @@ def exact_group_rank(
     return out.drop(_BKT, "__off", "__n")
 
 
+def exact_group_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str],
+    value_col: str,
+    *,
+    n_buckets: int = 64,
+    relative_error: float | None = None,
+    cumsum_col: str = "cumsum",
+) -> DataFrame:
+    """``df`` plus ``cumsum_col`` = the exact running sum of
+    ``value_col`` within each group under the total order
+    ``(order_col, *tiebreak_cols)`` — ``sum(value) over (partition by
+    group order by ... rows unbounded preceding)`` without funneling
+    each group through one task. Same bucket-and-offset shape as
+    :func:`exact_group_rank`: the driver folds per-(group, bucket)
+    partial sums (metadata-sized) into bucket start offsets; the
+    running sum inside each bucket is a parallel window. Intended for
+    integral values (the driver-side fold reorders additions; integer
+    sums are order-independent, float sums are not)."""
+    from pyspark.ml.feature import Bucketizer
+
+    err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(order_col, probs, err)
+    splits = [float("-inf"), *sorted({float(b) for b in bounds}), float("inf")]
+    bucketed = Bucketizer(
+        splits=splits, inputCol=order_col, outputCol=_BKT, handleInvalid="error"
+    ).transform(df)
+
+    partials = (
+        bucketed.groupBy(*group_cols, _BKT).agg(F.sum(value_col).alias("__s")).collect()
+    )
+    per_group: dict[tuple, list[tuple[float, int]]] = {}
+    for r in partials:
+        key = tuple(r[c] for c in group_cols)
+        per_group.setdefault(key, []).append((r[_BKT], r["__s"]))
+    rows = []
+    for key, buckets in per_group.items():
+        buckets.sort(key=lambda t: t[0])
+        acc = 0
+        for bkt, s in buckets:
+            rows.append((*key, float(bkt), acc))
+            acc += s
+    schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [T.StructField(_BKT, T.DoubleType()), T.StructField("__off", T.LongType())]
+    )
+    offsets = df.sparkSession.createDataFrame(rows, schema)
+
+    w = (
+        Window.partitionBy(*group_cols, _BKT)
+        .orderBy(F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
+        .withColumn(
+            cumsum_col, (F.col("__off") + F.sum(value_col).over(w)).cast("long")
+        )
+        .drop(_BKT, "__off")
+    )
+
+
 def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
     """SQL ``NTILE(k)`` reconstructed from an exact rank and the group
     size: the first ``n % k`` tiles get ``n // k + 1`` rows, the rest
