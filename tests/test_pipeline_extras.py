@@ -135,3 +135,57 @@ def test_media_feature_summary_matches_python_fold(spark, sf_dir):
         expect = round(sum(arr[r["media_id"]]["feature"]), 5)
         assert r["feature_sum"] == expect, (r, expect)
         assert r["n_bytes"] == arr[r["media_id"]]["n_bytes"]
+
+
+def test_quantize_embedding_matches_numpy(spark, sf_dir):
+    """Element-wise check of the full code arrays against numpy (the
+    registered face only ships the checksum fold)."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        _as_double,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    lo, hi, codes = quantize_embedding(F.col("v"))
+    rows = emb.select("vec_id", "v", codes.alias("codes")).limit(50).collect()
+    for r in rows:
+        v = np.array(r["v"], dtype=np.float64)
+        lo_, hi_ = v.min(), v.max()
+        if hi_ > lo_:
+            expect = np.floor((v - lo_) / ((hi_ - lo_) / 255.0) + 0.5).astype(int)
+        else:
+            expect = np.zeros(len(v), dtype=int)
+        assert list(expect) == list(r["codes"]), r["vec_id"]
+        assert max(r["codes"]) <= 255 and min(r["codes"]) >= 0
+
+
+def test_shard_assign_deals_equal_shards(spark, sf_dir):
+    """Round-robin over the shuffled order: shard sizes differ by at
+    most 1, positions tile 0..size-1, and the mapping is deterministic
+    across reruns."""
+    from udacity_dsnd_projects_spark.functions.pipeline import N_SHARDS, shard_assign
+
+    a = shard_assign(spark, sf_dir).toPandas().sort_values("doc_id")
+    sizes = a.groupby("shard")["doc_id"].count()
+    assert len(sizes) == min(N_SHARDS, len(a))
+    assert sizes.max() - sizes.min() <= 1
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    b = shard_assign(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert (a["shard"].to_numpy() == b["shard"].to_numpy()).all()
+
+
+def test_shard_assign_plan_is_bucket_partitioned(spark, sf_dir):
+    """The global total-order rank must come from bucketed windows,
+    not one row_number window over everything."""
+    import re
+
+    from udacity_dsnd_projects_spark.functions.pipeline import shard_assign
+
+    plan = (
+        shard_assign(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__rank_bkt" in s for s in specs), specs

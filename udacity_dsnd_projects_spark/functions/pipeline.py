@@ -550,3 +550,111 @@ SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(FLOOR((cum_tok - n_tok) / {SEQ_PACK_BUDGET}.0) AS BIGINT) AS bin
 FROM c
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + sharding (round-4 addition)
+# --------------------------------------------------------------------------
+#: Number of output shards for the training-order shuffle.
+N_SHARDS = 16
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: order documents by a
+    pseudo-random-but-reproducible sort key (the first 60 bits of
+    ``md5(doc_id)``), then deal them round-robin into ``N_SHARDS``
+    equal shards with a within-shard position — the
+    shuffle-then-shard step every epoch-based training pipeline runs,
+    with bit-identical output on every rerun (no RNG state).
+
+    The global rank comes from
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    with NO group key: this is a distributed total-order sort
+    (range-bucket the sort key, rank within buckets in parallel, add
+    broadcast bucket offsets) — ``row_number() over (order by ...)``
+    would pull the entire corpus through one task."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sort_key"),
+    )
+    ranked = exact_group_rank(d, [], "sort_key", ["doc_id"], rank_col="rk")
+    return ranked.select(
+        "doc_id",
+        "sort_key",
+        ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
+        ((F.col("rk") - 1) / N_SHARDS).cast("long").alias("pos"),
+    )
+
+
+ORACLE_SHARD_ASSIGN = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS sort_key
+  FROM documents
+), r AS (
+  SELECT doc_id, sort_key,
+         ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, sort_key,
+       CAST((rk - 1) % {N_SHARDS} AS BIGINT) AS shard,
+       CAST((rk - 1) // {N_SHARDS} AS BIGINT) AS pos
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Source mixture weights (round-4 addition)
+# --------------------------------------------------------------------------
+#: Token budget the mixture planner allocates across sources.
+MIXTURE_TOKEN_BUDGET = 20_000
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: give every source an equal share of the token
+    budget and emit the per-source sampling weight
+    ``min(1, share / tokens)`` plus the planned token count — the
+    knob-setting step before weighted corpus sampling (the
+    domain-mixing table in LLM data recipes). One groupBy over the
+    corpus; the per-source frame (and the window counting sources on
+    it) is metadata-sized — sources number in the thousands at web
+    scale, not billions — so the unpartitioned window is safe here,
+    unlike over row-level data."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_toks())).cast("long").alias("n_tokens"),
+    )
+    n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+    share = F.lit(float(MIXTURE_TOKEN_BUDGET)) / n_sources
+    weight = F.least(F.lit(1.0), share / F.col("n_tokens"))
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * F.col("n_tokens"), 0).cast("long").alias("planned_tokens"),
+    )
+
+
+ORACLE_SOURCE_MIXTURE_WEIGHTS = rf"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_ORACLE_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, COUNT(*) OVER () AS n_sources FROM s
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources) / n_tokens), 6)
+         AS weight,
+       CAST(ROUND(LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources) / n_tokens)
+                  * n_tokens, 0) AS BIGINT) AS planned_tokens
+FROM t
+"""

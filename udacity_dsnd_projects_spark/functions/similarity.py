@@ -409,3 +409,61 @@ SELECT q.query_id, e.vec_id,
                                (acc, x) -> acc + x))), 5) + 0.0 AS cosine
 FROM e JOIN q ON e.vec_id <> q.query_id
 """
+
+
+# --------------------------------------------------------------------------
+# Scalar int8 quantization (round-4 addition)
+# --------------------------------------------------------------------------
+def quantize_embedding(v: Column) -> tuple[Column, Column, Column]:
+    """(lo, hi, codes): per-vector min/max scalar quantization of a
+    double array onto the 0..255 int8 grid — the memory-4x shrink step
+    before an ANN index ships to serving. Pure JVM array expressions
+    (transform/aggregate), no UDF. Degenerate constant vectors
+    (hi == lo) quantize to all-zeros."""
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(255.0)
+    codes = F.when(hi > lo, F.transform(v, lambda x: F.round((x - lo) / scale, 0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("long"))
+    )
+    return lo, hi, codes
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`quantize_embedding`: scalar columns
+    only (the driver canonicalizer rejects array cells), with the code
+    array folded to sum + first/last spot checks. The full array face
+    is asserted element-wise against numpy in pytest."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    lo, hi, codes = quantize_embedding(F.col("v"))
+    return emb.select(
+        "vec_id",
+        F.round(lo, 6).alias("lo"),
+        F.round(hi, 6).alias("hi"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.element_at(codes, 1).alias("q_first"),
+        F.element_at(codes, -1).alias("q_last"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+), q AS (
+  SELECT vec_id, lo, hi,
+         CASE WHEN hi > lo THEN
+           list_transform(v, x -> CAST(round((x - lo) / ((hi - lo) / 255.0), 0)
+                                       AS BIGINT))
+         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM mm
+)
+SELECT vec_id, ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       codes[1] AS q_first, codes[-1] AS q_last
+FROM q
+"""

@@ -93,6 +93,13 @@ register("substring_dedup", _corp.substring_dedup, _corp.ORACLE_SUBSTRING_DEDUP)
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
 register("seq_pack_bins", _pipe.seq_pack_bins, _pipe.ORACLE_SEQ_PACK_BINS)
+register("shard_assign", _pipe.shard_assign, _pipe.ORACLE_SHARD_ASSIGN)
+register(
+    "source_mixture_weights",
+    _pipe.source_mixture_weights,
+    _pipe.ORACLE_SOURCE_MIXTURE_WEIGHTS,
+)
+register("embedding_quantize", _sim.embedding_quantize, _sim.ORACLE_EMBEDDING_QUANTIZE)
 
 # --- ts choke-point insurance: events-time queries re-verified after the
 # --- NTZ→LTZ normalization change (values must be identical under UTC) ----
@@ -304,6 +311,9 @@ _ROUND4_NEEDS_VERDICT = (
     "url_normalize",
     "url_dedup",
     "seq_pack_bins",
+    "shard_assign",
+    "source_mixture_weights",
+    "embedding_quantize",
     "hourly_event_rollup",
     "sessionize",
     "funnel_conversion",
