@@ -674,3 +674,49 @@ def test_interval_join_stream_equals_batch(spark, tmp_path_factory):
     batch = interval_join_batch_reference(spark.read.schema(schema).parquet(path))
     want = {(r["window_id"], r["event_id"], r["user_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_url_dedup_stream_equals_batch(spark, tmp_path_factory):
+    """Crawl-frontier shape: a stream of raw URLs is normalized with
+    the SAME expression chain as the batch face and deduped on the
+    canonical form across micro-batches; the surviving set equals the
+    batch distinct-canonical answer (one logical plan, two modes)."""
+    from udacity_dsnd_projects_spark.functions.web import normalize_url
+    from udacity_dsnd_projects_spark.streaming.stateful import dedup_stream
+
+    root = tmp_path_factory.mktemp("urldedup")
+    path = str(root / "rows")
+    schema = T.StructType(
+        [
+            T.StructField("crawl_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    b1 = [
+        (0, "HTTP://WWW.Example.COM:80/a?id=1&utm_source=x#frag"),
+        (1, "http://example.com/a?id=1"),  # same canonical as crawl 0
+        (2, "https://Example.com:443/b/"),
+        (3, "https://example.com/b?utm_campaign=y"),  # same canonical as 2
+    ]
+    b2 = [
+        (4, "http://www.example.com/a/?id=1&ref=rss"),  # dup of 0/1 again
+        (5, "https://example.com/c"),  # genuinely new
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = file_stream(spark, path, schema).withColumn(
+        "canon_url", normalize_url(F.col("url"))
+    )
+    got = run_to_memory(
+        dedup_stream(stream, ["canon_url"]), "url_dedup_stream"
+    ).collect()
+    batch = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .select(normalize_url(F.col("url")).alias("canon_url"))
+        .distinct()
+        .collect()
+    )
+    assert {r["canon_url"] for r in got} == {r["canon_url"] for r in batch}
+    assert len(got) == 3  # a, b, c — one survivor per canonical URL
