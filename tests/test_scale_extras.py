@@ -161,3 +161,34 @@ def test_quality_topk_windows_are_bucket_partitioned(spark, sf_dir):
     assert "percent_rank" not in plan, plan
     specs = _win_specs(df)
     assert specs and all("__rank_bkt" in s for s in specs), specs
+
+
+def test_lang_zscore_plan_has_no_stratum_window(spark, sf_dir):
+    """The moments must come from groupBy + broadcast join, not a
+    lang-partitioned window (few strata = few tasks carrying every
+    row)."""
+    from udacity_dsnd_projects_spark.functions import pipeline as p
+
+    plan = (
+        p.lang_zscore(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stratified_sample_plan_has_partial_group_limit(spark, sf_dir):
+    """row_number()<=K must trigger WindowGroupLimit pushdown: a
+    Partial limit before the exchange keeps the low-cardinality
+    stratum window from funneling the full table."""
+    from udacity_dsnd_projects_spark.functions import pipeline as p
+
+    plan = (
+        p.stratified_sample(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan

@@ -221,9 +221,12 @@ GROUP BY 1
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K docs per language, chosen by salted-hash order — a
     deterministic, reproducible uniform sample within each stratum
-    (the standard eval-subset / inspection-sample primitive). One
-    window shuffle on the stratum key; at scale with heavy strata this
-    is the top-k-per-group pattern, so partial TakeOrdered applies."""
+    (the standard eval-subset / inspection-sample primitive). The
+    ``row_number() <= K`` filter triggers Catalyst's WindowGroupLimit
+    pushdown (plan-asserted in tests): every map task pre-limits to K
+    rows per stratum BEFORE the exchange, so the low-cardinality
+    stratum key never funnels the full table — only strata × K × tasks
+    rows reach the final per-stratum sort."""
     docs = load_table(spark, "documents", sf_dir)
     h = (F.col("doc_id") * SPLIT_A + F.lit(SPLIT_B)) % SPLIT_MOD
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
@@ -433,16 +436,25 @@ def kmeans_lloyd(emb: DataFrame, k: int = KMEANS_K, n_iters: int = 5) -> DataFra
 # --------------------------------------------------------------------------
 def lang_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language z-score of document token counts — the per-stratum
-    feature-normalization primitive. JVM face: one window over the
-    stratum key (single shuffle; avg/stddev_pop computed in the same
-    pass). Degenerate strata (zero variance) normalize to 0."""
+    feature-normalization primitive. JVM face: per-stratum moments via
+    a map-side-combined ``groupBy`` (the stats frame is strata-sized —
+    metadata) broadcast-joined back onto the rows. NOT a
+    ``Window.partitionBy(lang)`` aggregate: an unordered window still
+    gathers every row of a stratum into one task, so a handful of
+    languages would funnel the whole corpus through a handful of
+    tasks; the agg+broadcast shape keeps both passes fully parallel.
+    Degenerate strata (zero variance) normalize to 0."""
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select("doc_id", "lang", F.size(_toks()).alias("n_tok"))
-    w = Window.partitionBy("lang")
-    mu = F.avg("n_tok").over(w)
-    sd = F.stddev_pop("n_tok").over(w)
-    z = F.when(sd == 0, F.lit(0.0)).otherwise((F.col("n_tok") - mu) / sd)
-    return d.select("doc_id", "lang", "n_tok", F.round(z, 5).alias("z"))
+    stats = d.groupBy("lang").agg(
+        F.avg("n_tok").alias("__mu"), F.stddev_pop("n_tok").alias("__sd")
+    )
+    z = F.when(F.col("__sd") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_tok") - F.col("__mu")) / F.col("__sd")
+    )
+    return d.join(F.broadcast(stats), "lang").select(
+        "doc_id", "lang", "n_tok", F.round(z, 5).alias("z")
+    )
 
 
 ORACLE_LANG_ZSCORE = rf"""

@@ -318,6 +318,8 @@ _ROUND4_NEEDS_VERDICT = (
     "sessionize",
     "funnel_conversion",
     "weekly_retention",
+    # moments de-funneled to groupBy+broadcast this round
+    "lang_zscore",
 )
 _names = list(_REGISTRY)
 for _q in _ROUND4_NEEDS_VERDICT:
