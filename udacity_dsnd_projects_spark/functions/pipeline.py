@@ -634,17 +634,19 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min(1, share / tokens)`` plus the planned token count — the
     knob-setting step before weighted corpus sampling (the
     domain-mixing table in LLM data recipes). One groupBy over the
-    corpus; the per-source frame (and the window counting sources on
-    it) is metadata-sized — sources number in the thousands at web
-    scale, not billions — so the unpartitioned window is safe here,
-    unlike over row-level data."""
+    corpus; the per-source frame is metadata-sized (sources number in
+    the thousands at web scale, not billions), and the source count
+    joins back as a broadcast 1-row cross join — no single-partition
+    window anywhere in the plan."""
     docs = load_table(spark, "documents", sf_dir)
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_toks())).cast("long").alias("n_tokens"),
     )
-    n_sources = F.count(F.lit(1)).over(Window.partitionBy())
-    share = F.lit(float(MIXTURE_TOKEN_BUDGET)) / n_sources
+    s = s.crossJoin(
+        F.broadcast(s.groupBy().agg(F.count(F.lit(1)).alias("__n_sources")))
+    )
+    share = F.lit(float(MIXTURE_TOKEN_BUDGET)) / F.col("__n_sources")
     weight = F.least(F.lit(1.0), share / F.col("n_tokens"))
     return s.select(
         "source",
