@@ -85,3 +85,55 @@ def test_asof_with_no_left_side_rows(spark):
         .filter((F.col("is_event") == 1) & F.col("asof").isNotNull())
     )
     assert out.count() == 0
+
+
+def test_exact_rank_and_cumsum_degenerate_inputs(spark):
+    """Empty frames and constant order columns must rank cleanly (the
+    quantile sketch returns no boundaries in both cases) — never
+    error. Empty partitions after a filter are routine at scale."""
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_cumsum,
+        exact_group_rank,
+    )
+
+    schema = "g STRING, x LONG, id LONG, v LONG"
+    empty = spark.createDataFrame([], schema)
+    assert exact_group_rank(empty, ["g"], "x", ["id"], rank_col="rk").count() == 0
+    assert (
+        exact_group_cumsum(empty, ["g"], "x", ["id"], "v", cumsum_col="cs").count()
+        == 0
+    )
+    # constant order column: ranks fall back to the tiebreak order
+    same = spark.createDataFrame(
+        [("a", 5, i, 2) for i in range(10)], schema
+    )
+    ranked = {
+        r["id"]: r["rk"]
+        for r in exact_group_rank(same, ["g"], "x", ["id"], rank_col="rk").collect()
+    }
+    assert ranked == {i: i + 1 for i in range(10)}
+    summed = {
+        r["id"]: r["cs"]
+        for r in exact_group_cumsum(
+            same, ["g"], "x", ["id"], "v", cumsum_col="cs"
+        ).collect()
+    }
+    assert summed == {i: 2 * (i + 1) for i in range(10)}
+
+
+def test_substring_dedup_and_url_ops_on_tiny_docs(spark, sf_dir):
+    """Docs shorter than the substring window are excluded (not
+    errors); url normalization tolerates fragment-less/query-less
+    inputs."""
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.functions.web import normalize_url
+
+    tiny = spark.createDataFrame(
+        [("http://a.com", "http://a.com"),
+         ("https://B.com/x#f", "https://b.com/x"),
+         ("http://c.com:8080/p/", "http://c.com:8080/p")],
+        ["url", "want"],
+    )
+    got = tiny.select((normalize_url(F.col("url")) == F.col("want")).alias("ok"))
+    assert all(r["ok"] for r in got.collect())

@@ -35,6 +35,19 @@ from pyspark.sql import types as T
 _BKT = "__rank_bkt"
 
 
+def _splits(bounds: list[float]) -> list[float]:
+    """Strictly-increasing Bucketizer splits from (possibly duplicated
+    or empty) quantile bounds. An empty sketch — empty input frame, or
+    every sampled value identical after dedupe collapsing to nothing —
+    still needs >= 3 split points, so a finite dummy boundary is
+    inserted; with 0 or 1 distinct values every row lands in one
+    bucket, which is trivially rank-correct."""
+    uniq = sorted({float(b) for b in bounds})
+    if not uniq:
+        uniq = [0.0]
+    return [float("-inf"), *uniq, float("inf")]
+
+
 def exact_group_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -65,7 +78,7 @@ def exact_group_rank(
     err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.stat.approxQuantile(order_col, probs, err)
-    splits = [float("-inf"), *sorted({float(b) for b in bounds}), float("inf")]
+    splits = _splits(bounds)
 
     bucketed = Bucketizer(
         splits=splits, inputCol=order_col, outputCol=_BKT, handleInvalid="error"
@@ -136,7 +149,7 @@ def exact_group_cumsum(
     err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.stat.approxQuantile(order_col, probs, err)
-    splits = [float("-inf"), *sorted({float(b) for b in bounds}), float("inf")]
+    splits = _splits(bounds)
     bucketed = Bucketizer(
         splits=splits, inputCol=order_col, outputCol=_BKT, handleInvalid="error"
     ).transform(df)
