@@ -192,3 +192,40 @@ def test_stratified_sample_plan_has_partial_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_exact_rank_ntile_reconstruction_equals_window_ntile(spark):
+    """ntile_from_rank(exact_group_rank(...)) must equal Spark's own
+    ntile() window bit-for-bit, including the awkward cases: group
+    sizes not divisible by k, groups smaller than k, and a group of
+    one."""
+    from pyspark.sql import Window
+
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_rank,
+        ntile_from_rank,
+    )
+
+    rows = []
+    rid = 0
+    for g, size in (("a", 137), ("b", 40), ("c", 7), ("d", 1)):
+        for _ in range(size):
+            rid += 1
+            rows.append((g, (rid * 2654435761) % 1000, rid))
+    df = spark.createDataFrame(rows, ["g", "x", "id"])
+
+    w = Window.partitionBy("g").orderBy("x", "id")
+    want = {
+        (r["g"], r["id"]): r["t"]
+        for r in df.withColumn("t", F.ntile(10).over(w).cast("long")).collect()
+    }
+    ranked = exact_group_rank(
+        df, ["g"], "x", ["id"], rank_col="rk", count_col="n", n_buckets=8
+    )
+    got = {
+        (r["g"], r["id"]): r["t"]
+        for r in ranked.withColumn(
+            "t", ntile_from_rank(F.col("rk"), F.col("n"), 10)
+        ).collect()
+    }
+    assert got == want
