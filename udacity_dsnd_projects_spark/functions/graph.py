@@ -66,22 +66,41 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, n_iters: int = PR_ITERS, damping: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
     """Fixed-iteration PageRank over a symmetric (src, dst) edge list.
-    Returns (node, rank). See module docstring for the scale shape."""
+    Returns (node, rank). See module docstring for the scale shape.
+
+    With ``broadcast_ranks`` (the O(nodes)-fits-in-an-executor regime —
+    rank state is node id + double, so ~16 bytes/node; fine into the
+    hundreds of millions of nodes) the weighted edge list is built
+    hash-partitioned on ``dst`` and NEVER moves again: each iteration
+    broadcast-joins the small rank state onto the edges (preserving the
+    edge partitioning) and the ``groupBy(dst)`` reuses it — zero
+    edge-sized exchanges per iteration instead of one. For billions of
+    nodes set ``broadcast_ranks=False``: the join falls back to
+    shuffle-on-src (the co-partitioned GraphX regime) and the groupBy
+    re-exchanges on dst."""
     w = (
         edges.join(
             edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
         )
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint(eager=True)
     )
+    if broadcast_ranks:
+        w = w.repartition("dst")
+    w = w.localCheckpoint(eager=True)
     ranks = w.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("rank")
     )
     for i in range(n_iters):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            w.join(ranks, w["src"] == ranks["node"])
+            w.join(rank_side, w["src"] == rank_side["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
         )
