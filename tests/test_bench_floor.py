@@ -1,7 +1,7 @@
 """Bench regression guard (BASELINE.md "Engine bench targets"): a
-fresh bench.py run at sf 0.1 must stay within 2× the round-2 recorded
-floor (best-of-2 methodology, all 17 headline queries — same
-methodology as the bench itself). Runs bench.py exactly as the driver
+fresh bench.py run at sf 0.1 must stay within 2× the newest
+driver-recorded floor (best-of-2 methodology, all 17 headline queries —
+same methodology as the bench itself). Runs bench.py exactly as the driver
 does — a subprocess with its own session — so the measurement includes
 nothing from the test session."""
 

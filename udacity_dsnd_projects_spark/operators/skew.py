@@ -47,3 +47,32 @@ def salted_join(
         salted_big.join(replicated_small, on=[on, SALT_COL], how=how)
         .drop(SALT_COL)
     )
+
+
+def salted_supplier_rollup(spark, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`salted_join`: lineitem (big side)
+    salted-joined to supplier (small side, replicated x n_salt) on
+    suppkey, rolled up per nation. The salt only spreads rows across
+    tasks — the result is exactly the plain join's, which is what the
+    DuckDB oracle asserts."""
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_quantity")
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    )
+    joined = salted_join(li, sup, "l_suppkey")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+ORACLE_SALTED_SUPPLIER_ROLLUP = """
+SELECT s_nationkey,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""

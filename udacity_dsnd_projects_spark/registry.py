@@ -31,6 +31,7 @@ from udacity_dsnd_projects_spark.operators import joins as _joins
 from udacity_dsnd_projects_spark.operators import projections as _proj
 from udacity_dsnd_projects_spark.operators import risk_join as _risk
 from udacity_dsnd_projects_spark.operators import setops as _setops
+from udacity_dsnd_projects_spark.operators import skew as _skew
 from udacity_dsnd_projects_spark.operators import windows as _win
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -100,6 +101,9 @@ register(
     _pipe.ORACLE_SOURCE_MIXTURE_WEIGHTS,
 )
 register("embedding_quantize", _sim.embedding_quantize, _sim.ORACLE_EMBEDDING_QUANTIZE)
+register(  # salting machinery under driver verification (result-invariant)
+    "salted_supplier_rollup", _skew.salted_supplier_rollup, _skew.ORACLE_SALTED_SUPPLIER_ROLLUP
+)
 
 # --- ts choke-point insurance: events-time queries re-verified after the
 # --- NTZ→LTZ normalization change (values must be identical under UTC) ----
@@ -314,6 +318,7 @@ _ROUND4_NEEDS_VERDICT = (
     "shard_assign",
     "source_mixture_weights",
     "embedding_quantize",
+    "salted_supplier_rollup",
     "hourly_event_rollup",
     "sessionize",
     "funnel_conversion",
