@@ -547,6 +547,54 @@ def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed sequences: one row per (lang, bin) with
+    the bin's documents concatenated in stream order plus token
+    accounting — the artifact a training loader actually reads. The
+    ordered concat is ``array_sort(collect_list(struct(doc_id, text)))``
+    folded to a string: collect_list is per-bin (bins are budget-sized
+    by construction, so each group is bounded at ~SEQ_PACK_BUDGET
+    tokens — the grouped payload can never blow an executor), and the
+    struct sort makes the aggregation order-deterministic under any
+    partitioning."""
+    bins = seq_pack_bins(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = bins.join(docs, "doc_id")
+    packed = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+    )
+    return d.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        packed.alias("packed_text"),
+    )
+
+
+ORACLE_SEQ_PACK_CONCAT = rf"""
+WITH d AS (
+  SELECT doc_id, lang, text, len({_ORACLE_TOKS}) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, lang, text, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM d
+), b AS (
+  SELECT doc_id, lang, text, n_tok,
+         CAST(FLOOR((cum_tok - n_tok) / {SEQ_PACK_BUDGET}.0) AS BIGINT) AS bin
+  FROM c
+)
+SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+FROM b GROUP BY lang, bin
+"""
+
+
 ORACLE_SEQ_PACK_BINS = rf"""
 WITH d AS (
   SELECT doc_id, lang, len({_ORACLE_TOKS}) AS n_tok FROM documents

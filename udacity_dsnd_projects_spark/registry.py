@@ -94,6 +94,7 @@ register("substring_dedup", _corp.substring_dedup, _corp.ORACLE_SUBSTRING_DEDUP)
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
 register("seq_pack_bins", _pipe.seq_pack_bins, _pipe.ORACLE_SEQ_PACK_BINS)
+register("seq_pack_concat", _pipe.seq_pack_concat, _pipe.ORACLE_SEQ_PACK_CONCAT)
 register("shard_assign", _pipe.shard_assign, _pipe.ORACLE_SHARD_ASSIGN)
 register(
     "source_mixture_weights",
@@ -315,6 +316,7 @@ _ROUND4_NEEDS_VERDICT = (
     "url_normalize",
     "url_dedup",
     "seq_pack_bins",
+    "seq_pack_concat",
     "shard_assign",
     "source_mixture_weights",
     "embedding_quantize",
