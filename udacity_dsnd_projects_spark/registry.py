@@ -41,6 +41,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    assert name not in _REGISTRY, f"duplicate query registration: {name}"
     _REGISTRY[name] = (fn, oracle)
 
 
