@@ -457,3 +457,42 @@ SELECT li.l_returnflag,
 FROM lineitem li JOIN f USING (l_returnflag)
 GROUP BY li.l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# Exponential time-decay scoring (round-4 addition)
+# --------------------------------------------------------------------------
+#: Decay time constant: weight = exp(-age_hours / DECAY_TAU_H).
+DECAY_TAU_H = 24.0
+
+
+def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per user, the sum of event values
+    weighted by ``exp(-age/tau)`` relative to the corpus's newest
+    event — the classic feature-store aggregation that keeps one
+    number per user fresh without windowed state.
+
+    Scale shape: the anchor timestamp is a 1-row aggregate broadcast
+    back via cross join (never a partition-less window); ages use
+    second-truncated epochs (``unix_timestamp`` ≡ the oracle's
+    ``floor(epoch(..))``) so both engines feed exp() identical
+    integers; one map-side-combined groupBy on user_id."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    tmax = ev.groupBy().agg(F.max("ts").alias("t_max"))
+    d = ev.crossJoin(F.broadcast(tmax))
+    age_h = (F.unix_timestamp("t_max") - F.unix_timestamp("ts")) / 3600.0
+    wgt = F.exp(-age_h / F.lit(DECAY_TAU_H))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * wgt), 5).alias("decayed_score"),
+    )
+
+
+ORACLE_DECAYED_USER_SCORE = f"""
+WITH t AS (SELECT MAX(ts) AS t_max FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value * exp(-((floor(epoch(t_max)) - floor(epoch(ts)))
+                               / 3600.0) / {DECAY_TAU_H})), 5)
+         AS decayed_score
+FROM events, t GROUP BY user_id
+"""

@@ -107,6 +107,10 @@ register(  # salting machinery under driver verification (result-invariant)
     "salted_supplier_rollup", _skew.salted_supplier_rollup, _skew.ORACLE_SALTED_SUPPLIER_ROLLUP
 )
 
+register(  # recency-decay feature aggregation (round-4 addition)
+    "decayed_user_score", _an.decayed_user_score, _an.ORACLE_DECAYED_USER_SCORE
+)
+
 # --- ts choke-point insurance: events-time queries re-verified after the
 # --- NTZ→LTZ normalization change (values must be identical under UTC) ----
 register("hourly_event_rollup", _an.hourly_event_rollup, _an.ORACLE_HOURLY_EVENT_ROLLUP)
@@ -322,6 +326,7 @@ _ROUND4_NEEDS_VERDICT = (
     "source_mixture_weights",
     "embedding_quantize",
     "salted_supplier_rollup",
+    "decayed_user_score",
     "hourly_event_rollup",
     "sessionize",
     "funnel_conversion",
