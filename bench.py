@@ -23,15 +23,15 @@ if _REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Round-3 recorded total (BENCH_r03.json, sf 0.1, local[32] on the
+#: Round-4 recorded total (BENCH_r04.json, sf 0.1, local[32] on the
 #: driver's 32-core/128GiB box) — the regression floor, ratcheted each
 #: round to the newest driver-recorded total over the SAME 17-query
-#: best-of-2 methodology (r2: 20.1912s → r3: 17.6925s).
+#: best-of-2 methodology (r2: 20.1912s → r3: 17.6925s → r4: 13.7779s).
 #: `tests/test_bench_floor.py` fails the suite if a fresh run exceeds
 #: 2× this; BASELINE.md "Engine bench targets". Machine-specific: on
 #: slower hardware set SPARK_GRAFT_BENCH_FLOOR to that box's recorded
 #: total instead.
-BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "17.6925"))
+BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.7779"))
 
 #: Queries timed by the bench. Grows as the registry grows; keep this the
 #: set of headline operators (one per §2 category) rather than every

@@ -189,6 +189,10 @@ def test_url_normalize_rules_and_idempotence(spark, sf_dir):
     assert bad.count() == 0, bad.limit(5).collect()
     # the real port survives
     assert out.filter(F.col("canon_url").contains(":8080")).count() > 0
+    # both default-port rules get REAL corpus coverage (non-vacuous:
+    # raw URLs must actually carry the ports the rules strip)
+    assert out.filter(F.col("url").contains(":80/")).count() > 0
+    assert out.filter(F.col("url").rlike(r"^https://[^/]*:443")).count() > 0
 
 
 def test_seq_pack_bins_contiguous_and_under_budget(spark, sf_dir):

@@ -676,6 +676,60 @@ def test_interval_join_stream_equals_batch(spark, tmp_path_factory):
     assert got == want and len(want) > 0
 
 
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path_factory):
+    """Recurring-crawl shape: micro-batches of new docs are content-
+    hashed, deduped within the stream, and anti-joined against the
+    static prior-snapshot hash table (stream-static left anti). The
+    surviving set equals the batch answer computed on the same rows."""
+    from udacity_dsnd_projects_spark.streaming.stateful import (
+        incremental_dedup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("incdedup")
+    path = str(root / "rows")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    hist_rows = [(100 + i, f"snapshot doc {i}") for i in range(6)]
+    b1 = [
+        (0, "brand new zero"),
+        (1, "snapshot doc 2"),  # already in the snapshot -> dropped
+        (2, "brand new two"),
+    ]
+    b2 = [
+        (3, "brand new two"),  # within-stream dup of doc 2 -> dropped
+        (4, "snapshot doc 5"),  # snapshot dup -> dropped
+        (5, "brand new five"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    hist_hashes = (
+        spark.createDataFrame(hist_rows, schema)
+        .select(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .distinct()
+    )
+    got_rows = run_to_memory(
+        incremental_dedup_stream(file_stream(spark, path, schema), hist_hashes),
+        "inc_dedup_stream",
+    ).collect()
+    got = {r["doc_id"] for r in got_rows}
+    assert got == {0, 2, 5}
+    # batch reference over the same rows
+    batch = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .withColumn("content_md5", F.md5(F.col("text").cast("binary")))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(hist_hashes, "content_md5", "left_anti")
+    )
+    assert {r["doc_id"] for r in batch.collect()} == got
+
+
 def test_url_dedup_stream_equals_batch(spark, tmp_path_factory):
     """Crawl-frontier shape: a stream of raw URLs is normalized with
     the SAME expression chain as the batch face and deduped on the

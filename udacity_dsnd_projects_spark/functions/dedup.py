@@ -174,6 +174,162 @@ GROUP BY md5(text)
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup vs a prior snapshot (round-5 addition)
+# --------------------------------------------------------------------------
+#: Bloom bit-array size (bits) for the incremental-dedup pre-filter.
+#: Size to ~1.44 · k · |history| bits for a useful FP rate; a
+#: too-small array degrades GRACEFULLY (more rows take the exact
+#: verify join — never a wrong answer, the filter is only a shuffle
+#: saver). 2^20 bits = 128 KiB of set positions worst-case.
+BLOOM_BITS = 1 << 20
+#: Bloom hash-function count.
+BLOOM_K = 3
+#: Synthetic new-batch construction: history docs with
+#: ``doc_id % INC_RECRAWL_MOD == 1`` reappear in the batch (re-crawled
+#: content, new ids at +INC_ID_OFFSET) — real dedup work for the
+#: candidate path.
+INC_RECRAWL_MOD = 7
+INC_ID_OFFSET = 20_000_000
+
+
+def _inc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prior corpus snapshot: documents with ``doc_id % 3 != 0``."""
+    return (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+    )
+
+
+def _inc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newly-crawled batch: the held-out third of the corpus plus
+    re-crawls of some history docs (same content, fresh ids)."""
+    docs = load_table(spark, "documents", sf_dir)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    recrawl = (
+        docs.filter(
+            (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % INC_RECRAWL_MOD == 1)
+        )
+        .select((F.col("doc_id") + INC_ID_OFFSET).alias("doc_id"), "text")
+    )
+    return fresh.unionByName(recrawl)
+
+
+def bloom_bits_for(hashes: DataFrame, col: str) -> DataFrame:
+    """DISTINCT Bloom bit positions set by ``col`` values: each value
+    sets :data:`BLOOM_K` positions ``pmod(xxhash64(v, j), BLOOM_BITS)``.
+    The result is at most ``min(k·n, BLOOM_BITS)`` single-long rows —
+    broadcast-able at any history size because it saturates at the
+    (configurable) bit-array size rather than growing with the data."""
+    return hashes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(BLOOM_BITS))
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new batch against a prior corpus
+    snapshot WITHOUT re-joining the full history: the recurring-crawl
+    primitive (extends :func:`exact_dedup`, whose single-corpus faces
+    can't answer "is this new?"). Result: one row per truly-new
+    content hash — (content_md5, canonical_id, n_copies) with the
+    canonical id and intra-batch copy count.
+
+    Scale shape (exact result, Bloom only prunes work):
+
+    1. batch dedups within itself — one groupBy on the md5, the only
+       batch-sized shuffle;
+    2. a distributed Bloom filter over history hashes
+       (:func:`bloom_bits_for`) is built by one history scan + a
+       bit-position distinct bounded at :data:`BLOOM_BITS` rows, and
+       broadcast-joined against each batch hash's probe positions —
+       hashes missing ANY of the k bits are definitely-new and never
+       touch history again;
+    3. only Bloom-positive candidates (true matches + FPs) reach the
+       exact verify join, and BOTH verify joins broadcast the
+       candidate-sized side — history is scanned once more but never
+       shuffled (with a bucketed/Z-ordered history-hash table even
+       that scan prunes to matching files).
+
+    False positives are resolved by the verify join, so the output is
+    exactly the anti-join the DuckDB oracle runs; an undersized Bloom
+    just routes more rows through step 3."""
+    hist_h = _inc_history(spark, sf_dir).select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    g = (
+        _inc_batch(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    bits = bloom_bits_for(hist_h, "h").withColumn("__present", F.lit(1))
+    probes = g.select(
+        "content_md5",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("content_md5"), F.lit(j)),
+                        F.lit(BLOOM_BITS),
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    k_hits = (
+        probes.join(F.broadcast(bits), "bit", "left")
+        .groupBy("content_md5")
+        .agg(F.count("__present").alias("__k_hits"))
+    )
+    g = g.join(k_hits, "content_md5")
+    definite_new = g.filter(F.col("__k_hits") < BLOOM_K)
+    cand = g.filter(F.col("__k_hits") == BLOOM_K)
+    # verify join: candidates are small by construction, so broadcast
+    # THEM both ways — history is never shuffled
+    confirmed = hist_h.join(
+        F.broadcast(cand.select(F.col("content_md5").alias("h"))), "h", "left_semi"
+    ).distinct()
+    fp_new = cand.join(
+        F.broadcast(confirmed.select(F.col("h").alias("content_md5"))),
+        "content_md5",
+        "left_anti",
+    )
+    return definite_new.unionByName(fp_new).select(
+        "content_md5", "canonical_id", "n_copies"
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH hist AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + {INC_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % {INC_RECRAWL_MOD} = 1
+), g AS (
+  SELECT md5(text) AS content_md5,
+         MIN(doc_id) AS canonical_id,
+         COUNT(*) AS n_copies
+  FROM batch GROUP BY md5(text)
+)
+SELECT content_md5, canonical_id, n_copies
+FROM g
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = g.content_md5)
+"""
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via inverted-index self-join:
     explode distinct shingles, join docs sharing a shingle, count the

@@ -471,6 +471,14 @@ FROM d
 """
 
 
+#: Hard ceiling on rows per language stratum for the grouped-map face.
+#: ``applyInPandas`` materializes each stratum as ONE pandas frame in
+#: ONE task — a corpus whose biggest language exceeds this would OOM an
+#: executor, so the builder fails loudly instead of building that plan
+#: (the agg+broadcast twin :func:`lang_zscore` has no such bound).
+LANG_ZSCORE_MAX_STRATUM = 10_000_000
+
+
 def lang_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map face of :func:`lang_zscore` via ``applyInPandas``:
     each language stratum arrives as one pandas frame and is
@@ -479,14 +487,36 @@ def lang_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs an Arrow hop + per-group vectorized Python — worth it when the
     per-group transform outgrows SQL (rank-gauss, winsorized scaling,
     sklearn-style fitting). Asserted equal to the JVM face; shares its
-    oracle. Strata must fit in executor memory — the contract of every
-    grouped-map op; for heavy-tailed strata use the window face."""
+    oracle.
+
+    Scale contract: strata must fit in executor memory. Enforced, not
+    assumed — a pre-flight map-side-combined count (metadata-sized
+    result) raises ``RuntimeError`` if any stratum exceeds
+    :data:`LANG_ZSCORE_MAX_STRATUM`, naming the scale-safe twin. The
+    extra scan is the price of a grouped-map face that can never
+    silently OOM; heavy-tailed corpora should use :func:`lang_zscore`."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select("doc_id", "lang", F.size(_toks()).alias("n_tok"))
+
+    over = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > LANG_ZSCORE_MAX_STRATUM)
+        .limit(3)
+        .collect()
+    )
+    if over:
+        raise RuntimeError(
+            "lang_zscore_pandas: stratum too large for grouped-map "
+            f"(applyInPandas funnels each lang into one task): "
+            f"{[(r['lang'], r['__n']) for r in over]} exceed "
+            f"LANG_ZSCORE_MAX_STRATUM={LANG_ZSCORE_MAX_STRATUM}; use the "
+            "agg+broadcast face lang_zscore instead."
+        )
 
     out_schema = T.StructType(
         [
@@ -719,4 +749,130 @@ SELECT source, n_docs, n_tokens,
        CAST(ROUND(LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources) / n_tokens)
                   * n_tokens, 0) AS BIGINT) AS planned_tokens
 FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture sample materialization (round-5 addition)
+# --------------------------------------------------------------------------
+#: Salt for the mixture sampler's uniform hash — distinct from the
+#: unsalted md5 used by shard_assign so the sampling decision is
+#: statistically independent of the training-shuffle order.
+MIX_SALT = "mix:"
+
+#: 2^60 — the md5-prefix uniform variate's range (15 hex digits).
+_MIX_RANGE = float(1 << 60)
+
+
+def _mixture_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tok) rows surviving the weighted sample:
+    keep a document iff its salted-md5 uniform variate (first 60 bits,
+    uniform on [0, 2^60)) falls below ``weight * 2^60``. Both engines
+    evaluate the threshold in IEEE double arithmetic on the identical
+    6-dp-rounded weight, so the comparison is deterministic and
+    engine-independent (the variate itself is exact integer md5
+    arithmetic — the ``hash_split`` / ``shard_assign`` family)."""
+    w = source_mixture_weights(spark, sf_dir).select("source", "weight")
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", "source", F.size(_toks()).cast("long").alias("n_tok")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.join(F.broadcast(w), "source").filter(
+        u < F.col("weight") * F.lit(_MIX_RANGE)
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixture plan: apply
+    :func:`source_mixture_weights` as a deterministic per-source
+    hash-threshold sampler and emit the sampled corpus — the step that
+    turns the domain-mixing table into an actual training corpus.
+    Rerun-stable (no RNG state: a doc's fate depends only on its id
+    and its source's weight) and growth-stable per doc.
+
+    Scale shape: the weights frame is source-cardinality (metadata)
+    and broadcasts onto a single corpus scan; the filter is pure JVM
+    hash arithmetic inside whole-stage codegen. No shuffle at all —
+    the sampled corpus streams out partition-local."""
+    return _mixture_kept(spark, sf_dir).select("doc_id", "source", "n_tok")
+
+
+def mixture_sample_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned-vs-achieved accounting of :func:`mixture_sample`: one
+    row per source with the planned token count next to what the
+    hash-threshold sampler actually kept — the report that closes the
+    mixture-planning loop (sampling is Bernoulli per doc, so achieved
+    ≈ planned with relative error shrinking as doc counts grow).
+    Sources sampled to zero still appear (left join from the plan)."""
+    w = source_mixture_weights(spark, sf_dir)
+    got = (
+        _mixture_kept(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("achieved_tokens"),
+        )
+    )
+    return w.join(got, "source", "left").select(
+        "source",
+        "weight",
+        "planned_tokens",
+        F.coalesce(F.col("n_docs_kept"), F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce(F.col("achieved_tokens"), F.lit(0))
+        .cast("long")
+        .alias("achieved_tokens"),
+    )
+
+
+_ORACLE_MIX_CTES = rf"""
+s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_ORACLE_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, COUNT(*) OVER () AS n_sources FROM s
+), w AS (
+  -- w_raw (unrounded) feeds planned_tokens exactly as the Spark face
+  -- does; the 6-dp weight is what the sampler thresholds on
+  SELECT source, n_tokens,
+         LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources) / n_tokens) AS w_raw,
+         ROUND(LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources) / n_tokens), 6)
+           AS weight
+  FROM t
+), d AS (
+  SELECT doc_id, source, CAST(len({_ORACLE_TOKS}) AS BIGINT) AS n_tok,
+         CAST(concat('0x', substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS uv
+  FROM documents
+), kept AS (
+  SELECT d.doc_id, d.source, d.n_tok
+  FROM d JOIN w ON d.source = w.source
+  WHERE d.uv < w.weight * {int(_MIX_RANGE)}.0
+)
+"""
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH {_ORACLE_MIX_CTES}
+SELECT doc_id, source, n_tok FROM kept
+"""
+
+ORACLE_MIXTURE_SAMPLE_ACCOUNTING = f"""
+WITH {_ORACLE_MIX_CTES},
+got AS (
+  SELECT source, COUNT(*) AS n_docs_kept,
+         CAST(SUM(n_tok) AS BIGINT) AS achieved_tokens
+  FROM kept GROUP BY source
+)
+SELECT w.source, w.weight,
+       CAST(ROUND(w.w_raw * w.n_tokens, 0) AS BIGINT) AS planned_tokens,
+       COALESCE(got.n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(got.achieved_tokens, 0) AS achieved_tokens
+FROM w LEFT JOIN got ON w.source = got.source
 """

@@ -337,8 +337,13 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression path (tests assert so); wins when vectors are wide or
     k is large. The raw matmul scores stream out of the UDF and the
     5-digit rounding happens JVM-side with ``F.round`` — the same
-    rounding path every oracle-green sibling uses, so the DuckDB
-    oracle (:data:`ORACLE_COSINE_SCORES`) compares bit-stable."""
+    rounding path every oracle-green sibling uses. Caveat: numpy
+    accumulates the dot product in SIMD/pairwise order while DuckDB's
+    ``list_reduce`` is sequential, so a score landing within an ulp of
+    a rounding boundary could round differently across engines; the
+    oracle (:data:`ORACLE_COSINE_SCORES`) has compared equal on every
+    driver run so far, but that equality is empirical, not a float
+    summation-order guarantee."""
     import numpy as np
 
     emb = load_table(spark, "embeddings", sf_dir)

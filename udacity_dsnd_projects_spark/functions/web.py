@@ -32,10 +32,20 @@ def synthesize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce colliding canonical forms — real dedup work, not a no-op."""
     docs = load_table(spark, "documents", sf_dir)
     did = F.col("doc_id")
-    scheme = F.when(did % 2 == 0, "HTTP").otherwise("https")
+    # scheme comes from did%2 EXCEPT the did%4==2 residue, which forces
+    # https so the ':443' default-port rule gets real corpus coverage
+    # (':80' pairs with did%4==0, which is always even, hence HTTP —
+    # deriving both port residues from did%4 alone would make the
+    # https+':443' combination unsatisfiable)
+    scheme = (
+        F.when(did % 4 == 2, "https")
+        .when(did % 2 == 0, "HTTP")
+        .otherwise("https")
+    )
     port = (
-        F.when(did % 4 == 0, F.when(did % 2 == 0, ":80").otherwise(":443"))
+        F.when(did % 4 == 0, ":80")
         .when(did % 4 == 1, ":8080")
+        .when(did % 4 == 2, ":443")
         .otherwise("")
     )
     id_param = F.when(did % 6 == 0, "").otherwise(
@@ -112,11 +122,12 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_RAW_URL = """
-  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+  CASE WHEN doc_id % 4 = 2 THEN 'https'
+       WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
   || '://WWW.Example.COM'
-  || CASE WHEN doc_id % 4 = 0
-          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
-          WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ':80'
+          WHEN doc_id % 4 = 1 THEN ':8080'
+          WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END
   || '/docs/' || CAST(doc_id % 3 AS VARCHAR)
   || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
   || '?'

@@ -316,6 +316,37 @@ GROUP BY iv.window_id
 #: Max edit distance for two part names to count as variants.
 FUZZY_MAX_DIST = 4
 
+#: Max distinct names per block before the block is excluded from pair
+#: expansion. A hot blocking key (thousands of names sharing one last
+#: token) would collect one m-element array and expand m²/2 pair structs
+#: inside a single row — the same single-task blowup the LSH path caps
+#: with ``MAX_BUCKET_SIZE`` (functions/dedup.py:_bucket_pairs). Dropped
+#: blocks are observable via :func:`oversize_name_blocks`.
+FUZZY_MAX_BLOCK = 256
+
+
+def _distinct_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name, block) over DISTINCT part names — the shared input of
+    :func:`fuzzy_name_pairs` and :func:`oversize_name_blocks`."""
+    part = load_table(spark, "part", sf_dir)
+    return part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "block", F.element_at(F.split("name", " "), -1)
+    )
+
+
+def oversize_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting face of the :data:`FUZZY_MAX_BLOCK` guard: the
+    (block, n_names) rows :func:`fuzzy_name_pairs` refuses to expand.
+    At corpus scale this is the monitoring signal that a degenerate
+    blocking key (a stop-token shared by half the vocabulary) needs a
+    better blocking function, not a bigger executor."""
+    return (
+        _distinct_blocked_names(spark, sf_dir)
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n_names"))
+        .filter(F.col("n_names") > FUZZY_MAX_BLOCK)
+    )
+
 
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution primitive: near-identical name pairs by
@@ -326,12 +357,24 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token, e.g. 'widget' for 'red widget') so each block is vocabulary-
     sized. GroupBy-bucket pair generation keeps it one shuffle with no
     self-join (the distinct subtree evaluates once); the in-row pair
-    expansion is bounded by block size, not corpus size."""
-    part = load_table(spark, "part", sf_dir)
-    names = part.select(F.col("p_name").alias("name")).distinct()
-    blocked = names.groupBy(
-        F.element_at(F.split("name", " "), -1).alias("block")
-    ).agg(F.array_sort(F.collect_set("name")).alias("ns"))
+    expansion is bounded by block size, not corpus size.
+
+    Scale guard: blocks above :data:`FUZZY_MAX_BLOCK` distinct names
+    are excluded BEFORE ``collect_set`` — per-block sizes come from a
+    groupBy over the distinct-names frame (block-cardinality rows,
+    metadata-sized) broadcast-joined back, so no low-cardinality window
+    partition and no oversized array is ever materialized. The oracle
+    mirrors the cap. Dropped blocks: :func:`oversize_name_blocks`."""
+    names = _distinct_blocked_names(spark, sf_dir)
+    sizes = names.groupBy("block").agg(F.count(F.lit(1)).alias("__block_n"))
+    blocked = (
+        names.join(
+            F.broadcast(sizes.filter(F.col("__block_n") <= FUZZY_MAX_BLOCK)),
+            "block",
+        )
+        .groupBy("block")
+        .agg(F.array_sort(F.collect_set("name")).alias("ns"))
+    )
     pairs = blocked.select(
         F.explode(
             F.flatten(
@@ -355,9 +398,12 @@ WITH n AS (
   SELECT DISTINCT p_name AS name,
          split_part(p_name, ' ', -1) AS block
   FROM part
+), b AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY block) AS block_n FROM n
 )
-SELECT a.name AS name_a, b.name AS name_b,
-       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
-FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
-WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+SELECT a.name AS name_a, b2.name AS name_b,
+       CAST(levenshtein(a.name, b2.name) AS INTEGER) AS dist
+FROM b a JOIN b b2 ON a.block = b2.block AND a.name < b2.name
+WHERE a.block_n <= {FUZZY_MAX_BLOCK}
+  AND levenshtein(a.name, b2.name) <= {FUZZY_MAX_DIST}
 """

@@ -28,11 +28,37 @@ counts, final); everything driver-side stays metadata-sized.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BKT = "__rank_bkt"
+
+
+def _join_offsets(bucketed: DataFrame, offsets: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Broadcast-join the driver-built offsets frame back onto the
+    bucketed rows, null-safely on the group columns: a NULL group-key
+    value is a normal partition for the window functions these helpers
+    reproduce, so plain ``=`` equality (which drops NULL keys) would
+    silently lose those rows. The offsets' key columns are aliased away
+    before the join and dropped after, so output column names/ordering
+    are untouched."""
+    off = offsets.select(
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)],
+        F.col(_BKT).alias("__obkt"),
+        *[c for c in offsets.columns if c not in (*group_cols, _BKT)],
+    )
+    cond = functools.reduce(
+        operator.and_,
+        [bucketed[c].eqNullSafe(off[f"__g{i}"]) for i, c in enumerate(group_cols)]
+        + [bucketed[_BKT] == off["__obkt"]],
+    )
+    return bucketed.join(F.broadcast(off), cond).drop(
+        "__obkt", *[f"__g{i}" for i in range(len(group_cols))]
+    )
 
 
 def _splits(bounds: list[float]) -> list[float]:
@@ -72,6 +98,8 @@ def exact_group_rank(
     ``order_col`` must be numeric and non-null (Bucketizer
     ``handleInvalid="error"`` fails loudly otherwise); ties in
     ``order_col`` must be broken to a total order by ``tiebreak_cols``.
+    NULL group-key values are preserved as their own group (the offset
+    join-back is null-safe), matching window-function semantics.
     """
     from pyspark.ml.feature import Bucketizer
 
@@ -114,9 +142,8 @@ def exact_group_rank(
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     order += [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*group_cols, _BKT).orderBy(*order)
-    out = (
-        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
-        .withColumn(rank_col, (F.col("__off") + F.row_number().over(w)).cast("long"))
+    out = _join_offsets(bucketed, offsets, group_cols).withColumn(
+        rank_col, (F.col("__off") + F.row_number().over(w)).cast("long")
     )
     if count_col is not None:
         out = out.withColumn(count_col, F.col("__n"))
@@ -180,7 +207,7 @@ def exact_group_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
+        _join_offsets(bucketed, offsets, group_cols)
         .withColumn(
             cumsum_col, (F.col("__off") + F.sum(value_col).over(w)).cast("long")
         )

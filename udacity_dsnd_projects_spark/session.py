@@ -39,8 +39,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # corpus events.parquet stores TIMESTAMP(NANOS); read as long
-        # (converted to TimestampType in sources.catalog.load_table)
+        # kept for legacy NANOS-written corpora (read as long, upcast in
+        # sources.catalog.load_table); the CURRENT fixture is parquet
+        # timestamp[us] isAdjustedToUTC=false, which takes the NTZ
+        # branch below instead — plan-asserted in
+        # tests/test_sources.py::test_load_table_ts_type_matches_driver_session
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # pin timestamp-affecting confs so local sessions see the exact
         # ts type the driver's CORRECTNESS session sees (NTZ from

@@ -52,6 +52,36 @@ def dedup_stream(
     )
 
 
+def incremental_dedup_stream(
+    new_docs: DataFrame,
+    hist_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "content_md5",
+) -> DataFrame:
+    """Streaming face of
+    :func:`~udacity_dsnd_projects_spark.functions.dedup.incremental_dedup`:
+    a stream of newly-crawled documents is content-hashed, deduped
+    within the stream (first-seen wins across micro-batches), and
+    anti-joined against the STATIC prior-snapshot hash table — a
+    stream-static left-anti join, one of Spark's supported
+    stream-static shapes, so only truly-new content flows downstream.
+
+    ``hist_hashes`` must be a batch frame with column ``hash_col``
+    (distinct md5s of the snapshot). At scale that frame is a
+    bucketed/Z-ordered table the join prunes against; the per-stream
+    state is the within-stream dedup's (bounded by a watermark when
+    the caller composes :func:`dedup_stream` with an event-time
+    column instead of the compat form used here)."""
+    from pyspark.sql import functions as F
+
+    hashed = new_docs.withColumn(
+        hash_col, F.md5(F.col(text_col).cast("binary"))
+    )
+    return hashed.dropDuplicates([hash_col]).join(
+        hist_hashes, hash_col, "left_anti"
+    )
+
+
 def latest_per_key_stateful(
     updates: DataFrame,
     key_col: str,
