@@ -114,13 +114,14 @@ def test_envelope_decode_stream_equals_batch(spark, stedi_dirs):
 
 def test_stream_stream_join_compat(spark, stedi_dirs):
     """§3.1 steps 2-10 end-to-end: two file streams, no watermark
-    (compat T3), kafka-shaped sink rows."""
+    (compat T3 — unbounded state is opt-in now), kafka-shaped sink
+    rows."""
     env_path, risk_path = stedi_dirs
     customers = derive_birth_year(
         parse_redis_envelope(file_stream(spark, env_path, KV_SCHEMA))
     )
     risks = parse_stedi_events(file_stream(spark, risk_path, KV_SCHEMA))
-    joined = join_risk(risks, customers)
+    joined = join_risk(risks, customers, compat_unbounded_state=True)
     sink = to_kafka_shape(joined, "email")
     got = run_to_memory(sink, "risk_sink").collect()
 
@@ -149,6 +150,101 @@ def test_stream_stream_join_with_watermark_runs(spark, stedi_dirs):
     joined = join_risk(risks, customers, watermarks=("rts", "cts"))
     got = run_to_memory(joined, "risk_wm")
     assert got.count() == 40
+
+
+def test_streaming_join_without_watermark_is_refused(spark, stedi_dirs):
+    """The watermarked join is the DEFAULT face: a streaming plan with
+    neither watermarks nor the explicit compat opt-in must fail loudly
+    instead of silently building unbounded state."""
+    env_path, risk_path = stedi_dirs
+    customers = derive_birth_year(
+        parse_redis_envelope(file_stream(spark, env_path, KV_SCHEMA))
+    )
+    risks = parse_stedi_events(file_stream(spark, risk_path, KV_SCHEMA))
+    with pytest.raises(ValueError, match="unbounded join state"):
+        join_risk(risks, customers)
+
+
+KV_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _run_collect_state(joined, name):
+    """Drain a streaming join into memory; return (row_count, final
+    join-state row total from the last progress event)."""
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+        state_rows = sum(op["numRowsTotal"] for op in prog["stateOperators"])
+    finally:
+        q.stop()
+    n = joined.sparkSession.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
+    return n, state_rows
+
+
+def test_watermarked_join_bounds_state_vs_compat(spark, tmp_path_factory):
+    """State-size assertion for the default face: with event times
+    advancing an hour per micro-batch and a 10-minute delay, the
+    watermarked+range join must (a) still emit every on-time pair and
+    (b) finish holding strictly fewer state rows than the compat
+    unbounded join over the same data."""
+    import datetime as dt
+
+    root = tmp_path_factory.mktemp("stedi_wm_state")
+    env_path, risk_path = str(root / "env"), str(root / "risk")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    env_rows = _envelope_rows()  # 20 customers
+    risk_rows = _stedi_rows()  # 40 events, 2 per customer
+    # 4 micro-batches, one hour apart; matching customer/risk rows get
+    # identical event times so every pair is on-time
+    for b in range(4):
+        ts = base + dt.timedelta(hours=b)
+        env_b = [(k, v, ts) for k, v in env_rows[b * 5 : (b + 1) * 5]]
+        risk_b = [
+            (k, v, ts)
+            for k, v in risk_rows
+            if int(k) % 20 // 5 == b  # risks for this batch's customers
+        ]
+        spark.createDataFrame(env_b, KV_TS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(env_path)
+        spark.createDataFrame(risk_b, KV_TS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(risk_path)
+
+    def build(watermarked: bool):
+        customers = derive_birth_year(
+            parse_redis_envelope(
+                file_stream(spark, env_path, KV_TS_SCHEMA), ts_col="ts"
+            )
+        )
+        risks = parse_stedi_events(
+            file_stream(spark, risk_path, KV_TS_SCHEMA), ts_col="ts"
+        ).withColumnRenamed("event_ts", "risk_event_ts")
+        if watermarked:
+            return join_risk(
+                risks,
+                customers,
+                watermarks=("risk_event_ts", "event_ts"),
+                delay="10 minutes",
+            )
+        return join_risk(risks, customers, compat_unbounded_state=True)
+
+    n_wm, state_wm = _run_collect_state(build(True), "wm_state_sink")
+    n_compat, state_compat = _run_collect_state(build(False), "compat_state_sink")
+    assert n_wm == n_compat == 40  # every pair on-time in both modes
+    assert state_wm < state_compat  # watermark + range predicate GC'd state
 
 
 @pytest.fixture(scope="module")

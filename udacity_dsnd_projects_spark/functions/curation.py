@@ -345,3 +345,74 @@ WITH d AS (
 SELECT doc_id, lang, blend FROM ranked
 WHERE rk <= CEIL(n_lang * {QUALITY_KEEP_PCT})
 """
+
+
+# --------------------------------------------------------------------------
+# Quality-aware duplicate-cluster representative (round-5 addition)
+# --------------------------------------------------------------------------
+def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the BEST member of each near-dup cluster instead of the
+    arbitrary min-id one: join the connected-component labels with the
+    composite quality score and keep the highest-quality doc per
+    component (ties broken to the smaller doc_id) — the curation
+    policy real pipelines use, where a near-dup cluster should retain
+    its cleanest copy, not its oldest. One row per component:
+    (component, n_members, keep_doc_id, keep_quality).
+
+    Scale shape: the component frame is pair-graph-sized (near-dup
+    docs only, orders of magnitude under the corpus); the quality join
+    keys on doc_id (high-cardinality); the argmax is a single
+    map-side-combined ``max(struct(quality, -doc_id))`` groupBy on the
+    component label — no window, no collect."""
+    from udacity_dsnd_projects_spark.functions.text import quality_score
+
+    comp = near_dup_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = comp.join(q, "doc_id")
+    best = j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+    )
+    return best.select(
+        "component",
+        "n_members",
+        (-F.col("b.neg_id")).cast("long").alias("keep_doc_id"),
+        F.col("b.quality").alias("keep_quality"),
+    )
+
+
+def _oracle_quality_subquery() -> str:
+    from udacity_dsnd_projects_spark.functions.text import ORACLE_QUALITY_SCORE
+
+    return f"(SELECT doc_id, quality FROM ({ORACLE_QUALITY_SCORE}) zq)"
+
+
+ORACLE_DEDUP_PRIORITY = f"""
+WITH RECURSIVE lsh AS ({_oracle_lsh_pairs("documents")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM lsh
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM walk GROUP BY node),
+q AS (SELECT * FROM {_oracle_quality_subquery()} zz),
+sel AS (
+  SELECT comp.component, comp.doc_id, q.quality
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+)
+SELECT component, n_members, doc_id AS keep_doc_id, quality AS keep_quality
+FROM (
+  SELECT s.*,
+         COUNT(*) OVER (PARTITION BY component) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM sel s
+) t WHERE rn = 1
+"""

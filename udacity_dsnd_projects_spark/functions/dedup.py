@@ -264,6 +264,10 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_h = _inc_history(spark, sf_dir).select(
         F.md5(F.col("text").cast("binary")).alias("h")
     )
+    # eager checkpoints bound re-evaluation: the branch-and-union below
+    # would otherwise recompute each subtree per consumer. Both
+    # materializations are BATCH-sized (new data) or BLOOM_BITS-bounded
+    # — never history-sized.
     g = (
         _inc_batch(spark, sf_dir)
         .groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
@@ -271,8 +275,13 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
             F.count("*").alias("n_copies"),
         )
+        .localCheckpoint(eager=True)
     )
-    bits = bloom_bits_for(hist_h, "h").withColumn("__present", F.lit(1))
+    bits = (
+        bloom_bits_for(hist_h, "h")
+        .withColumn("__present", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
     probes = g.select(
         "content_md5",
         F.explode(
@@ -292,7 +301,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_md5")
         .agg(F.count("__present").alias("__k_hits"))
     )
-    g = g.join(k_hits, "content_md5")
+    g = g.join(k_hits, "content_md5").localCheckpoint(eager=True)
     definite_new = g.filter(F.col("__k_hits") < BLOOM_K)
     cand = g.filter(F.col("__k_hits") == BLOOM_K)
     # verify join: candidates are small by construction, so broadcast

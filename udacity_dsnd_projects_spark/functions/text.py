@@ -380,3 +380,84 @@ SELECT g.doc_id,
 FROM grams g JOIN model m USING (bg)
 GROUP BY g.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram collocations by PMI (round-5 addition)
+# --------------------------------------------------------------------------
+#: Minimum bigram frequency before a PMI score is emitted — standard
+#: collocation-mining floor (PMI of rare pairs is pure noise, and the
+#: cap keeps the output vocabulary² in theory, frequency-bounded in
+#: practice).
+PMI_MIN_COUNT = 5
+
+
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: pointwise mutual information of adjacent
+    token pairs, ``ln(c12·N / (c1·c2))`` with left/right marginal
+    counts — the classic phrase-mining / tokenizer-vocabulary signal
+    (engine addition; reference has no text analytics).
+
+    Scale shape: ONE corpus scan explodes adjacent pairs (``zip_with``
+    over the token array — JVM, no UDF) into a single map-side-combined
+    pair-count groupBy; the marginals and the total then derive from
+    that (much smaller, vocabulary²-bounded, frequency-bounded in
+    practice) counts table — ``c1 = Σ_w2 c12`` etc. — which is eagerly
+    checkpointed so its four consumers don't re-scan the corpus. The
+    joins key on words — high-cardinality, AQE handles hot stopword
+    pairs — and the 1-row total broadcasts via cross join, the same
+    shape as ``source_mixture_weights``. No windows, no driver-side
+    data."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(tokens_col(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.groupBy().agg(F.sum("c12").alias("n_big"))
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("n_big"))
+        / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    return (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", F.round(pmi, 5).alias("pmi"))
+    )
+
+
+ORACLE_TOKEN_BIGRAM_PMI = rf"""
+WITH d AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+), e AS (
+  SELECT unnest(list_transform(range(1, len(tk)), j ->
+           struct_pack(w1 := tk[j], w2 := tk[j+1]))) AS bg FROM d
+), p AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM e),
+tot AS (SELECT COUNT(*) AS n_big FROM p),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM p GROUP BY w1),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM p GROUP BY w2)
+SELECT c12.w1, c12.w2, c12.c12,
+       ROUND(ln((CAST(c12.c12 AS DOUBLE) * tot.n_big)
+                / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 5) AS pmi
+FROM c12, tot
+JOIN c1 ON c12.w1 = c1.w1 JOIN c2 ON c12.w2 = c2.w2
+WHERE c12.c12 >= {PMI_MIN_COUNT}
+"""

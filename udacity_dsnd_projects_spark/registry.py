@@ -81,6 +81,10 @@ register(
 register(
     "incremental_dedup", _dedup.incremental_dedup, _dedup.ORACLE_INCREMENTAL_DEDUP
 )
+# NEW: quality-aware near-dup cluster representative
+register("dedup_priority", _cur.dedup_priority, _cur.ORACLE_DEDUP_PRIORITY)
+# NEW: bigram collocations by PMI
+register("token_bigram_pmi", _text.token_bigram_pmi, _text.ORACLE_TOKEN_BIGRAM_PMI)
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
@@ -176,8 +180,6 @@ register(
 )
 register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
 register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
-register("scd2_history", _win.scd2_history, _win.ORACLE_SCD2_HISTORY)
-register("perplexity_score", _text.perplexity_score, _text.ORACLE_PERPLEXITY_SCORE)
 register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 
 # ==========================================================================
@@ -189,6 +191,8 @@ register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 # ==========================================================================
 
 # rotated out this round (r4 green, implementations untouched)
+register("scd2_history", _win.scd2_history, _win.ORACLE_SCD2_HISTORY)
+register("perplexity_score", _text.perplexity_score, _text.ORACLE_PERPLEXITY_SCORE)
 register(
     "redis_envelope_decode", _env.redis_envelope_decode, _env.ORACLE_REDIS_ENVELOPE_DECODE
 )
@@ -322,6 +326,8 @@ _ROUND5_NEEDS_VERDICT = (
     "mixture_sample",
     "mixture_sample_accounting",
     "incremental_dedup",
+    "dedup_priority",
+    "token_bigram_pmi",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",

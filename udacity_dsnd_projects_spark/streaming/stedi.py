@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from udacity_dsnd_projects_spark.schemas import CUSTOMER_RECORD, REDIS_SERVER, STEDI_EVENT
 
 
-def parse_redis_envelope(kv: DataFrame, compat_first_entry_only: bool = True) -> DataFrame:
+def parse_redis_envelope(
+    kv: DataFrame,
+    compat_first_entry_only: bool = True,
+    ts_col: str | None = None,
+) -> DataFrame:
     """Steps 3-6 of §3.1: cast → ``from_json`` envelope → star-expand →
     ``zSetEntries[0].element`` → ``unbase64`` → parse customer JSON.
 
@@ -26,45 +30,59 @@ def parse_redis_envelope(kv: DataFrame, compat_first_entry_only: bool = True) ->
     ``compat_first_entry_only=True`` preserves the reference's quirk of
     reading only the first zset entry (``sparkpykafkajoin.py:80-82``);
     False is the idiomatic mode: explode every entry.
-    """
-    envelope = kv.withColumn("v", F.from_json(F.col("value"), REDIS_SERVER)).select("v.*")
+
+    ``ts_col`` names an event-time column on ``kv`` (the Kafka message
+    ``timestamp`` in production) to carry through the projection as
+    ``event_ts`` — the handle the watermarked default of
+    :func:`join_risk` needs to bound join state."""
+    carry = [F.col(ts_col).alias("event_ts")] if ts_col else []
+    envelope = kv.withColumn("v", F.from_json(F.col("value"), REDIS_SERVER)).select(
+        "v.*", *carry
+    )
     if compat_first_entry_only:
         encoded = envelope.select(
-            F.col("zSetEntries")[0]["element"].alias("encodedCustomer")
+            F.col("zSetEntries")[0]["element"].alias("encodedCustomer"),
+            *(["event_ts"] if ts_col else []),
         )
     else:
         encoded = envelope.select(
-            F.explode("zSetEntries").alias("entry")
-        ).select(F.col("entry.element").alias("encodedCustomer"))
-    return (
-        encoded.withColumn(
-            "customer",
-            F.from_json(F.unbase64("encodedCustomer").cast("string"), CUSTOMER_RECORD),
+            F.explode("zSetEntries").alias("entry"),
+            *(["event_ts"] if ts_col else []),
+        ).select(
+            F.col("entry.element").alias("encodedCustomer"),
+            *(["event_ts"] if ts_col else []),
         )
-        .select("customer.*")
-    )
+    return encoded.withColumn(
+        "customer",
+        F.from_json(F.unbase64("encodedCustomer").cast("string"), CUSTOMER_RECORD),
+    ).select("customer.*", *(["event_ts"] if ts_col else []))
 
 
 def derive_birth_year(customers: DataFrame) -> DataFrame:
     """Step 7 of §3.1: null-reject filter (P6) + birthYear derivation
-    (F1): ``split(birthDay, "-")[0]`` (``sparkpykafkajoin.py:95-105``)."""
+    (F1): ``split(birthDay, "-")[0]`` (``sparkpykafkajoin.py:95-105``).
+    An ``event_ts`` column carried by the parse step passes through."""
+    carry = ["event_ts"] if "event_ts" in customers.columns else []
     return (
         customers.filter(F.col("email").isNotNull() & F.col("birthDay").isNotNull())
         .select(
             "email",
             F.split(F.col("birthDay"), "-").getItem(0).alias("birthYear"),
+            *carry,
         )
     )
 
 
-def parse_stedi_events(kv: DataFrame) -> DataFrame:
+def parse_stedi_events(kv: DataFrame, ts_col: str | None = None) -> DataFrame:
     """Step 8 of §3.1: parse ``stedi-events`` JSON and project the join
     columns (``sparkpykafkajoin.py:120-125``: ``SELECT customer,
-    score``)."""
+    score``). ``ts_col`` carries an event-time column through as
+    ``event_ts`` (see :func:`parse_redis_envelope`)."""
+    carry = [F.col(ts_col).alias("event_ts")] if ts_col else []
     return (
         kv.withColumn("v", F.from_json(F.col("value"), STEDI_EVENT))
-        .select("v.*")
-        .select("customer", "score")
+        .select("v.*", *carry)
+        .select("customer", "score", *(["event_ts"] if ts_col else []))
     )
 
 
@@ -72,20 +90,47 @@ def join_risk(
     risks: DataFrame,
     customers: DataFrame,
     watermarks: tuple[str, str] | None = None,
+    *,
+    delay: str = "1 hour",
+    compat_unbounded_state: bool = False,
 ) -> DataFrame:
     """Step 9 of §3.1 — the stream-stream inner equi-join
     (``sparkpykafkajoin.py:128-130``: ``join(..., expr("customer =
     email"))``).
 
-    Compat mode (``watermarks=None``) reproduces the reference exactly:
-    no watermark, so streaming state is unbounded on both sides (T3 —
-    documented deviation source). Idiomatic mode passes
-    ``(risk_ts_col, customer_ts_col)`` event-time columns and applies
-    ``withWatermark`` on both sides so state is GC-able — required at
-    production scale.
+    The WATERMARKED form is the default face for streaming inputs:
+    pass ``watermarks=(risk_ts_col, customer_ts_col)`` (e.g. the
+    ``event_ts`` the parse steps carry; the two names must differ so
+    the range predicate is unambiguous) and both sides get
+    ``withWatermark(..., delay)`` PLUS an event-time range predicate
+    ``|risk_ts − customer_ts| ≤ delay`` in the join condition — both
+    are required for Spark to GC each side's join state (a watermark
+    alone never evicts stream-stream join state, because without a
+    time bound any old row could still match). This is the only form
+    that survives an unbounded stream (T3); rows pair iff they arrive
+    within ``delay`` of each other in event time.
+
+    The reference's exact behavior — no watermark, state grows with
+    every row ever seen (``sparkpykafkajoin.py:128-130``) — is the
+    documented T3 deviation and sits behind
+    ``compat_unbounded_state=True``; building a streaming plan without
+    either is refused loudly rather than silently shipping an
+    unbounded-state join. Batch inputs (the oracle face) need neither.
     """
     if watermarks is not None:
         risk_ts, cust_ts = watermarks
-        risks = risks.withWatermark(risk_ts, "1 hour")
-        customers = customers.withWatermark(cust_ts, "1 hour")
+        risks = risks.withWatermark(risk_ts, delay)
+        customers = customers.withWatermark(cust_ts, delay)
+        cond = F.expr(
+            f"customer = email AND {risk_ts} BETWEEN "
+            f"{cust_ts} - INTERVAL {delay} AND {cust_ts} + INTERVAL {delay}"
+        )
+        return risks.join(customers, cond, "inner")
+    if (risks.isStreaming or customers.isStreaming) and not compat_unbounded_state:
+        raise ValueError(
+            "join_risk: streaming inputs without watermarks accumulate "
+            "unbounded join state. Pass watermarks=(risk_ts, customer_ts) "
+            "(the default face; parse steps carry event_ts for this), or "
+            "opt into the reference's quirk with compat_unbounded_state=True."
+        )
     return risks.join(customers, F.expr("customer = email"), "inner")
