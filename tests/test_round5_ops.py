@@ -204,3 +204,43 @@ def test_dedup_priority_keeps_best_quality_member(spark, sf_dir):
             r.keep_doc_id
             == members[members["quality"] == best_q]["doc_id"].min()
         )
+
+
+# --------------------------------------------------------------------------
+# robust_scale
+# --------------------------------------------------------------------------
+def test_robust_scale_bounds_are_exact_percentile_values(spark, sf_dir):
+    import math
+
+    from udacity_dsnd_projects_spark.functions import pipeline as p
+
+    out = p.robust_scale(spark, sf_dir).toPandas()
+    for lang, grp in out.groupby("lang"):
+        srt = sorted(grp["n_tok"])
+        n = len(srt)
+        lo = srt[max(1, math.ceil(p.WINSOR_LO * n)) - 1]
+        hi = srt[math.ceil(p.WINSOR_HI * n) - 1]
+        assert set(grp["lo_val"]) == {lo}
+        assert set(grp["hi_val"]) == {hi}
+        assert (grp["winsorized"] == grp["n_tok"].clip(lo, hi)).all()
+
+
+# --------------------------------------------------------------------------
+# quantized_cosine_topk
+# --------------------------------------------------------------------------
+def test_quantized_topk_tracks_float_cosine(spark, sf_dir):
+    """8-bit quantization is lossy but bounded: every pair ranked by
+    both faces scores within quantization noise of the float cosine,
+    each query returns exactly k rows, and the two top-k sets overlap
+    somewhere (the synthetic corpus is near-random, so exact rank
+    agreement is not expected)."""
+    from udacity_dsnd_projects_spark.functions import similarity as s
+
+    q = s.quantized_cosine_topk(spark, sf_dir).toPandas()
+    f = s.cosine_topk_bruteforce(spark, sf_dir).toPandas()
+    assert set(q["query_id"]) == set(f["query_id"])
+    assert (q.groupby("query_id")["vec_id"].count() == s.TOP_K).all()
+    both = q.merge(f, on=["query_id", "vec_id"])
+    assert (both["q_cosine"] - both["cosine"]).abs().max() < 0.1
+    total_overlap = len(both)
+    assert total_overlap > 0

@@ -876,3 +876,78 @@ SELECT w.source, w.weight,
        COALESCE(got.achieved_tokens, 0) AS achieved_tokens
 FROM w LEFT JOIN got ON w.source = got.source
 """
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust scaling (round-5 addition)
+# --------------------------------------------------------------------------
+#: Winsorization percentiles (clamp below/above these per-stratum ranks).
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-stratum scaling: clamp each document's token
+    count at its language's EXACT 5th/95th-percentile values — the
+    outlier-robust normalization used before z-scoring heavy-tailed
+    features (a mega-doc shouldn't drag the stratum mean).
+
+    "Exact percentile" means the value at rank ``ceil(q·n)`` under the
+    total order ``(n_tok, doc_id)`` — computed with
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    (groups × buckets parallel windows, no per-language funnel). The
+    two bound rows per language are metadata-sized and broadcast back;
+    clamping is pure JVM arithmetic on the scan."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", "lang", F.size(_toks()).cast("long").alias("n_tok"))
+    ranked = exact_group_rank(
+        d, ["lang"], "n_tok", ["doc_id"], rank_col="rk", count_col="n"
+    ).localCheckpoint(eager=True)
+    lo_b = (
+        ranked.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.lit(WINSOR_LO) * F.col("n")))
+        )
+        .groupBy("lang")
+        .agg(F.min("n_tok").alias("lo_val"))
+    )
+    hi_b = (
+        ranked.filter(F.col("rk") == F.ceil(F.lit(WINSOR_HI) * F.col("n")))
+        .groupBy("lang")
+        .agg(F.min("n_tok").alias("hi_val"))
+    )
+    return (
+        ranked.join(F.broadcast(lo_b), "lang")
+        .join(F.broadcast(hi_b), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "lo_val",
+            "hi_val",
+            F.least(F.greatest(F.col("n_tok"), F.col("lo_val")), F.col("hi_val"))
+            .alias("winsorized"),
+        )
+    )
+
+
+ORACLE_ROBUST_SCALE = rf"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(len({_ORACLE_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM d
+), lo AS (
+  SELECT lang, MIN(n_tok) AS lo_val FROM r
+  WHERE rk = GREATEST(1, CEIL({WINSOR_LO} * n)) GROUP BY lang
+), hi AS (
+  SELECT lang, MIN(n_tok) AS hi_val FROM r
+  WHERE rk = CEIL({WINSOR_HI} * n) GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_tok, lo.lo_val, hi.hi_val,
+       LEAST(GREATEST(d.n_tok, lo.lo_val), hi.hi_val) AS winsorized
+FROM d JOIN lo ON d.lang = lo.lang JOIN hi ON d.lang = hi.lang
+"""

@@ -472,3 +472,112 @@ SELECT vec_id, ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
        codes[1] AS q_first, codes[-1] AS q_last
 FROM q
 """
+
+
+# --------------------------------------------------------------------------
+# Quantized cosine top-k (round-5 addition)
+# --------------------------------------------------------------------------
+def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over the INT8-quantized index — closing the
+    quantization loop: :func:`quantize_embedding` shrinks the index
+    4×, this operator searches it. Scoring DEQUANTIZES on the fly
+    (``x ≈ lo + code·(hi−lo)/255`` — searching raw unsigned codes
+    would rank by a shifted, meaningless cosine) and ranks per query
+    by the reconstructed cosine; only (codes, lo, hi) are read, so a
+    store holding just the quantized index serves the query.
+
+    Scale shape: same as :func:`cosine_topk_bruteforce` — the bounded
+    query set broadcasts, the corpus scans once, and the ``rank<=k``
+    filter rides Catalyst's WindowGroupLimit pushdown (map-side
+    pre-limit before the per-query sort). Zero-norm vectors score 0;
+    all fold arithmetic is sequential in both engines."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    lo, hi, codes = quantize_embedding(F.col("v"))
+    deq = F.transform(
+        F.col("c"),
+        lambda x: F.col("lo") + x.cast("double") * (F.col("hi") - F.col("lo")) / F.lit(255.0),
+    )
+    qz = (
+        emb.select("vec_id", lo.alias("lo"), hi.alias("hi"), codes.alias("c"))
+        .withColumn("dv", deq)
+        .select("vec_id", "dv", _norm(F.col("dv")).alias("nrm"))
+    )
+    queries = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dv").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = qz.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "cos_raw",
+        F.when(
+            (F.col("qnrm") > 0) & (F.col("nrm") > 0),
+            _dot(F.col("qv"), F.col("dv")) / (F.col("qnrm") * F.col("nrm")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round("cos_raw", 5) + F.lit(0.0)).alias("q_cosine"),
+            "rn",
+        )
+    )
+
+
+#: codes + per-vector (lo, hi) — the serialized quantized index.
+_ORACLE_Q8 = """
+  SELECT vec_id, list_min(v) AS lo, list_max(v) AS hi,
+         CASE WHEN list_max(v) > list_min(v) THEN
+           list_transform(v, x -> CAST(round((x - list_min(v))
+             / ((list_max(v) - list_min(v)) / 255.0), 0) AS BIGINT))
+         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) e
+"""
+
+_ORACLE_SEQ_SUM = "(a, x) -> a + x"
+
+ORACLE_QUANTIZED_COSINE_TOPK = f"""
+WITH q8 AS ({_ORACLE_Q8}),
+dq AS (
+  SELECT vec_id,
+         list_transform(c, x -> lo + CAST(x AS DOUBLE) * (hi - lo) / 255.0)
+           AS dv
+  FROM q8
+), n8 AS (
+  SELECT vec_id, dv,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(dv, x -> x * x)),
+                          {_ORACLE_SEQ_SUM})) AS nrm
+  FROM dq
+), qs AS (
+  SELECT vec_id AS query_id, dv AS qv, nrm AS qnrm FROM n8
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT qs.query_id, n8.vec_id,
+         CASE WHEN qs.qnrm > 0 AND n8.nrm > 0 THEN
+           list_reduce(list_prepend(0.0,
+             list_transform(range(1, len(qs.qv) + 1),
+                            i -> qs.qv[i] * n8.dv[i])), {_ORACLE_SEQ_SUM})
+           / (qs.qnrm * n8.nrm)
+         ELSE 0.0 END AS cos_raw
+  FROM n8 JOIN qs ON n8.vec_id <> qs.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos_raw, 5) + 0.0 AS q_cosine, rn
+FROM ranked WHERE rn <= {TOP_K}
+"""

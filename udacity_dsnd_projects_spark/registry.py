@@ -85,6 +85,14 @@ register(
 register("dedup_priority", _cur.dedup_priority, _cur.ORACLE_DEDUP_PRIORITY)
 # NEW: bigram collocations by PMI
 register("token_bigram_pmi", _text.token_bigram_pmi, _text.ORACLE_TOKEN_BIGRAM_PMI)
+# NEW: winsorized per-stratum scaling on exact ranks
+register("robust_scale", _pipe.robust_scale, _pipe.ORACLE_ROBUST_SCALE)
+# NEW: top-k retrieval over the int8-quantized index
+register(
+    "quantized_cosine_topk",
+    _sim.quantized_cosine_topk,
+    _sim.ORACLE_QUANTIZED_COSINE_TOPK,
+)
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
@@ -178,8 +186,6 @@ register(
     _joins.interval_count_join,
     _joins.ORACLE_INTERVAL_COUNT_JOIN,
 )
-register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
-register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
 register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 
 # ==========================================================================
@@ -191,6 +197,8 @@ register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 # ==========================================================================
 
 # rotated out this round (r4 green, implementations untouched)
+register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
+register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
 register("scd2_history", _win.scd2_history, _win.ORACLE_SCD2_HISTORY)
 register("perplexity_score", _text.perplexity_score, _text.ORACLE_PERPLEXITY_SCORE)
 register(
@@ -328,6 +336,8 @@ _ROUND5_NEEDS_VERDICT = (
     "incremental_dedup",
     "dedup_priority",
     "token_bigram_pmi",
+    "robust_scale",
+    "quantized_cosine_topk",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
