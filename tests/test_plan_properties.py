@@ -47,3 +47,56 @@ def test_hot_paths_stay_wholestage_codegen(spark, sf_dir):
     for name in ("repetition_score", "string_normalize", "cast_projection"):
         plan = _plan(spark, sf_dir, name)
         assert "*(" in plan, name
+
+
+def test_mixture_sample_is_scan_plus_broadcast_only(spark, sf_dir):
+    # the sampler must be a corpus scan + broadcast weights join — the
+    # sampled corpus streams out with NO shuffle exchange of doc rows
+    plan = _plan(spark, sf_dir, "mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    tail = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in tail
+
+
+def test_incremental_dedup_never_shuffles_history(spark, sf_dir):
+    # both verify joins broadcast the candidate-sized side; the only
+    # live FileScan is the history verify scan, and it must feed a
+    # broadcast join, not a shuffle exchange
+    plan = _plan(spark, sf_dir, "incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan") == 1  # batch+bits subtrees checkpointed
+    assert "SortMergeJoin" not in plan
+
+
+def test_robust_scale_windows_partition_by_bucket(spark, sf_dir):
+    # the exact-rank window must partition by (lang, bucket), never by
+    # the low-cardinality lang alone. robust_scale checkpoints the
+    # ranked frame (its final plan is window-free — also asserted), so
+    # the window property is checked on the pre-checkpoint rank plan.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.functions.pipeline import _toks
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(_toks()).cast("long").alias("n_tok")
+    )
+    ranked = exact_group_rank(d, ["lang"], "n_tok", ["doc_id"], rank_col="rk")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert wins, plan[:2000]
+    for ln in wins:
+        assert "__rank_bkt" in ln, ln
+    assert "Window" not in _plan(spark, sf_dir, "robust_scale")
+
+
+def test_token_bigram_pmi_single_corpus_scan(spark, sf_dir):
+    # marginals derive from the checkpointed pair-counts table: the
+    # final plan re-reads NO parquet (the one corpus scan happened at
+    # checkpoint build) and totals ride a broadcast nested loop
+    plan = _plan(spark, sf_dir, "token_bigram_pmi")
+    assert plan.count("FileScan") == 0
+    assert "BroadcastNestedLoopJoin" in plan
