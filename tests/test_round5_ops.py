@@ -244,3 +244,35 @@ def test_quantized_topk_tracks_float_cosine(spark, sf_dir):
     assert (both["q_cosine"] - both["cosine"]).abs().max() < 0.1
     total_overlap = len(both)
     assert total_overlap > 0
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup
+# --------------------------------------------------------------------------
+def test_semantic_dedup_survivors_are_pairwise_dissimilar(spark, sf_dir):
+    """Applying the drop-list must leave no same-cluster survivor pair
+    at/above the threshold: a survivor by definition has no lower-id
+    member above it, which covers every survivor pair."""
+    import numpy as np
+
+    from udacity_dsnd_projects_spark.functions import similarity as s
+
+    members = s._cluster_members(spark, sf_dir).toPandas()
+    dropped = set(s.semantic_dedup(spark, sf_dir).toPandas()["vec_id"])
+    assert dropped, "synthetic corpus should produce some semantic dups"
+    surv = members[~members["vec_id"].isin(dropped)]
+    for _, grp in surv.groupby("cluster"):
+        vecs = np.array([list(v) for v in grp["v"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        cos = (vecs @ vecs.T) / np.outer(norms, norms)
+        np.fill_diagonal(cos, 0.0)
+        assert cos.round(5).max() < s.SEMDEDUP_COSINE
+
+
+def test_semantic_dedup_oversize_cluster_guard(spark, sf_dir, monkeypatch):
+    from udacity_dsnd_projects_spark.functions import similarity as s
+
+    assert s.oversize_clusters(spark, sf_dir).count() == 0
+    monkeypatch.setattr(s, "SEMDEDUP_MAX_CLUSTER", 2)
+    over = s.oversize_clusters(spark, sf_dir)
+    assert over.count() > 0  # undersized K is observable, not an OOM

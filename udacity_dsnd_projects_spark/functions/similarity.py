@@ -581,3 +581,177 @@ dq AS (
 SELECT query_id, vec_id, ROUND(cos_raw, 5) + 0.0 AS q_cosine, rn
 FROM ranked WHERE rn <= {TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape, round-5 addition)
+# --------------------------------------------------------------------------
+#: Cosine threshold above which two same-cluster vectors count as
+#: semantic duplicates. The synthetic corpus's similarity tail tops
+#: out near 0.5, so the demo threshold sits inside it; a production
+#: run uses ~0.95+ (SemDeDup's epsilon).
+SEMDEDUP_COSINE = 0.3
+#: Max members per cluster before the cluster is excluded from pair
+#: expansion — same guard family as ``dedup.MAX_BUCKET_SIZE`` /
+#: ``joins.FUZZY_MAX_BLOCK``. SemDeDup's contract is that K scales
+#: with corpus size (K ~ O(sqrt N)) so clusters stay small; this cap
+#: makes a mis-sized K fail visibly (dropped clusters are observable
+#: via :func:`oversize_clusters`) instead of OOMing an executor.
+SEMDEDUP_MAX_CLUSTER = 256
+
+
+def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, vec_id, v): every embedding labeled with its nearest
+    first-K centroid — the SemDeDup coarse-quantization step, zero
+    shuffles (centroids are inlined literals)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        _nearest,
+        first_k_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = first_k_centroids(emb)
+    return emb.select(
+        _nearest(cent)["cluster"].alias("cluster"), "vec_id", "v"
+    )
+
+
+def oversize_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting face of the :data:`SEMDEDUP_MAX_CLUSTER` guard: the
+    (cluster, n_members) rows :func:`semantic_dedup` refuses to
+    expand — the signal that K is undersized for the corpus."""
+    return (
+        _cluster_members(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > SEMDEDUP_MAX_CLUSTER)
+    )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et
+    al. 2023, arXiv:2303.09540): cluster the embeddings (k-means
+    coarse quantization — the corpus never does all-pairs, only
+    within-cluster pairs), then inside each cluster mark every vector
+    whose cosine to a LOWER-id member exceeds the threshold as a
+    duplicate of that member. One row per dropped vector:
+    (vec_id, cluster, n_better, ref_id, cosine) where ref_id is the
+    highest-cosine lower-id member (ties to the smaller id) and
+    n_better counts qualifying members — the drop-list + provenance a
+    curation pipeline applies as an anti-join.
+
+    Scale shape: nearest-centroid assignment is a zero-shuffle scan
+    (inlined centroid literals); per-cluster sizes come from a
+    groupBy + broadcast join (no low-cardinality window; the
+    ``fuzzy_name_pairs`` cap pattern) and oversized clusters are
+    excluded BEFORE ``collect_list``; in-row pair expansion is bounded
+    by :data:`SEMDEDUP_MAX_CLUSTER`. K must scale with corpus size —
+    the cap turns a mis-sized K into missing (observable) clusters,
+    never an executor OOM."""
+    members = _cluster_members(spark, sf_dir)
+    sizes = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+    grouped = (
+        members.join(
+            F.broadcast(sizes.filter(F.col("__n") <= SEMDEDUP_MAX_CLUSTER)),
+            "cluster",
+        )
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = grouped.select(
+        "cluster",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size("ms")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("cluster", "p.a", "p.b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        5,
+    )
+    hits = pairs.withColumn("cos", cos).filter(
+        F.col("cos") >= SEMDEDUP_COSINE
+    )
+    return (
+        hits.groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.first("cluster").alias("cluster"),
+            F.count(F.lit(1)).alias("n_better"),
+            F.max(
+                F.struct(F.col("cos"), (-F.col("a.vec_id")).alias("neg_ref"))
+            ).alias("bst"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            "n_better",
+            (-F.col("bst.neg_ref")).cast("long").alias("ref_id"),
+            F.col("bst.cos").alias("cosine"),
+        )
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    from udacity_dsnd_projects_spark.functions.pipeline import KMEANS_K
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {KMEANS_K}
+), scored AS (
+  SELECT e.vec_id, c.cluster,
+         ROUND(sqrt(list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+           (acc, x) -> acc + x)), 5) AS l2
+  FROM e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY l2, cluster) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), m AS (
+  SELECT asg.cluster, asg.vec_id, e.v,
+         COUNT(*) OVER (PARTITION BY asg.cluster) AS n_in_cluster
+  FROM asg JOIN e ON asg.vec_id = e.vec_id
+), hits AS (
+  SELECT a.cluster, a.vec_id AS ref_cand, b.vec_id AS vec_id,
+         ROUND(
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)),
+                               (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)),
+                                 (acc, x) -> acc + x))), 5) AS cos
+  FROM m a JOIN m b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+   AND a.n_in_cluster <= {SEMDEDUP_MAX_CLUSTER}
+   AND b.n_in_cluster <= {SEMDEDUP_MAX_CLUSTER}
+), q AS (
+  SELECT * FROM hits WHERE cos >= {SEMDEDUP_COSINE}
+)
+SELECT vec_id, cluster, n_better, ref_id, cosine FROM (
+  SELECT q.vec_id, q.cluster, q.ref_cand AS ref_id, q.cos AS cosine,
+         COUNT(*) OVER (PARTITION BY q.vec_id) AS n_better,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY q.cos DESC, q.ref_cand) AS rn
+  FROM q
+) z WHERE rn = 1
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()

@@ -93,6 +93,8 @@ register(
     _sim.quantized_cosine_topk,
     _sim.ORACLE_QUANTIZED_COSINE_TOPK,
 )
+# NEW: SemDeDup-shape within-cluster embedding dedup
+register("semantic_dedup", _sim.semantic_dedup, _sim.ORACLE_SEMANTIC_DEDUP)
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
@@ -180,7 +182,6 @@ register(
     _corp.embedding_centroids,
     _corp.ORACLE_EMBEDDING_CENTROIDS,
 )
-register("iqr_outliers", _an.iqr_outliers, _an.ORACLE_IQR_OUTLIERS)
 register(
     "interval_count_join",
     _joins.interval_count_join,
@@ -197,6 +198,7 @@ register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 # ==========================================================================
 
 # rotated out this round (r4 green, implementations untouched)
+register("iqr_outliers", _an.iqr_outliers, _an.ORACLE_IQR_OUTLIERS)
 register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
 register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
 register("scd2_history", _win.scd2_history, _win.ORACLE_SCD2_HISTORY)
@@ -338,6 +340,7 @@ _ROUND5_NEEDS_VERDICT = (
     "token_bigram_pmi",
     "robust_scale",
     "quantized_cosine_topk",
+    "semantic_dedup",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
