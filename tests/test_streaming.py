@@ -826,6 +826,52 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path_factory):
     assert {r["doc_id"] for r in batch.collect()} == got
 
 
+def test_near_dup_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming fuzzy dedup: new docs stream against a static LSH
+    band index; an exact re-crawl and a lightly mutated copy are
+    flagged with the same candidates + scores the batch face finds,
+    and unrelated text passes clean."""
+    from udacity_dsnd_projects_spark.functions.dedup import minhash_bands_for
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.stateful import near_dup_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    hist = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    index = minhash_bands_for(hist).localCheckpoint(eager=True)
+
+    base = {r["doc_id"]: r["text"] for r in hist.filter(F.col("doc_id") < 6).collect()}
+    mutated = base[5].rsplit(" ", 1)[0] + " zzzmutation"
+    root = tmp_path_factory.mktemp("neardup_stream")
+    path = str(root / "rows")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = [(9000001, base[3]), (9000002, "zzz qqq vvv kkk jjj www uuu ppp")]
+    b2 = [(9000003, mutated)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    got_rows = run_to_memory(
+        near_dup_stream(file_stream(spark, path, schema), index), "near_dup_stream"
+    ).collect()
+    got = {(r["doc_id"], r["hist_doc_id"], r["est_jaccard"]) for r in got_rows}
+    # batch reference: identical pipeline over the same static rows
+    want_rows = near_dup_stream(
+        spark.read.schema(schema).parquet(path), index
+    ).collect()
+    want = {(r["doc_id"], r["hist_doc_id"], r["est_jaccard"]) for r in want_rows}
+    assert got == want
+    # the exact re-crawl hits its source at est_jaccard 1.0
+    assert (9000001, 3, 1.0) in got
+    # the mutated copy still collides with its source over threshold
+    assert any(d == 9000003 and h == 5 for d, h, _ in got)
+    # gibberish stays clean
+    assert not any(d == 9000002 for d, _, _ in got)
+
+
 def test_url_dedup_stream_equals_batch(spark, tmp_path_factory):
     """Crawl-frontier shape: a stream of raw URLs is normalized with
     the SAME expression chain as the batch face and deduped on the

@@ -624,15 +624,10 @@ def oversize_buckets(bands: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands_for(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh, band, key) exploded banding rows — the shared input
-    of :func:`lsh_pairs_for` and :func:`oversize_buckets`. Signatures
-    come from the vectorized kernel (measured faster than the JVM
-    expression face even at test scale, and the gap widens with
-    per-row lambda-interpretation cost at corpus scale); the JVM face
-    remains the registered oracle reference and is asserted
-    bit-identical in tests."""
-    sigs = signatures_vectorized(docs)
+def bands_for_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, mh, band, key) exploded banding rows from any
+    (doc_id, mh) signature frame — batch or streaming (pure JVM
+    expressions, no state)."""
     return sigs.select(
         "doc_id",
         "mh",
@@ -654,6 +649,17 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "mh", "bk.band", "bk.key")
+
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, band, key) exploded banding rows — the shared input
+    of :func:`lsh_pairs_for` and :func:`oversize_buckets`. Signatures
+    come from the vectorized kernel (measured faster than the JVM
+    expression face even at test scale, and the gap widens with
+    per-row lambda-interpretation cost at corpus scale); the JVM face
+    remains the registered oracle reference and is asserted
+    bit-identical in tests."""
+    return bands_for_sigs(signatures_vectorized(docs))
 
 
 def lsh_pairs_for(docs: DataFrame) -> DataFrame:

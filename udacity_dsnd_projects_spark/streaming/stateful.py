@@ -82,6 +82,64 @@ def incremental_dedup_stream(
     )
 
 
+def near_dup_stream(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup detection against a static MinHash-LSH band
+    index — the fuzzy sibling of :func:`incremental_dedup_stream`: a
+    stream of new documents is signature-banded with the SAME JVM
+    expressions as the batch face
+    (:func:`~udacity_dsnd_projects_spark.functions.dedup.signatures_for`
+    + ``bands_for_sigs`` — streaming-safe, no Python, no state) and
+    joined stream-static against the snapshot's band index; colliding
+    candidates are scored by estimated Jaccard (fraction of matching
+    signature rows) and pairs over ``threshold`` flow downstream as
+    (doc_id, hist_doc_id, est_jaccard).
+
+    ``index_bands`` is ``minhash_bands_for(history)`` materialized —
+    at scale a bucketed table keyed on (band, key) so the stream-side
+    probe prunes. Band collisions produce duplicate candidate rows
+    across micro-batches; ``dropDuplicates`` keeps the first (compat
+    unbounded state — compose with a watermark column for the bounded
+    form, as in :func:`dedup_stream`)."""
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        NUM_PERM,
+        bands_for_sigs,
+        signatures_for,
+    )
+
+    if threshold is None:
+        from udacity_dsnd_projects_spark.functions.dedup import JACCARD_THRESHOLD
+
+        threshold = JACCARD_THRESHOLD
+    bands = bands_for_sigs(signatures_for(new_docs))
+    hist = index_bands.select(
+        "band",
+        "key",
+        F.col("doc_id").alias("hist_doc_id"),
+        F.col("mh").alias("hist_mh"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mh", "hist_mh", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / NUM_PERM
+    )
+    return (
+        bands.join(hist, ["band", "key"])
+        .withColumn("est_jaccard", F.round(est, 5))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id", "hist_doc_id", "est_jaccard")
+        .dropDuplicates(["doc_id", "hist_doc_id"])
+    )
+
+
 def latest_per_key_stateful(
     updates: DataFrame,
     key_col: str,
