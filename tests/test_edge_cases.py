@@ -137,3 +137,67 @@ def test_substring_dedup_and_url_ops_on_tiny_docs(spark, sf_dir):
     )
     got = tiny.select((normalize_url(F.col("url")) == F.col("want")).alias("ok"))
     assert all(r["ok"] for r in got.collect())
+
+
+def test_exact_rank_property_random_frames(spark):
+    """Property check: exact_group_rank / exact_group_cumsum reproduce
+    the window functions bit-for-bit on adversarial frames — NULL group
+    keys, heavy duplicate order values, single-element groups, skewed
+    group sizes, ascending and descending — across bucket counts that
+    force multi-bucket splits."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_cumsum,
+        exact_group_rank,
+    )
+
+    rng = random.Random(20260814)
+    groups = ["a", "b", None, "c"]
+    rows = [
+        (
+            rng.choice(groups),
+            float(rng.choice([1, 1, 2, 5, 5, 5, 9, 100])),  # heavy ties
+            i,
+            rng.randint(0, 50),
+        )
+        for i in range(300)
+    ] + [("solo", 42.0, 999, 7)]  # single-element group
+    df = spark.createDataFrame(rows, "g string, v double, id long, val long")
+
+    for descending in (False, True):
+        for n_buckets in (2, 7, 64):
+            got = exact_group_rank(
+                df,
+                ["g"],
+                "v",
+                ["id"],
+                descending=descending,
+                n_buckets=n_buckets,
+                rank_col="rk",
+                count_col="n",
+            )
+            order = [F.col("v").desc() if descending else F.col("v").asc(), "id"]
+            w = Window.partitionBy("g").orderBy(*order)
+            want = df.withColumn("rk", F.row_number().over(w).cast("long")).withColumn(
+                "n", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+            )
+            assert set(map(tuple, got.collect())) == set(map(tuple, want.collect())), (
+                descending,
+                n_buckets,
+            )
+
+    for n_buckets in (2, 64):
+        got = exact_group_cumsum(
+            df, ["g"], "v", ["id"], "val", n_buckets=n_buckets, cumsum_col="cs"
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy(F.col("v").asc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.withColumn("cs", F.sum("val").over(w).cast("long"))
+        assert set(map(tuple, got.collect())) == set(map(tuple, want.collect())), n_buckets
