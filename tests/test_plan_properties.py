@@ -100,3 +100,12 @@ def test_token_bigram_pmi_single_corpus_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "token_bigram_pmi")
     assert plan.count("FileScan") == 0
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_windows_ride_window_group_limit(spark, sf_dir):
+    # the per-query rank<=k filters must keep Catalyst's
+    # WindowGroupLimit pushdown (map-side pre-limit before the
+    # low-cardinality query_id sort) — the property that makes a
+    # bounded-query-set top-k scale despite partitioning by query_id
+    for name in ("quantized_cosine_topk", "cosine_topk_bruteforce"):
+        assert "WindowGroupLimit" in _plan(spark, sf_dir, name), name
