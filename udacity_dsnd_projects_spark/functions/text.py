@@ -461,3 +461,78 @@ FROM c12, tot
 JOIN c1 ON c12.w1 = c1.w1 JOIN c2 ON c12.w2 = c2.w2
 WHERE c12.c12 >= {PMI_MIN_COUNT}
 """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve (round-5 addition)
+# --------------------------------------------------------------------------
+#: How many top-frequency tokens the coverage report emits.
+VOCAB_TOP = 500
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning artifact: the top-N corpus tokens
+    by frequency with their exact global rank and the cumulative
+    fraction of all token occurrences a vocabulary truncated at that
+    rank would cover — the coverage curve that decides vocab size.
+
+    Scale shape: one corpus explode + map-side-combined count gives
+    the (distinct-token-sized, much smaller than corpus) frequency
+    table, eagerly checkpointed; the DESCENDING total order is then a
+    distributed range-bucket sort — global rank via
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    and running occurrence sum via ``exact_group_cumsum`` (both with
+    NO group key: this is the ``shard_assign`` total-order machinery),
+    never a single-task ``row_number() over (order by cnt desc)``.
+    The grand total broadcasts via a 1-row cross join."""
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_cumsum,
+        exact_group_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("neg_cnt", -F.col("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = exact_group_rank(
+        counts, [], "cnt", ["token"], descending=True, rank_col="rk"
+    )
+    # ascending neg_cnt == descending cnt: same total order for the sum
+    summed = exact_group_cumsum(
+        ranked, [], "neg_cnt", ["token"], "cnt", cumsum_col="cum_cnt"
+    )
+    total = counts.groupBy().agg(F.sum("cnt").alias("__total"))
+    return (
+        summed.filter(F.col("rk") <= VOCAB_TOP)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            "rk",
+            F.round(F.col("cum_cnt") / F.col("__total"), 6).alias("coverage"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = rf"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+), r AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cnt,
+         SUM(cnt) OVER () AS total
+  FROM c
+)
+SELECT token, cnt, rk, ROUND(cum_cnt * 1.0 / total, 6) AS coverage
+FROM r WHERE rk <= {VOCAB_TOP}
+"""

@@ -95,6 +95,8 @@ register(
 )
 # NEW: SemDeDup-shape within-cluster embedding dedup
 register("semantic_dedup", _sim.semantic_dedup, _sim.ORACLE_SEMANTIC_DEDUP)
+# NEW: vocabulary coverage curve on the total-order primitives
+register("vocab_coverage", _text.vocab_coverage, _text.ORACLE_VOCAB_COVERAGE)
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
@@ -182,13 +184,6 @@ register(
     _corp.embedding_centroids,
     _corp.ORACLE_EMBEDDING_CENTROIDS,
 )
-register(
-    "interval_count_join",
-    _joins.interval_count_join,
-    _joins.ORACLE_INTERVAL_COUNT_JOIN,
-)
-register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
-
 # ==========================================================================
 # BEHIND THE 50-ENTRY WINDOW — every query below is driver-green from a
 # prior round (CORRECTNESS_r01..r04.json), a redundant face of a
@@ -198,6 +193,12 @@ register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 # ==========================================================================
 
 # rotated out this round (r4 green, implementations untouched)
+register(
+    "interval_count_join",
+    _joins.interval_count_join,
+    _joins.ORACLE_INTERVAL_COUNT_JOIN,
+)
+register("risk_join", _risk.risk_join, _risk.ORACLE_RISK_JOIN)
 register("iqr_outliers", _an.iqr_outliers, _an.ORACLE_IQR_OUTLIERS)
 register("price_histogram", _agg.price_histogram, _agg.ORACLE_PRICE_HISTOGRAM)
 register("corr_panel", _agg.corr_panel, _agg.ORACLE_CORR_PANEL)
@@ -341,6 +342,7 @@ _ROUND5_NEEDS_VERDICT = (
     "robust_scale",
     "quantized_cosine_topk",
     "semantic_dedup",
+    "vocab_coverage",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
