@@ -879,6 +879,122 @@ FROM w LEFT JOIN got ON w.source = got.source
 
 
 # --------------------------------------------------------------------------
+# Mixture UPsampling — epoch repeats for under-represented sources
+# (round-5 addition)
+# --------------------------------------------------------------------------
+#: Target share multiplier: every source aims at FACTOR × the mean
+#: per-source token mass, so below-average sources get weight > 1
+#: (epoch repeats) and above-average sources get thinned — the
+#: "balance the mixture" recipe, sf-invariant by construction.
+UPSAMPLE_FACTOR = 1.5
+#: Hard cap on the per-source weight — bounds output amplification the
+#: same way MAX_BUCKET_SIZE bounds pair expansion: a tiny source can
+#: never explode the corpus by more than MAX_W epochs.
+UPSAMPLE_MAX_W = 4.0
+#: Salt for the fractional-epoch Bernoulli draw (independent of both
+#: the downsampler's MIX_SALT and shard_assign's unsalted md5).
+UPSAMPLE_SALT = "mixup:"
+
+
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture with weights ABOVE 1: under-represented
+    sources repeat for multiple training epochs (the Pile/Llama-recipe
+    ``epochs`` column) while over-represented ones thin — one emitted
+    row per (document, epoch). A weight ``w`` yields ``floor(w)``
+    guaranteed epochs plus one more with probability ``w - floor(w)``,
+    decided by the salted-md5 uniform variate (the ``hash_split`` /
+    ``mixture_sample`` family) — deterministic, rerun-stable, no RNG
+    state.
+
+    Scale shape: the weight frame is source-cardinality metadata and
+    broadcasts onto a single corpus scan; epoch expansion is a
+    JVM-side ``explode(sequence(1, copies))`` whose amplification is
+    bounded by :data:`UPSAMPLE_MAX_W` — no shuffle anywhere, output
+    streams partition-local exactly like :func:`mixture_sample`."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(_toks())).cast("long").alias("n_tokens")
+    )
+    tot = s.groupBy().agg(
+        F.sum("n_tokens").alias("__tot"), F.count(F.lit(1)).alias("__n_sources")
+    )
+    target = F.lit(UPSAMPLE_FACTOR) * F.col("__tot") / F.col("__n_sources")
+    w = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.least(F.lit(UPSAMPLE_MAX_W), target / F.col("n_tokens")), 6
+            ).alias("up_weight"),
+        )
+    )
+    d = docs.select(
+        "doc_id", "source", F.size(_toks()).cast("long").alias("n_tok")
+    ).join(F.broadcast(w), "source")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(UPSAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    frac = F.col("up_weight") - F.floor("up_weight")
+    copies = (
+        F.floor("up_weight") + F.when(u < frac * F.lit(_MIX_RANGE), 1).otherwise(0)
+    ).cast("int")
+    return (
+        d.withColumn("__copies", copies)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "up_weight",
+            F.explode(
+                F.when(
+                    F.col("__copies") > 0, F.sequence(F.lit(1), F.col("__copies"))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("epoch"),
+        )
+        .select("doc_id", "source", "epoch", "n_tok", "up_weight")
+    )
+
+
+ORACLE_MIXTURE_UPSAMPLE = f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_ORACLE_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, SUM(n_tokens) OVER () AS tot, COUNT(*) OVER () AS n_sources
+  FROM s
+), w AS (
+  SELECT source,
+         ROUND(LEAST({UPSAMPLE_MAX_W}, {UPSAMPLE_FACTOR} * tot / n_sources
+                     / n_tokens), 6) AS up_weight
+  FROM t
+), d AS (
+  SELECT doc_id, source, CAST(len({_ORACLE_TOKS}) AS BIGINT) AS n_tok,
+         CAST(concat('0x',
+              substr(md5('{UPSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) AS uv
+  FROM documents
+), c AS (
+  SELECT d.doc_id, d.source, d.n_tok, w.up_weight,
+         CAST(FLOOR(w.up_weight) AS INTEGER)
+           + CASE WHEN d.uv < (w.up_weight - FLOOR(w.up_weight))
+                             * {int(_MIX_RANGE)}.0
+                  THEN 1 ELSE 0 END AS copies
+  FROM d JOIN w ON d.source = w.source
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, copies + 1)) AS INTEGER) AS epoch,
+       n_tok, up_weight
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Winsorized robust scaling (round-5 addition)
 # --------------------------------------------------------------------------
 #: Winsorization percentiles (clamp below/above these per-stratum ranks).

@@ -650,6 +650,35 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by :data:`SEMDEDUP_MAX_CLUSTER`. K must scale with corpus size —
     the cap turns a mis-sized K into missing (observable) clusters,
     never an executor OOM."""
+    hits = cluster_cosine_pairs(spark, sf_dir).filter(
+        F.col("cos") >= SEMDEDUP_COSINE
+    )
+    return (
+        hits.groupBy(F.col("b_id").alias("vec_id"))
+        .agg(
+            F.first("cluster").alias("cluster"),
+            F.count(F.lit(1)).alias("n_better"),
+            F.max(
+                F.struct(F.col("cos"), (-F.col("a_id")).alias("neg_ref"))
+            ).alias("bst"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            "n_better",
+            (-F.col("bst.neg_ref")).cast("long").alias("ref_id"),
+            F.col("bst.cos").alias("cosine"),
+        )
+    )
+
+
+def cluster_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-cluster cosine pairs (cluster, a_id, b_id, cos) with
+    ``a_id < b_id`` — the shared substrate of :func:`semantic_dedup`
+    and :func:`knn_graph`. Oversized clusters are excluded BEFORE
+    ``collect_list`` (broadcast size join, the ``fuzzy_name_pairs``
+    cap pattern) and in-row pair expansion is bounded by
+    :data:`SEMDEDUP_MAX_CLUSTER`²."""
     members = _cluster_members(spark, sf_dir)
     sizes = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
     grouped = (
@@ -680,25 +709,50 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
         5,
     )
-    hits = pairs.withColumn("cos", cos).filter(
-        F.col("cos") >= SEMDEDUP_COSINE
+    return pairs.select(
+        "cluster",
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        cos.alias("cos"),
+    )
+
+
+#: Neighbors kept per vector in the kNN graph.
+KNN_K = 5
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the embedding corpus: each vector's
+    top-:data:`KNN_K` cosine neighbors WITHIN its k-means cluster —
+    (vec_id, nbr_id, cosine, rn). The graph deduplication /
+    SemDeDup-style curation substrate, and the standard IVF-recall
+    accuracy trade: neighbors in other clusters are unseen (exactly
+    like :func:`cosine_topk_ivf` with one probe), in exchange for
+    never doing all-pairs.
+
+    Scale shape: identical substrate as :func:`semantic_dedup`
+    (capped-cluster in-row pair expansion); the symmetric union is a
+    projection flip, and the per-vector top-k window partitions on
+    vec_id — maximal-cardinality, WindowGroupLimit-pushable. K-means
+    K must scale as O(√N) so cluster size — and with it the pair
+    count — stays bounded per task."""
+    from pyspark.sql import Window
+
+    p = cluster_cosine_pairs(spark, sf_dir)
+    sym = p.select(
+        F.col("a_id").alias("vec_id"), F.col("b_id").alias("nbr_id"), "cos"
+    ).unionByName(
+        p.select(
+            F.col("b_id").alias("vec_id"), F.col("a_id").alias("nbr_id"), "cos"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id").asc()
     )
     return (
-        hits.groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(
-            F.first("cluster").alias("cluster"),
-            F.count(F.lit(1)).alias("n_better"),
-            F.max(
-                F.struct(F.col("cos"), (-F.col("a.vec_id")).alias("neg_ref"))
-            ).alias("bst"),
-        )
-        .select(
-            "vec_id",
-            "cluster",
-            "n_better",
-            (-F.col("bst.neg_ref")).cast("long").alias("ref_id"),
-            F.col("bst.cos").alias("cosine"),
-        )
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("vec_id", "nbr_id", F.col("cos").alias("cosine"), "rn")
     )
 
 
@@ -755,3 +809,59 @@ SELECT vec_id, cluster, n_better, ref_id, cosine FROM (
 
 
 ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+
+def _oracle_knn_graph() -> str:
+    from udacity_dsnd_projects_spark.functions.pipeline import KMEANS_K
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {KMEANS_K}
+), scored AS (
+  SELECT e.vec_id, c.cluster,
+         ROUND(sqrt(list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+           (acc, x) -> acc + x)), 5) AS l2
+  FROM e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY l2, cluster) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), m AS (
+  SELECT asg.cluster, asg.vec_id, e.v,
+         COUNT(*) OVER (PARTITION BY asg.cluster) AS n_in_cluster
+  FROM asg JOIN e ON asg.vec_id = e.vec_id
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)),
+                               (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)),
+                                 (acc, x) -> acc + x))), 5) AS cos
+  FROM m a JOIN m b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+   AND a.n_in_cluster <= {SEMDEDUP_MAX_CLUSTER}
+   AND b.n_in_cluster <= {SEMDEDUP_MAX_CLUSTER}
+), sym AS (
+  SELECT a_id AS vec_id, b_id AS nbr_id, cos FROM pairs
+  UNION ALL
+  SELECT b_id AS vec_id, a_id AS nbr_id, cos FROM pairs
+)
+SELECT vec_id, nbr_id, cos AS cosine, rn FROM (
+  SELECT vec_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, nbr_id) AS rn
+  FROM sym
+) z WHERE rn <= {KNN_K}
+"""
+
+
+ORACLE_KNN_GRAPH = _oracle_knn_graph()

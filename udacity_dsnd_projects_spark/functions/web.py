@@ -121,6 +121,158 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Domain-level curation (round-5 addition)
+# --------------------------------------------------------------------------
+#: Domains per source in the synthetic web corpus (domain = source ×
+#: ``doc_id % DOMAIN_MOD`` residue → ~sources·MOD distinct hosts).
+DOMAIN_MOD = 7
+#: A domain whose mean composite quality falls below this is dropped by
+#: :func:`domain_quality_filter` — the RefinedWeb/C4-style domain-level
+#: gate (spam farms score low ACROSS documents; per-doc filters miss
+#: borderline pages from bad hosts).
+DOMAIN_MIN_AVG_QUALITY = 0.95
+
+
+def synthesize_domain_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) raw URLs over a VARIED host population — unlike
+    :func:`synthesize_urls` (single host, built to stress every
+    normalization rule), this face spreads documents over
+    ~sources·:data:`DOMAIN_MOD` hosts so domain-level aggregation has
+    real cardinality. Hosts are mixed-case with a ``WWW.`` prefix so
+    the canonical domain still has to come out of
+    :func:`normalize_url`, not string concat."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, "HTTP").otherwise("https")
+    url = F.concat(
+        scheme,
+        F.lit("://WWW."),
+        F.upper("source"),
+        (did % DOMAIN_MOD).cast("string"),
+        F.lit(".Example.COM/p/"),
+        (did % 3).cast("string"),
+        F.lit("?utm_source=x&id="),
+        (did % 5).cast("string"),
+        F.lit("#frag"),
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+def doc_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, domain): canonical host per document, extracted from
+    the NORMALIZED url (lowercased authority, ``www.`` stripped) —
+    pure projection, no shuffle."""
+    canon = normalize_url(F.col("url"))
+    return synthesize_domain_urls(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract(canon, r"^https?://([^/:?]+)", 1).alias("domain"),
+    )
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup: document count, total whitespace
+    tokens, mean composite quality, and the low-quality share — the
+    aggregate a web pipeline ranks hosts by before any per-document
+    filtering (domain-level signals catch spam farms whose individual
+    pages pass).
+
+    Scale shape: the doc→domain projection joins
+    :func:`~udacity_dsnd_projects_spark.functions.text.quality_score`
+    on ``doc_id`` (high-cardinality equi-join, AQE-friendly), then ONE
+    map-side-combined groupBy on the domain string. Output is
+    domain-cardinality — metadata-sized, broadcastable downstream."""
+    from udacity_dsnd_projects_spark.functions.text import quality_score, tokens_col
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = doc_domains(spark, sf_dir)
+    return (
+        d.join(docs, "doc_id")
+        .join(q, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("quality"), 5).alias("avg_quality"),
+            F.sum(F.when(F.col("quality") < 0.5, 1).otherwise(0)).alias(
+                "n_low_quality"
+            ),
+        )
+    )
+
+
+def domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate: keep documents whose DOMAIN's mean
+    quality clears :data:`DOMAIN_MIN_AVG_QUALITY` — the survivors
+    frame a curation pipeline feeds into per-document filtering next.
+
+    Scale shape: the stats frame is domain-cardinality (metadata), so
+    the good-domain list BROADCASTS onto a second corpus-scan join —
+    the corpus itself never shuffles."""
+    good = domain_stats(spark, sf_dir).filter(
+        F.col("avg_quality") >= DOMAIN_MIN_AVG_QUALITY
+    )
+    return doc_domains(spark, sf_dir).join(
+        F.broadcast(good.select("domain", "avg_quality")), "domain"
+    ).select("doc_id", "domain", "avg_quality")
+
+
+#: doc→domain mapping, derived independently of the Spark regex chain
+#: (stronger check: the oracle asserts the normalize chain lands on
+#: exactly source||residue||'.example.com').
+_ORACLE_DOMAINS = f"""
+  SELECT doc_id,
+         source || CAST(doc_id % {DOMAIN_MOD} AS VARCHAR) || '.example.com'
+           AS domain
+  FROM documents
+"""
+
+_ORACLE_DOMAIN_STATS = """
+  SELECT d.domain, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(lower(trim(doc.text)), '\\s+')))
+              AS BIGINT) AS total_tokens,
+         ROUND(AVG(q.quality), 5) AS avg_quality,
+         CAST(SUM(CASE WHEN q.quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_quality
+  FROM dom d
+  JOIN documents doc ON d.doc_id = doc.doc_id
+  JOIN qual q ON d.doc_id = q.doc_id
+  GROUP BY d.domain
+"""
+
+
+def _oracle_domain_stats() -> str:
+    from udacity_dsnd_projects_spark.functions.text import ORACLE_QUALITY_SCORE
+
+    return f"""
+WITH dom AS ({_ORACLE_DOMAINS}),
+qual AS (SELECT doc_id, quality FROM ({ORACLE_QUALITY_SCORE}) zq)
+{_ORACLE_DOMAIN_STATS}
+"""
+
+
+ORACLE_DOMAIN_STATS = _oracle_domain_stats()
+
+
+def _oracle_domain_quality_filter() -> str:
+    from udacity_dsnd_projects_spark.functions.text import ORACLE_QUALITY_SCORE
+
+    return f"""
+WITH dom AS ({_ORACLE_DOMAINS}),
+qual AS (SELECT doc_id, quality FROM ({ORACLE_QUALITY_SCORE}) zq),
+stats AS ({_ORACLE_DOMAIN_STATS})
+SELECT d.doc_id, d.domain, s.avg_quality
+FROM dom d JOIN stats s ON d.domain = s.domain
+WHERE s.avg_quality >= {DOMAIN_MIN_AVG_QUALITY}
+"""
+
+
+ORACLE_DOMAIN_QUALITY_FILTER = _oracle_domain_quality_filter()
+
+
 _ORACLE_RAW_URL = """
   CASE WHEN doc_id % 4 = 2 THEN 'https'
        WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END

@@ -21,6 +21,7 @@ from udacity_dsnd_projects_spark.functions import graph as _graph
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
 from udacity_dsnd_projects_spark.functions import pipeline as _pipe
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
+from udacity_dsnd_projects_spark.functions import snapshot as _snap
 from udacity_dsnd_projects_spark.functions import similarity as _sim
 from udacity_dsnd_projects_spark.functions import text as _text
 from udacity_dsnd_projects_spark.functions import web as _web
@@ -97,6 +98,20 @@ register(
 register("semantic_dedup", _sim.semantic_dedup, _sim.ORACLE_SEMANTIC_DEDUP)
 # NEW: vocabulary coverage curve on the total-order primitives
 register("vocab_coverage", _text.vocab_coverage, _text.ORACLE_VOCAB_COVERAGE)
+# NEW: per-domain curation rollup + domain-level quality gate
+register("domain_stats", _web.domain_stats, _web.ORACLE_DOMAIN_STATS)
+register(
+    "domain_quality_filter",
+    _web.domain_quality_filter,
+    _web.ORACLE_DOMAIN_QUALITY_FILTER,
+)
+# NEW: snapshot compare + changelog MERGE semantics
+register("snapshot_diff", _snap.snapshot_diff, _snap.ORACLE_SNAPSHOT_DIFF)
+register("cdc_merge", _snap.cdc_merge, _snap.ORACLE_CDC_MERGE)
+# NEW: epoch-repeat upsampling for under-represented sources
+register("mixture_upsample", _pipe.mixture_upsample, _pipe.ORACLE_MIXTURE_UPSAMPLE)
+# NEW: within-cluster top-k cosine neighbor graph
+register("knn_graph", _sim.knn_graph, _sim.ORACLE_KNN_GRAPH)
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
@@ -166,6 +181,15 @@ register(
     _cur.ORACLE_NEAR_DUP_COMPONENTS,
 )
 register("tfidf_top_terms", _text.tfidf_top_terms, _text.ORACLE_TFIDF_TOP_TERMS)
+# ==========================================================================
+# BEHIND THE 50-ENTRY WINDOW — every query below is driver-green from a
+# prior round (CORRECTNESS_r01..r04.json), a redundant face of a
+# verified query sharing the same oracle, or a no-oracle estimator
+# checked with tolerance tests in pytest. All remain registered and
+# covered by the local oracle replica every round.
+# ==========================================================================
+
+# rotated out this round (r4/r3 green, implementations untouched)
 register(
     "frame_sample_stats", _mm.frame_sample_stats, _mm.ORACLE_FRAME_SAMPLE_STATS
 )
@@ -184,15 +208,6 @@ register(
     _corp.embedding_centroids,
     _corp.ORACLE_EMBEDDING_CENTROIDS,
 )
-# ==========================================================================
-# BEHIND THE 50-ENTRY WINDOW — every query below is driver-green from a
-# prior round (CORRECTNESS_r01..r04.json), a redundant face of a
-# verified query sharing the same oracle, or a no-oracle estimator
-# checked with tolerance tests in pytest. All remain registered and
-# covered by the local oracle replica every round.
-# ==========================================================================
-
-# rotated out this round (r4 green, implementations untouched)
 register(
     "interval_count_join",
     _joins.interval_count_join,
@@ -343,6 +358,12 @@ _ROUND5_NEEDS_VERDICT = (
     "quantized_cosine_topk",
     "semantic_dedup",
     "vocab_coverage",
+    "domain_stats",
+    "domain_quality_filter",
+    "snapshot_diff",
+    "cdc_merge",
+    "mixture_upsample",
+    "knn_graph",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
