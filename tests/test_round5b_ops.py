@@ -222,3 +222,91 @@ def test_knn_graph_window_group_limit_pushdown(spark, sf_dir):
         sim.knn_graph(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# nation_trade_volume (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+def test_nation_trade_volume_plan(spark, sf_dir):
+    """Nation dims must broadcast; the shipdate filter must reach the
+    lineitem parquet scan as a pushed filter."""
+    from udacity_dsnd_projects_spark.operators import analytics as an
+
+    q = an.nation_trade_volume(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    scan = q._jdf.queryExecution().sparkPlan().toString()
+    assert "l_shipdate" in scan and "PushedFilters" in scan, scan
+
+
+def test_nation_trade_volume_bounds(spark, sf_dir):
+    from udacity_dsnd_projects_spark.operators import analytics as an
+
+    rows = an.nation_trade_volume(spark, sf_dir).collect()
+    assert rows
+    years = {r["ship_year"] for r in rows}
+    assert years <= {1996, 1997}
+    # output is metadata-sized: nations² × years at most
+    assert len(rows) <= 25 * 25 * 2
+    assert all(r["volume"] > 0 and r["n_lines"] > 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# pack_efficiency
+# --------------------------------------------------------------------------
+def test_pack_efficiency_consistent_with_bins(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import pipeline as p
+
+    bins = p.seq_pack_bins(spark, sf_dir).collect()
+    eff = {(r["lang"], r["bin"]): r for r in p.pack_efficiency(spark, sf_dir).collect()}
+    agg: dict[tuple, list[int]] = {}
+    for r in bins:
+        agg.setdefault((r["lang"], r["bin"]), []).append(r["n_tok"])
+    assert set(agg) == set(eff)
+    for k, toks in agg.items():
+        e = eff[k]
+        assert e["n_docs"] == len(toks)
+        assert e["used_tokens"] == sum(toks)
+        assert e["overflow_tokens"] == max(0, sum(toks) - p.SEQ_PACK_BUDGET)
+        # a bin overflows by at most one document minus one token
+        if e["overflow_tokens"] > 0:
+            assert e["overflow_tokens"] < max(toks)
+
+
+# --------------------------------------------------------------------------
+# vocab_oov_rate
+# --------------------------------------------------------------------------
+def test_vocab_oov_rate_consistent_with_coverage_vocab(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import text as t
+
+    vocab = {r["token"] for r in t.vocab_coverage(spark, sf_dir).collect()}
+    rows = t.vocab_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert 0 <= r["n_oov"] <= r["n_tok"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+    # spot-check one document end-to-end against the vocab set
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for d in docs:
+        toks = d["text"].strip().lower().split()
+        oov = sum(1 for tok in toks if tok not in vocab)
+        assert by_id[d["doc_id"]]["n_tok"] == len(toks)
+        assert by_id[d["doc_id"]]["n_oov"] == oov
+
+
+# --------------------------------------------------------------------------
+# nfc_normalize
+# --------------------------------------------------------------------------
+def test_nfc_normalize_residue_semantics(spark, sf_dir):
+    """Decomposed residues (0: e+U+0301, 2: A+U+030A) must compose —
+    one code point shorter; precomposed (1) and plain (3) unchanged."""
+    from udacity_dsnd_projects_spark.functions import text as t
+
+    for r in t.nfc_normalize(spark, sf_dir).collect():
+        if r["doc_id"] % 4 in (0, 2):
+            assert r["changed"] is True
+            assert r["n_raw_cp"] - r["n_nfc_cp"] == 1
+        else:
+            assert r["changed"] is False
+            assert r["n_raw_cp"] == r["n_nfc_cp"]

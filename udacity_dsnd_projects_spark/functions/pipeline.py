@@ -1067,3 +1067,64 @@ SELECT d.doc_id, d.lang, d.n_tok, lo.lo_val, hi.hi_val,
        LEAST(GREATEST(d.n_tok, lo.lo_val), hi.hi_val) AS winsorized
 FROM d JOIN lo ON d.lang = lo.lang JOIN hi ON d.lang = hi.lang
 """
+
+
+# --------------------------------------------------------------------------
+# Packing efficiency report (round-5 addition)
+# --------------------------------------------------------------------------
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting face of :func:`seq_pack_bins`: per (lang, bin) the
+    document count, used tokens, fill ratio against the
+    :data:`SEQ_PACK_BUDGET`, and the straddle overflow (a document is
+    assigned to the bin it STARTS in, so a bin's used tokens can
+    exceed the budget by up to one document) — the padding-waste /
+    truncation report that tells a training pipeline whether its
+    packing budget matches the document length distribution.
+
+    Scale shape: rides the distributed prefix-sum of
+    ``seq_pack_bins`` and adds ONE map-side-combined groupBy on
+    (lang, bin); output is bin-count-sized."""
+    bins = seq_pack_bins(spark, sf_dir)
+    per = bins.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("used_tokens"),
+    )
+    return per.select(
+        "lang",
+        "bin",
+        "n_docs",
+        "used_tokens",
+        F.round(F.col("used_tokens") / F.lit(float(SEQ_PACK_BUDGET)), 6).alias(
+            "fill_ratio"
+        ),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("used_tokens") - F.lit(SEQ_PACK_BUDGET)).cast("long"),
+        ).alias("overflow_tokens"),
+    )
+
+
+ORACLE_PACK_EFFICIENCY = rf"""
+WITH d AS (
+  SELECT doc_id, lang, len({_ORACLE_TOKS}) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM d
+), b AS (
+  SELECT lang,
+         CAST(FLOOR((cum_tok - n_tok) / {SEQ_PACK_BUDGET}.0) AS BIGINT) AS bin,
+         n_tok
+  FROM c
+), per AS (
+  SELECT lang, bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS used_tokens
+  FROM b GROUP BY lang, bin
+)
+SELECT lang, bin, n_docs, used_tokens,
+       ROUND(used_tokens / {SEQ_PACK_BUDGET}.0, 6) AS fill_ratio,
+       GREATEST(0, used_tokens - {SEQ_PACK_BUDGET}) AS overflow_tokens
+FROM per
+"""

@@ -536,3 +536,147 @@ WITH t AS (
 SELECT token, cnt, rk, ROUND(cum_cnt * 1.0 / total, 6) AS coverage
 FROM r WHERE rk <= {VOCAB_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# Per-document OOV rate against the top-N vocabulary (round-5 addition)
+# --------------------------------------------------------------------------
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary report: for every document, how many of its
+    token occurrences fall outside the corpus's top-:data:`VOCAB_TOP`
+    vocabulary — the per-document counterpart of
+    :func:`vocab_coverage` (the curve says what a vocab size buys
+    globally; this says which documents it fails).
+
+    Scale shape: the vocabulary is the same exact-ranked frequency
+    table (distributed total order via ``exact_group_rank``, never a
+    single-task window), truncated to N rows — metadata-sized, so it
+    BROADCASTS against the exploded corpus; the per-doc rollup is one
+    map-side-combined groupBy on doc_id. The corpus shuffles once,
+    already reduced to one row per document."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        exact_group_rank(counts, [], "cnt", ["token"], descending=True, rank_col="rk")
+        .filter(F.col("rk") <= VOCAB_TOP)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    j = toks.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+ORACLE_VOCAB_OOV_RATE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+), v AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk FROM c
+  ) r WHERE rk <= {VOCAB_TOP}
+)
+SELECT t.doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS oov_rate
+FROM t LEFT JOIN v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization (round-5 addition — a genuine pandas-UDF
+# case: Spark SQL has no built-in Unicode normalizer)
+# --------------------------------------------------------------------------
+def synthesize_messy_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw) — deterministic mixed-normalization text: residue
+    classes append combining-mark sequences (``e`` + U+0301, ``A`` +
+    U+030A) that NFC composes, alongside already-composed and plain
+    ASCII tails, so normalization does real work on a known fraction
+    of the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    tail = (
+        F.when(did % 4 == 0, " cafe\u0301")  # e + combining acute (decomposed)
+        .when(did % 4 == 1, " caf\u00e9")  # precomposed e-acute
+        .when(did % 4 == 2, " A\u030a")  # A + combining ring (decomposed)
+        .otherwise("")
+    )
+    return docs.select("doc_id", F.concat("text", tail).alias("raw"))
+
+
+def nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus — the canonical first
+    step of any multilingual text pipeline (composed vs decomposed
+    accents must hash identically before dedup). Spark SQL has no
+    Unicode normalizer, so this is one of the few places Python
+    belongs in the data path: a vectorized ``pandas_udf`` applying
+    ``unicodedata.normalize`` per Arrow batch (never per-row Python).
+    Output: code-point counts before/after, a changed flag, and the
+    md5 of the normalized text — byte-compatible with the DuckDB
+    oracle's ``nfc_normalize`` (both implement UAX #15; asserted
+    equal including md5 over UTF-8).
+
+    Scale shape: pure projection — one scan, zero shuffle; Python
+    touches only the normalize itself (``mapInPandas`` per Arrow
+    batch, the repo-wide vectorized-UDF shape); lengths, the changed
+    flag, and the md5 are JVM expressions over the returned column."""
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf[["doc_id", "raw"]].copy()
+            pdf["nfc"] = pdf["raw"].map(
+                lambda x: unicodedata.normalize("NFC", x)
+            )
+            yield pdf
+
+    raw = synthesize_messy_unicode(spark, sf_dir)
+    d = raw.mapInPandas(_norm, "doc_id long, raw string, nfc string")
+    return d.select(
+        "doc_id",
+        F.length("raw").alias("n_raw_cp"),
+        F.length("nfc").alias("n_nfc_cp"),
+        (F.col("raw") != F.col("nfc")).alias("changed"),
+        F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
+    )
+
+
+ORACLE_NFC_NORMALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+                      WHEN doc_id % 4 = 1 THEN ' caf' || chr(233)
+                      WHEN doc_id % 4 = 2 THEN ' A' || chr(778)
+                      ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(raw) AS INTEGER) AS n_raw_cp,
+       CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_nfc_cp,
+       raw <> nfc_normalize(raw) AS changed,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM raw
+"""

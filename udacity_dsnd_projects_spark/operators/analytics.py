@@ -496,3 +496,84 @@ SELECT user_id, COUNT(*) AS n_events,
          AS decayed_score
 FROM events, t GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Bilateral nation trade volume (round-5 addition, TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between (supplier nation,
+    customer nation) pairs by year — the widest join tree in the
+    relational set (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    nation×2). The reference's relational engines run exactly this
+    class of star/snowflake rollup; here Catalyst orders the joins.
+
+    Scale shape: the two fact joins (orders on orderkey, supplier on
+    suppkey) shuffle on their high-cardinality keys — AQE picks
+    broadcast automatically when a side fits; the two nation dims are
+    explicitly broadcast (25 rows each, self-joined under distinct
+    aliases). Year extraction is a codegen'd date_part; the final
+    rollup is a map-side-combined groupBy over ~nations² × years
+    groups — metadata-sized output."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # exact decimal accumulation AND decimal rounding: the
+            # per-row product casts identically to 6 dp in both
+            # engines (same input double), decimal addition is
+            # order-independent, and rounding the DECIMAL total is
+            # exact HALF_UP in both — rounding the double instead
+            # diverges on .xx5 totals (Spark rounds the shortest
+            # string repr, DuckDB the true binary value; observed at
+            # sf 0.01). Cast to double only after the 2 dp round.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
