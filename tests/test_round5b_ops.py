@@ -310,3 +310,87 @@ def test_nfc_normalize_residue_semantics(spark, sf_dir):
         else:
             assert r["changed"] is False
             assert r["n_raw_cp"] == r["n_nfc_cp"]
+
+
+# --------------------------------------------------------------------------
+# ANN recall report
+# --------------------------------------------------------------------------
+def test_ann_recall_matches_set_intersection(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import similarity as sim
+
+    bf: dict[int, set[int]] = {}
+    for r in sim.cosine_topk_bruteforce(spark, sf_dir).collect():
+        bf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf: dict[int, set[int]] = {}
+    for r in sim.cosine_topk_ivf(spark, sf_dir).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rep = {r["query_id"]: r for r in sim.ann_recall_report(spark, sf_dir).collect()}
+    assert set(rep) == set(bf)
+    for q, hits in bf.items():
+        n = len(hits & ivf.get(q, set()))
+        assert rep[q]["n_hits"] == n
+        assert abs(rep[q]["recall"] - n / sim.TOP_K) < 1e-9
+        assert 0.0 <= rep[q]["recall"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Near-dup rate by source
+# --------------------------------------------------------------------------
+def test_near_dup_rate_by_source_consistent(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import curation as cur
+
+    rows = cur.near_dup_rate_by_source(spark, sf_dir).collect()
+    n_dup_total = sum(r["n_near_dup"] for r in rows)
+    assert n_dup_total == cur.near_dup_components(spark, sf_dir).count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r["source"]: r["n_docs"] for r in rows} == totals
+    for r in rows:
+        assert 0 <= r["n_near_dup"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_merge_changelog_edge_semantics(spark):
+    """Crafted-log MERGE edges the synthesized corpus can't produce:
+    reinsert-after-delete (upsert with HIGHER seq than the tombstone
+    wins), delete-of-absent-key (no-op), and a pure-delete key
+    (absent from output)."""
+    from pyspark.sql import types as T
+
+    from udacity_dsnd_projects_spark.functions.snapshot import merge_changelog
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("content_md5", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, 1, "upsert", "a1", 10),  # plain key
+        (2, 1, "upsert", "b1", 11),
+        (2, 2, "delete", None, None),
+        (2, 3, "upsert", "b3", 12),  # reinsert AFTER delete
+        (3, 5, "delete", None, None),  # delete of never-present key
+        (4, 1, "upsert", "d1", 13),
+        (4, 9, "delete", None, None),  # pure delete wins
+    ]
+    out = {
+        r["doc_id"]: (r["last_seq"], r["content_md5"], r["n_chars"])
+        for r in merge_changelog(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out == {1: (1, "a1", 10), 2: (3, "b3", 12)}
+
+
+def test_late_order_priorities_semi_join_plan(spark, sf_dir):
+    """The EXISTS must plan as a LEFT SEMI join (probe side dedups per
+    key inside the join — no distinct-after-join blowup)."""
+    from udacity_dsnd_projects_spark.operators import analytics as an
+
+    q = an.late_order_priorities(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    rows = q.collect()
+    assert rows and all(r["n_late_orders"] > 0 for r in rows)

@@ -916,3 +916,49 @@ def test_url_dedup_stream_equals_batch(spark, tmp_path_factory):
     )
     assert {r["canon_url"] for r in got} == {r["canon_url"] for r in batch}
     assert len(got) == 3  # a, b, c — one survivor per canonical URL
+
+
+def test_cdc_changelog_stream_equals_batch_merge(spark, sf_dir, tmp_path_factory):
+    """The batch cdc_merge (MERGE semantics) and the K5 compacted-table
+    sink converge to the same served table when the SAME changelog
+    flows through each: stream the synthesized upsert/delete log into
+    the foreachBatch sink (keyed on doc_id, latest seq wins), compact
+    tombstones at read time, and compare row-for-row with the batch
+    argmax — the batch/streaming duality for MERGE."""
+    from udacity_dsnd_projects_spark.functions.snapshot import _cdc_log, cdc_merge
+    from udacity_dsnd_projects_spark.streaming.sinks import compacted_table_upsert
+    from udacity_dsnd_projects_spark.streaming.sources import file_stream
+
+    root = tmp_path_factory.mktemp("cdc_stream")
+    src = str(root / "log")
+    table = str(root / "table")
+
+    log = _cdc_log(spark, sf_dir)
+    schema = log.schema
+    # two micro-batch files: base snapshot first, then the changelog —
+    # the arrival order a real CDC consumer sees
+    log.filter(F.col("seq") == 1).coalesce(1).write.mode("append").parquet(src)
+    log.filter(F.col("seq") > 1).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        file_stream(spark, src, schema)
+        .writeStream.foreachBatch(compacted_table_upsert(table, ["doc_id"], "seq"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    served = (
+        spark.read.parquet(table)
+        .filter(F.col("op") != "delete")  # tombstone compaction at read
+        .select(
+            "doc_id",
+            F.col("seq").alias("last_seq"),
+            "content_md5",
+            "n_chars",
+        )
+    )
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, cdc_merge(spark, sf_dir).collect()))
+    assert got == want and got

@@ -416,3 +416,62 @@ FROM (
   FROM sel s
 ) t WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Near-dup rate by source (round-5 addition)
+# --------------------------------------------------------------------------
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard: how much of each source's
+    corpus sits inside a near-dup cluster — (source, n_docs,
+    n_near_dup, dup_rate). The triage table a curation run reads
+    first: a source with a high near-dup rate is a scraper loop or a
+    mirror, and gets fixed at the SOURCE, not doc-by-doc.
+
+    Scale shape: the component frame is pair-graph-sized (near-dup
+    docs only) and joins documents on doc_id; both aggregates are
+    map-side-combined groupBys on the source string; the near-dup
+    side broadcasts onto the per-source totals (source-cardinality
+    metadata)."""
+    comp = near_dup_components(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    dup = (
+        comp.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_near_dup"))
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(F.broadcast(dup), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_near_dup"), F.lit(0)).cast("long").alias("n_near_dup"),
+        F.round(
+            F.coalesce(F.col("n_near_dup"), F.lit(0)) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )
+
+
+ORACLE_NEAR_DUP_RATE_BY_SOURCE = f"""
+WITH RECURSIVE lsh AS ({_oracle_lsh_pairs("documents")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM lsh
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id FROM walk GROUP BY node),
+dup AS (
+  SELECT d.source, COUNT(*) AS n_near_dup
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+  GROUP BY d.source
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source, t.n_docs,
+       COALESCE(dup.n_near_dup, 0) AS n_near_dup,
+       ROUND(COALESCE(dup.n_near_dup, 0) * 1.0 / t.n_docs, 6) AS dup_rate
+FROM totals t LEFT JOIN dup ON t.source = dup.source
+"""

@@ -678,8 +678,19 @@ def cluster_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and :func:`knn_graph`. Oversized clusters are excluded BEFORE
     ``collect_list`` (broadcast size join, the ``fuzzy_name_pairs``
     cap pattern) and in-row pair expansion is bounded by
-    :data:`SEMDEDUP_MAX_CLUSTER`²."""
-    members = _cluster_members(spark, sf_dir)
+    :data:`SEMDEDUP_MAX_CLUSTER`².
+
+    Perf: the member frame is eagerly checkpointed — it feeds BOTH the
+    size census and the grouped pair expansion, and without the
+    checkpoint the nearest-centroid scan (O(N·K·dim) lambda
+    arithmetic) runs twice; per-vector norms are computed ONCE per
+    member before ``collect_list`` (a per-pair norm costs 2·dim extra
+    lambda ops on every one of up to cap²/2 pairs — measured 1.6×
+    slower at sf 0.1). The norm is the identical float expression
+    either way, so scores are bit-unchanged."""
+    members = _cluster_members(spark, sf_dir).withColumn(
+        "nrm", _norm(F.col("v"))
+    ).localCheckpoint(eager=True)
     sizes = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
     grouped = (
         members.join(
@@ -687,7 +698,11 @@ def cluster_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
         )
         .groupBy("cluster")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("ms"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias(
+                "ms"
+            )
+        )
         .filter(F.size("ms") >= 2)
     )
     pairs = grouped.select(
@@ -705,8 +720,7 @@ def cluster_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("cluster", "p.a", "p.b")
     cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v"))
-        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
         5,
     )
     return pairs.select(
@@ -739,13 +753,24 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     p = cluster_cosine_pairs(spark, sf_dir)
+    # both directions in ONE pass over the pair frame — a self-union
+    # would evaluate the whole pair-expansion subtree twice
     sym = p.select(
-        F.col("a_id").alias("vec_id"), F.col("b_id").alias("nbr_id"), "cos"
-    ).unionByName(
-        p.select(
-            F.col("b_id").alias("vec_id"), F.col("a_id").alias("nbr_id"), "cos"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("nbr_id"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("vec_id"),
+                    F.col("a_id").alias("nbr_id"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.vec_id", "e.nbr_id", "e.cos")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("nbr_id").asc()
     )
@@ -865,3 +890,44 @@ SELECT vec_id, nbr_id, cos AS cosine, rn FROM (
 
 
 ORACLE_KNN_GRAPH = _oracle_knn_graph()
+
+
+# --------------------------------------------------------------------------
+# ANN recall report (round-5 addition — the engine measuring its own
+# approximation quality)
+# --------------------------------------------------------------------------
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF index against exact brute force, per query:
+    (query_id, n_hits, recall) where n_hits counts IVF top-K members
+    that also appear in the exact top-K — the acceptance metric every
+    ANN deployment tracks before trading scan fraction for recall
+    (probe depth tuning reads exactly this table).
+
+    Scale shape: both inputs are (queries × K)-sized — metadata — so
+    the intersection is a broadcast join; the expensive scans live in
+    the underlying top-k faces, each of which is already scale-shaped
+    (bounded query set, bucket-pruned probes)."""
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ivf = cosine_topk_ivf(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    j = bf.join(F.broadcast(ivf), ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("__hit").alias("n_hits"),
+        F.round(F.count("__hit") / F.lit(float(TOP_K)), 6).alias("recall"),
+    )
+
+
+ORACLE_ANN_RECALL_REPORT = f"""
+WITH bf AS (
+  SELECT query_id, vec_id FROM ({ORACLE_COSINE_TOPK_BRUTEFORCE}) zbf
+), ivf AS (
+  SELECT query_id, vec_id FROM ({ORACLE_COSINE_TOPK_IVF}) zivf
+)
+SELECT bf.query_id,
+       COUNT(ivf.vec_id) AS n_hits,
+       ROUND(COUNT(ivf.vec_id) / {TOP_K}.0, 6) AS recall
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+GROUP BY bf.query_id
+"""

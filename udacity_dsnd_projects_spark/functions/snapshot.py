@@ -162,32 +162,38 @@ def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(revised).unionByName(inserted).unionByName(deleted)
 
 
-def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fold a changelog into the served table — MERGE INTO semantics
-    (latest-wins per key by sequence number, deletes drop the key):
-    the batch analog of the compacted-table sink
-    (``streaming/sinks.py:43``) and of the reference's Faust
-    latest-per-key table. Output: (doc_id, last_seq, content_md5,
-    n_chars) for every surviving key.
+def merge_changelog(log: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """MERGE INTO over an arbitrary changelog frame with columns
+    (key, seq, op, content_md5, n_chars): latest-wins per key by
+    sequence number; a key whose highest-seq op is ``delete`` drops
+    (a later upsert REINSERTS it — seq order, not op order, decides).
 
     Scale shape: ONE map-side-combined groupBy on the key computes
     ``max(struct(seq, op, md5, n_chars))`` — an argmax without a
     window or secondary sort; deletes whose key never reappears are
     filtered AFTER the argmax, so tombstones cost nothing extra. A
     delete-for-absent-key is a no-op, exactly like MERGE."""
-    log = _cdc_log(spark, sf_dir)
-    latest = log.groupBy("doc_id").agg(
+    latest = log.groupBy(key_col).agg(
         F.max(F.struct("seq", "op", "content_md5", "n_chars")).alias("b")
     )
     return (
         latest.filter(F.col("b.op") != "delete")
         .select(
-            "doc_id",
+            key_col,
             F.col("b.seq").alias("last_seq"),
             F.col("b.content_md5").alias("content_md5"),
             F.col("b.n_chars").alias("n_chars"),
         )
     )
+
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the synthesized changelog into the served table — the
+    registered face of :func:`merge_changelog`: the batch analog of
+    the compacted-table sink (``streaming/sinks.py:43``) and of the
+    reference's Faust latest-per-key table. Output: (doc_id,
+    last_seq, content_md5, n_chars) for every surviving key."""
+    return merge_changelog(_cdc_log(spark, sf_dir))
 
 
 _ORACLE_CDC_LOG = f"""

@@ -577,3 +577,53 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
 """
+
+
+# --------------------------------------------------------------------------
+# Late-shipment priority census (round-5 addition, TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+#: An order is "late" if any of its lines shipped more than this many
+#: days after the order date (the corpus has no commit/receipt dates,
+#: so Q4's lateness predicate adapts to shipdate-vs-orderdate).
+LATE_SHIP_DAYS = 90
+
+
+def late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority that had AT LEAST ONE
+    late line — an EXISTS/semi-join aggregate, the one relational
+    shape (decorrelated existential subquery) the other headline
+    queries don't exercise.
+
+    Scale shape: Catalyst plans the EXISTS as a LEFT SEMI join on
+    orderkey with the lateness predicate as an extra join condition —
+    the probe side deduplicates per key during the join (no
+    distinct-after-join blowup); the final rollup is a
+    map-side-combined groupBy over the handful of priority values
+    (aggregate ON low-cardinality keys is fine — it's windows
+    PARTITIONED on them that funnel)."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+ORACLE_LATE_ORDER_PRIORITIES = f"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+)
+GROUP BY o_orderpriority
+"""

@@ -122,6 +122,22 @@ register("pack_efficiency", _pipe.pack_efficiency, _pipe.ORACLE_PACK_EFFICIENCY)
 register("vocab_oov_rate", _text.vocab_oov_rate, _text.ORACLE_VOCAB_OOV_RATE)
 # NEW: Unicode NFC normalization (vectorized pandas face; UAX#15 oracle)
 register("nfc_normalize", _text.nfc_normalize, _text.ORACLE_NFC_NORMALIZE)
+# NEW: IVF recall@K measured against exact brute force
+register(
+    "ann_recall_report", _sim.ann_recall_report, _sim.ORACLE_ANN_RECALL_REPORT
+)
+# NEW: per-source near-dup triage dashboard
+register(
+    "near_dup_rate_by_source",
+    _cur.near_dup_rate_by_source,
+    _cur.ORACLE_NEAR_DUP_RATE_BY_SOURCE,
+)
+# NEW: TPC-H Q4-shape EXISTS/semi-join aggregate
+register(
+    "late_order_priorities",
+    _an.late_order_priorities,
+    _an.ORACLE_LATE_ORDER_PRIORITIES,
+)
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
 register("url_dedup", _web.url_dedup, _web.ORACLE_URL_DEDUP)
@@ -174,15 +190,6 @@ register("sessionize", _win.sessionize, _win.ORACLE_SESSIONIZE)
 register("funnel_conversion", _an.funnel_conversion, _an.ORACLE_FUNNEL_CONVERSION)
 register("weekly_retention", _an.weekly_retention, _an.ORACLE_WEEKLY_RETENTION)
 register("repetition_score", _pipe.repetition_score, _pipe.ORACLE_REPETITION_SCORE)
-register(
-    "ngram_contamination",
-    _pipe.ngram_contamination,
-    _pipe.ORACLE_NGRAM_CONTAMINATION,
-)
-register("hash_split", _pipe.hash_split, _pipe.ORACLE_HASH_SPLIT)
-register(
-    "stratified_sample", _pipe.stratified_sample, _pipe.ORACLE_STRATIFIED_SAMPLE
-)
 # ==========================================================================
 # BEHIND THE 50-ENTRY WINDOW — every query below is driver-green from a
 # prior round (CORRECTNESS_r01..r04.json), a redundant face of a
@@ -192,6 +199,15 @@ register(
 # ==========================================================================
 
 # rotated out this round (r4/r3 green, implementations untouched)
+register(
+    "ngram_contamination",
+    _pipe.ngram_contamination,
+    _pipe.ORACLE_NGRAM_CONTAMINATION,
+)
+register("hash_split", _pipe.hash_split, _pipe.ORACLE_HASH_SPLIT)
+register(
+    "stratified_sample", _pipe.stratified_sample, _pipe.ORACLE_STRATIFIED_SAMPLE
+)
 register("pii_scrub", _pipe.pii_scrub, _pipe.ORACLE_PII_SCRUB)
 register("kmeans_assign", _pipe.kmeans_assign, _pipe.ORACLE_KMEANS_ASSIGN)
 register(
@@ -378,6 +394,9 @@ _ROUND5_NEEDS_VERDICT = (
     "pack_efficiency",
     "vocab_oov_rate",
     "nfc_normalize",
+    "ann_recall_report",
+    "near_dup_rate_by_source",
+    "late_order_priorities",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
