@@ -1,0 +1,194 @@
+"""Round-5 batch-4 operators: relational shapes + time-series faces.
+
+The oracle equivalence for each of these runs in tests/test_queries.py;
+here we pin the semantic properties the oracle alone can't see (the
+zero-count retention of the outer join, session-operator duality, grid
+density of the resample) and the plan shapes that make them scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark.operators import relational as rel
+from udacity_dsnd_projects_spark.operators import timeseries as ts
+from udacity_dsnd_projects_spark.operators.windows import sessionize
+from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+
+def test_order_distribution_accounts_for_every_customer(spark, sf_dir):
+    """The LEFT OUTER join must keep zero-order customers: the
+    distribution's customer total equals the dimension's row count."""
+    dist = rel.customer_order_distribution(spark, sf_dir)
+    total = dist.agg(F.sum("n_customers")).first()[0]
+    n_cust = load_table(spark, "customer", sf_dir).count()
+    assert total == n_cust
+
+
+def test_top_revenue_suppliers_hits_global_max(spark, sf_dir):
+    """Every returned supplier carries the same (maximal) revenue."""
+    rows = rel.top_revenue_suppliers(spark, sf_dir).collect()
+    assert rows
+    revs = {r["total_revenue"] for r in rows}
+    assert len(revs) == 1
+
+
+def test_lone_late_supplier_blames_are_bounded_by_orders(spark, sf_dir):
+    blamed = rel.lone_late_supplier_orders(spark, sf_dir)
+    total_blames = blamed.agg(F.sum("n_held_orders")).first()[0] or 0
+    n_orders = load_table(spark, "orders", sf_dir).count()
+    assert total_blames <= n_orders
+
+
+def test_small_quantity_revenue_broadcasts_the_part_dim(spark, sf_dir):
+    plan = (
+        rel.small_quantity_revenue(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_grid_is_dense_and_locf_holds(spark, sf_dir):
+    g = ts.timeseries_gap_fill(spark, sf_dir)
+    per_user = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("hr").alias("lo"),
+        F.max("hr").alias("hi"),
+        F.sum(
+            (F.col("value_filled").isNull() & (F.col("is_observed") == 0)).cast(
+                "int"
+            )
+        ).alias("null_filled"),
+        F.min(
+            F.when(F.col("is_observed") == 1, F.col("hr"))
+        ).alias("first_obs"),
+    )
+    bad = per_user.filter(
+        F.col("n")
+        != (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / 3600 + 1
+    )
+    assert bad.count() == 0, "spine has holes"
+    # every NULL value_filled sits strictly before the first observation
+    holes = g.join(
+        per_user.select("user_id", "first_obs"), "user_id"
+    ).filter(F.col("value_filled").isNull() & (F.col("hr") >= F.col("first_obs")))
+    assert holes.count() == 0
+
+
+def test_session_window_agrees_with_gaps_and_islands(spark, sf_dir):
+    """The native session_window face and the lag/cumsum sessionize
+    must carve the same sessions (the 30-min rule differs only on
+    gaps of EXACTLY 1800.000000s — measure-zero on microsecond
+    event times): same session count per user, same event total."""
+    native = (
+        ts.session_window_rollup(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+    )
+    manual = (
+        sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+    )
+    assert native.exceptAll(manual).count() == 0
+    assert manual.exceptAll(native).count() == 0
+
+
+def test_idle_customer_balance_customers_have_no_recent_orders(spark, sf_dir):
+    seg = rel.idle_customer_balance(spark, sf_dir)
+    # the counted customers really have zero post-cutoff orders
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit(rel.IDLE_CUTOFF).cast("timestamp")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    )
+    rich_idle = (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .count()
+    )
+    total = seg.agg(F.sum("n_customers")).first()[0] or 0
+    assert total == rich_idle
+
+
+# --------------------------------------------------------------------------
+# batch-4 second wave: selection / clustering / multimodal dedup
+# --------------------------------------------------------------------------
+from udacity_dsnd_projects_spark.functions import multimodal as mm
+from udacity_dsnd_projects_spark.functions import selection as sel
+from udacity_dsnd_projects_spark.functions.pipeline import cluster_quality
+
+
+def test_dsir_scores_target_language_higher(spark, sf_dir):
+    """The importance score must separate the distributions it was
+    built from: mean score of target-lang docs > mean of the rest."""
+    scored = sel.dsir_importance_weights(spark, sf_dir).filter(
+        F.col("n_feats") > 0
+    )
+    rows = (
+        scored.withColumn(
+            "is_target", (F.col("lang") == sel.DSIR_TARGET_LANG).cast("int")
+        )
+        .groupBy("is_target")
+        .agg(F.avg("score").alias("m"))
+        .collect()
+    )
+    means = {r["is_target"]: r["m"] for r in rows}
+    assert means[1] > means[0]
+
+
+def test_weighted_reservoir_sample_takes_k_per_stratum(spark, sf_dir):
+    out = sel.weighted_reservoir_sample(spark, sf_dir)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    strata = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(sel.RESERVOIR_K, strata[lang])
+    # rerun-stability: no RNG state anywhere
+    again = sel.weighted_reservoir_sample(spark, sf_dir)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_weighted_reservoir_plan_pushes_group_limit(spark, sf_dir):
+    plan = (
+        sel.weighted_reservoir_sample(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_cluster_quality_accounts_for_every_vector(spark, sf_dir):
+    cq = cluster_quality(spark, sf_dir)
+    total = cq.agg(F.sum("n_vecs")).first()[0]
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    assert total == n_vecs
+    assert cq.filter(F.col("inertia") < 0).count() == 0
+
+
+def test_media_dedup_collapses_every_injected_recrawl(spark, sf_dir):
+    out = mm.media_dedup(spark, sf_dir)
+    copies = out.filter(F.col("media_id") >= mm.MEDIA_DUP_OFFSET)
+    # every injected copy is flagged and points at its original
+    bad = copies.filter(
+        (F.col("is_dup") != 1)
+        | (F.col("keeper_id") != F.col("media_id") - mm.MEDIA_DUP_OFFSET)
+    )
+    assert copies.count() > 0
+    assert bad.count() == 0
+    # originals keep themselves (no cross-payload collisions)
+    originals = out.filter(F.col("media_id") < mm.MEDIA_DUP_OFFSET)
+    assert originals.filter(F.col("is_dup") == 1).count() == 0

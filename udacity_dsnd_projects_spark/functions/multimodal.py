@@ -355,3 +355,78 @@ SELECT doc_id AS media_id,
        LEAST(octet_length(encode(text)), {RESIZE_TARGET_BYTES}) AS resized_bytes
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+# --------------------------------------------------------------------------
+# Content-hash dedup over binary media payloads
+# --------------------------------------------------------------------------
+#: Every MEDIA_DUP_MOD-th item re-appears as a synthetic "re-crawl"
+#: copy (same payload, new id) so the dedup face has real work on the
+#: fixture corpus — the synthesize_urls duplicate-injection pattern.
+MEDIA_DUP_MOD = 7
+#: Id offset for injected copies (far above any real doc_id).
+MEDIA_DUP_OFFSET = 1_000_000
+
+
+def _media_with_recrawls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir).select(
+        "media_id", "modality", "content"
+    )
+    copies = media.filter(F.col("media_id") % MEDIA_DUP_MOD == 0).select(
+        (F.col("media_id") + MEDIA_DUP_OFFSET).alias("media_id"),
+        "modality",
+        "content",
+    )
+    return media.unionByName(copies)
+
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE binary payloads: hash the bytes
+    (md5 over the binary column — never the decoded content), keep
+    the lowest media_id per digest, flag the rest. This is the
+    multimodal twin of the text ``exact_dedup``: the blob itself is
+    only ever touched by the JVM-side hash — no Python, no decode.
+    The corpus is the synthesized media table plus deterministic
+    "re-crawl" copies (every :data:`MEDIA_DUP_MOD`-th payload under a
+    fresh id) so the operator demonstrably collapses real duplicates.
+
+    Scale shape: hash-before-shuffle (the 16-byte digest crosses the
+    exchange, never the payload); keeper election is a
+    map-side-combined ``min(media_id)`` per digest joined back on the
+    digest — no window, no payload movement."""
+    m = _media_with_recrawls(spark, sf_dir).select(
+        "media_id", "modality", F.md5("content").alias("digest")
+    )
+    keep = m.groupBy("digest").agg(F.min("media_id").alias("keeper_id"))
+    return m.join(keep, "digest").select(
+        "media_id",
+        "modality",
+        "keeper_id",
+        (F.col("media_id") != F.col("keeper_id")).cast("int").alias("is_dup"),
+    )
+
+
+#: DuckDB md5 over the VARCHAR hashes its UTF-8 bytes — exactly the
+#: bytes Spark's cast(text AS BINARY) feeds its md5.
+ORACLE_MEDIA_DEDUP = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         md5(text) AS digest
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {MEDIA_DUP_OFFSET} AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         md5(text) AS digest
+  FROM documents WHERE doc_id % {MEDIA_DUP_MOD} = 0
+), keep AS (
+  SELECT digest, MIN(media_id) AS keeper_id FROM m GROUP BY digest
+)
+SELECT m.media_id, m.modality, keep.keeper_id,
+       CAST(m.media_id <> keep.keeper_id AS INTEGER) AS is_dup
+FROM m JOIN keep ON m.digest = keep.digest
+"""

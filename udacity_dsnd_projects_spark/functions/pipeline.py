@@ -1128,3 +1128,49 @@ SELECT lang, bin, n_docs, used_tokens,
        GREATEST(0, used_tokens - {SEQ_PACK_BUDGET}) AS overflow_tokens
 FROM per
 """
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality report over the deterministic k-means assignment
+# --------------------------------------------------------------------------
+def cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality metrics of the deterministic assignment
+    (:func:`kmeans_assign`'s fixed first-K centroids): member count,
+    inertia (sum of squared distance to the assigned centroid) and
+    mean distance — the monitoring table a clustering-based curation
+    stage (semantic dedup, kNN-graph) publishes each run to catch
+    centroid drift or a collapsed cluster.
+
+    Scale shape: the assignment is the zero-shuffle inlined-centroid
+    scan; the rollup reduces to K rows map-side. Inertia accumulates
+    in DECIMAL over the per-row squared distance (each side squares
+    the SAME 5-dp-rounded dist double, so the products are
+    bit-identical and the decimal sum is order-independent)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned = assign_to_centroids(emb, first_k_centroids(emb))
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum((F.col("dist") * F.col("dist")).cast("decimal(30,10)")), 4
+        )
+        .cast("double")
+        .alias("inertia"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(30,10)")), 4
+        )
+        .cast("double")
+        .alias("total_dist"),
+    )
+
+
+ORACLE_CLUSTER_QUALITY = f"""
+WITH assigned AS ({ORACLE_KMEANS_ASSIGN})
+SELECT cluster, COUNT(*) AS n_vecs,
+       CAST(ROUND(SUM(CAST(dist * dist AS DECIMAL(30,10))), 4) AS DOUBLE)
+         AS inertia,
+       CAST(ROUND(SUM(CAST(dist AS DECIMAL(30,10))), 4) AS DOUBLE)
+         AS total_dist
+FROM assigned GROUP BY cluster
+"""

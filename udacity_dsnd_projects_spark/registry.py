@@ -21,6 +21,7 @@ from udacity_dsnd_projects_spark.functions import graph as _graph
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
 from udacity_dsnd_projects_spark.functions import pipeline as _pipe
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
+from udacity_dsnd_projects_spark.functions import selection as _sel
 from udacity_dsnd_projects_spark.functions import snapshot as _snap
 from udacity_dsnd_projects_spark.functions import similarity as _sim
 from udacity_dsnd_projects_spark.functions import text as _text
@@ -30,7 +31,9 @@ from udacity_dsnd_projects_spark.operators import analytics as _an
 from udacity_dsnd_projects_spark.operators import envelope as _env
 from udacity_dsnd_projects_spark.operators import joins as _joins
 from udacity_dsnd_projects_spark.operators import projections as _proj
+from udacity_dsnd_projects_spark.operators import relational as _rel
 from udacity_dsnd_projects_spark.operators import risk_join as _risk
+from udacity_dsnd_projects_spark.operators import timeseries as _ts
 from udacity_dsnd_projects_spark.operators import setops as _setops
 from udacity_dsnd_projects_spark.operators import skew as _skew
 from udacity_dsnd_projects_spark.operators import windows as _win
@@ -137,6 +140,55 @@ register(
     "late_order_priorities",
     _an.late_order_priorities,
     _an.ORACLE_LATE_ORDER_PRIORITIES,
+)
+# NEW (batch 4): classic warehouse shapes the headline set didn't cover
+register(
+    "customer_order_distribution",
+    _rel.customer_order_distribution,
+    _rel.ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+)
+register(
+    "idle_customer_balance",
+    _rel.idle_customer_balance,
+    _rel.ORACLE_IDLE_CUSTOMER_BALANCE,
+)
+register(
+    "small_quantity_revenue",
+    _rel.small_quantity_revenue,
+    _rel.ORACLE_SMALL_QUANTITY_REVENUE,
+)
+register(
+    "top_revenue_suppliers",
+    _rel.top_revenue_suppliers,
+    _rel.ORACLE_TOP_REVENUE_SUPPLIERS,
+)
+register(
+    "lone_late_supplier_orders",
+    _rel.lone_late_supplier_orders,
+    _rel.ORACLE_LONE_LATE_SUPPLIER_ORDERS,
+)
+# NEW (batch 4): DSIR importance weights + A-ES weighted sampling
+register(
+    "dsir_importance_weights",
+    _sel.dsir_importance_weights,
+    _sel.ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+)
+register(
+    "weighted_reservoir_sample",
+    _sel.weighted_reservoir_sample,
+    _sel.ORACLE_WEIGHTED_RESERVOIR_SAMPLE,
+)
+# NEW (batch 4): clustering health report; binary-payload dedup
+register("cluster_quality", _pipe.cluster_quality, _pipe.ORACLE_CLUSTER_QUALITY)
+register("media_dedup", _mm.media_dedup, _mm.ORACLE_MEDIA_DEDUP)
+# NEW (batch 4): time-series resample/LOCF + native session_window face
+register(
+    "timeseries_gap_fill", _ts.timeseries_gap_fill, _ts.ORACLE_TIMESERIES_GAP_FILL
+)
+register(
+    "session_window_rollup",
+    _ts.session_window_rollup,
+    _ts.ORACLE_SESSION_WINDOW_ROLLUP,
 )
 # synthesize_urls :443 coverage fix changed the raw-URL corpus
 register("url_normalize", _web.url_normalize, _web.ORACLE_URL_NORMALIZE)
@@ -397,6 +449,17 @@ _ROUND5_NEEDS_VERDICT = (
     "ann_recall_report",
     "near_dup_rate_by_source",
     "late_order_priorities",
+    "customer_order_distribution",
+    "idle_customer_balance",
+    "small_quantity_revenue",
+    "top_revenue_suppliers",
+    "lone_late_supplier_orders",
+    "timeseries_gap_fill",
+    "session_window_rollup",
+    "dsir_importance_weights",
+    "weighted_reservoir_sample",
+    "cluster_quality",
+    "media_dedup",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
