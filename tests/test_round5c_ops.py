@@ -192,3 +192,63 @@ def test_media_dedup_collapses_every_injected_recrawl(spark, sf_dir):
     # originals keep themselves (no cross-payload collisions)
     originals = out.filter(F.col("media_id") < mm.MEDIA_DUP_OFFSET)
     assert originals.filter(F.col("is_dup") == 1).count() == 0
+
+
+# --------------------------------------------------------------------------
+# batch-4 third wave: containment dedup / Gopher rules / CCNet buckets
+# --------------------------------------------------------------------------
+from udacity_dsnd_projects_spark.functions import dedup as dd
+from udacity_dsnd_projects_spark.functions import text as tx
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """C >= J always (min(|A|,|B|) <= |A∪B|), and the face must
+    surface at least one asymmetric pair the Jaccard gate would
+    score strictly lower."""
+    pairs = dd.shingle_containment_pairs(spark, sf_dir)
+    assert pairs.filter(F.col("containment") < F.col("jaccard")).count() == 0
+    assert pairs.count() > 0
+
+
+def test_gopher_passes_is_conjunction_of_rules(spark, sf_dir):
+    g = tx.gopher_quality_filter(spark, sf_dir)
+    bad = g.filter(
+        F.col("passes")
+        != (
+            F.col("rule_tok_range")
+            * F.col("rule_mean_len")
+            * F.col("rule_symbol_ratio")
+            * F.col("rule_alpha_words")
+            * F.col("rule_stopwords")
+        )
+    )
+    assert bad.count() == 0
+    # the gate must actually discriminate on this corpus
+    n_pass = g.agg(F.sum("passes")).first()[0]
+    assert 0 < n_pass < g.count()
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
+    b = tx.ccnet_perplexity_bucket(spark, sf_dir)
+    per = (
+        b.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (F.max("n") - F.min("n")).alias("spread"),
+        )
+        .collect()
+    )
+    for r in per:
+        assert r["n_buckets"] == 3
+        assert r["spread"] <= 1  # tercile sizes differ by at most one
+    # head really is less perplexing than tail, per lang
+    hm = (
+        b.groupBy("lang")
+        .pivot("bucket_label", ["head", "tail"])
+        .agg(F.avg("cross_entropy"))
+        .collect()
+    )
+    for r in hm:
+        assert r["head"] < r["tail"]

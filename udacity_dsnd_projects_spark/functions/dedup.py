@@ -906,3 +906,96 @@ FROM bands a
 JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment pairs (round-5 addition)
+# --------------------------------------------------------------------------
+#: Minimum containment (|A∩B| / min(|A|,|B|)) for a pair to count as
+#: "one document substantially inside the other". Symmetric Jaccard
+#: misses exactly these pairs when the containing document is much
+#: larger (J = |∩|/|∪| shrinks with the big doc's size while
+#: containment stays near 1) — the quote-expansion / boilerplate-wrap
+#: case sub-document dedup exists for.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs over the SAME inverted shingle index
+    as :func:`ngram_jaccard_pairs`: C = |∩| / min(|A|, |B|) — the
+    asymmetric "smaller doc is mostly inside the larger" relation
+    (MinHash literature's containment score; what C4/RefinedWeb-style
+    pipelines use to kill quoted/wrapped copies that Jaccard's union
+    denominator dilutes). Emits both scores so downstream triage can
+    see WHY a pair was caught (high C, low J = wrap; high both =
+    near-identical).
+
+    Scale shape: identical to the Jaccard face — stop-shingles capped
+    at SHINGLE_DF_CAP before the self-join, merge-hinted so the
+    shingle subtree's exchange is computed once and reused, candidate
+    set bounded to pairs sharing ≥1 rare shingle. Only the final
+    filter differs, so the plan inherits every bound already proven
+    for the Jaccard face."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingled_docs(docs)
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
+    kept = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "s")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("common"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    cont = F.col("common") / F.least("na", "nb")
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.round(cont, 5).alias("containment"),
+        F.round(jac, 5).alias("jaccard"),
+    )
+
+
+ORACLE_SHINGLE_CONTAINMENT_PAIRS = f"""
+WITH docs AS ({_ORACLE_SHINGLES}),
+ex_all AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+ex AS (
+  SELECT doc_id, s FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.common * 1.0 / LEAST(sa.n, sb.n), 5) AS containment,
+       ROUND(p.common * 1.0 / (sa.n + sb.n - p.common), 5) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.common * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""

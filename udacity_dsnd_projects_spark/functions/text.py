@@ -680,3 +680,159 @@ SELECT doc_id,
        md5(nfc_normalize(raw)) AS nfc_md5
 FROM raw
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule filter (round-5 addition)
+# --------------------------------------------------------------------------
+#: Rule constants (the Gopher/MassiveText repetition-free document
+#: gate, thresholds scaled to this corpus' 10-99-token documents; at
+#: web scale the canonical values are 50..100k tokens etc. — they are
+#: constants, not logic).
+GOPHER_MIN_TOK = 20
+GOPHER_MAX_TOK = 100_000
+GOPHER_MEAN_LEN_LO = 3.5
+GOPHER_MEAN_LEN_HI = 5.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_MIN_STOP = 2
+
+#: The stopword probe set the rule counts against (Gopher uses a tiny
+#: fixed list too — presence of ANY common function words).
+_GOPHER_STOPS = ("the", "of", "and", "to", "in", "a", "is", "that")
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document gate (the Gopher/MassiveText quality rules,
+    as opposed to :func:`quality_score`'s soft composite): each rule
+    is a named boolean column so downstream triage can see WHICH rule
+    killed a document, plus the conjunction as ``passes``. Rules:
+    token count in range, mean token length in range, symbol-to-token
+    ratio (``#``/``...`` per token) under cap, alphabetic-word ratio
+    over floor, and a minimum stopword count.
+
+    Scale shape: one corpus scan, all rules are codegen'd JVM
+    expressions over the same token split — zero shuffles, zero UDFs;
+    the output is row-per-doc and the filter composes with any
+    downstream gate via ``passes``."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    mean_len = (n_chars - (n_tok - 1)) / n_tok
+    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("double")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stops = F.array([F.lit(w) for w in _GOPHER_STOPS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    r_ntok = (n_tok >= GOPHER_MIN_TOK) & (n_tok <= GOPHER_MAX_TOK)
+    r_mean = (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)
+    r_sym = (n_sym / n_tok) <= GOPHER_SYMBOL_MAX
+    r_alpha = (n_alpha / n_tok) >= GOPHER_ALPHA_MIN
+    r_stop = n_stop >= GOPHER_MIN_STOP
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        r_ntok.cast("int").alias("rule_tok_range"),
+        r_mean.cast("int").alias("rule_mean_len"),
+        r_sym.cast("int").alias("rule_symbol_ratio"),
+        r_alpha.cast("int").alias("rule_alpha_words"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        (r_ntok & r_mean & r_sym & r_alpha & r_stop).cast("int").alias("passes"),
+    )
+
+
+_GSTOPS = "', '".join(_GOPHER_STOPS)
+ORACLE_GOPHER_QUALITY_FILTER = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         (n_chars - (len(toks) - 1)) / len(toks) AS mean_len,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+           / len(toks) AS sym_ratio,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_ratio,
+         len(list_filter(toks, x -> list_contains(['{_GSTOPS}'], x)))
+           AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CAST(n_tok >= {GOPHER_MIN_TOK} AND n_tok <= {GOPHER_MAX_TOK}
+            AS INTEGER) AS rule_tok_range,
+       CAST(mean_len >= {GOPHER_MEAN_LEN_LO}
+            AND mean_len <= {GOPHER_MEAN_LEN_HI} AS INTEGER) AS rule_mean_len,
+       CAST(sym_ratio <= {GOPHER_SYMBOL_MAX} AS INTEGER) AS rule_symbol_ratio,
+       CAST(alpha_ratio >= {GOPHER_ALPHA_MIN} AS INTEGER) AS rule_alpha_words,
+       CAST(n_stop >= {GOPHER_MIN_STOP} AS INTEGER) AS rule_stopwords,
+       CAST(n_tok >= {GOPHER_MIN_TOK} AND n_tok <= {GOPHER_MAX_TOK}
+            AND mean_len >= {GOPHER_MEAN_LEN_LO}
+            AND mean_len <= {GOPHER_MEAN_LEN_HI}
+            AND sym_ratio <= {GOPHER_SYMBOL_MAX}
+            AND alpha_ratio >= {GOPHER_ALPHA_MIN}
+            AND n_stop >= {GOPHER_MIN_STOP} AS INTEGER) AS passes
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity buckets (round-5 addition)
+# --------------------------------------------------------------------------
+def ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: within each language, order
+    documents by LM cross-entropy (:func:`perplexity_score`'s
+    char-bigram model) and cut into terciles — head = least
+    perplexing third (keep), tail = most perplexing (drop or
+    down-weight). The canonical perplexity-filtering recipe.
+
+    Scale shape: the rank is
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    (groups × buckets parallel sort partitions — never one task per
+    language), with the group count carried by the same pass
+    (``count_col``), so the tercile arithmetic is a pure projection.
+    Ties at the rounded 5-dp entropy break on doc_id, giving both
+    engines an identical total order."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    ppl = perplexity_score(spark, sf_dir)
+    langs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    d = ppl.join(langs, "doc_id")
+    ranked = exact_group_rank(
+        d,
+        ["lang"],
+        "cross_entropy",
+        ["doc_id"],
+        rank_col="rk",
+        count_col="n_lang",
+    )
+    bucket = F.floor((F.col("rk") - 1) * 3 / F.col("n_lang")).cast("int")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "cross_entropy",
+        F.col("rk").cast("long").alias("rk"),
+        bucket.alias("bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket + 1
+        ).alias("bucket_label"),
+    )
+
+
+ORACLE_CCNET_PERPLEXITY_BUCKET = f"""
+WITH ppl AS ({ORACLE_PERPLEXITY_SCORE}),
+ranked AS (
+  SELECT p.doc_id, d.lang, p.cross_entropy,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY p.cross_entropy, p.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+  FROM ppl p JOIN documents d ON p.doc_id = d.doc_id
+)
+SELECT doc_id, lang, cross_entropy, rk,
+       CAST(((rk - 1) * 3) // n_lang AS INTEGER) AS bucket,
+       (['head', 'middle', 'tail'])[CAST(((rk - 1) * 3) // n_lang AS INTEGER) + 1]
+         AS bucket_label
+FROM ranked
+"""

@@ -181,6 +181,23 @@ register(
 # NEW (batch 4): clustering health report; binary-payload dedup
 register("cluster_quality", _pipe.cluster_quality, _pipe.ORACLE_CLUSTER_QUALITY)
 register("media_dedup", _mm.media_dedup, _mm.ORACLE_MEDIA_DEDUP)
+# NEW (batch 4): asymmetric containment dedup; Gopher rule gate;
+# CCNet head/middle/tail perplexity split
+register(
+    "shingle_containment_pairs",
+    _dedup.shingle_containment_pairs,
+    _dedup.ORACLE_SHINGLE_CONTAINMENT_PAIRS,
+)
+register(
+    "gopher_quality_filter",
+    _text.gopher_quality_filter,
+    _text.ORACLE_GOPHER_QUALITY_FILTER,
+)
+register(
+    "ccnet_perplexity_bucket",
+    _text.ccnet_perplexity_bucket,
+    _text.ORACLE_CCNET_PERPLEXITY_BUCKET,
+)
 # NEW (batch 4): time-series resample/LOCF + native session_window face
 register(
     "timeseries_gap_fill", _ts.timeseries_gap_fill, _ts.ORACLE_TIMESERIES_GAP_FILL
@@ -460,6 +477,9 @@ _ROUND5_NEEDS_VERDICT = (
     "weighted_reservoir_sample",
     "cluster_quality",
     "media_dedup",
+    "shingle_containment_pairs",
+    "gopher_quality_filter",
+    "ccnet_perplexity_bucket",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
