@@ -84,22 +84,30 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-identical. No UDFs, no driver-side data beyond the
     B-row table."""
     docs = load_table(spark, "documents", sf_dir)
-    feats = _doc_buckets(docs)
-    tc = (
-        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # One bigram explode for the whole operator: reduce the raw gram
+    # stream to per-(doc, bucket) COUNTS first (one map-side-combined
+    # shuffle; frame size = docs × distinct-buckets-per-doc, far
+    # smaller than the gram stream) and checkpoint — the count table
+    # then feeds BOTH distributions and the scoring join, instead of
+    # re-running the explode three times (the perplexity_score
+    # doc_grams pattern).
+    feats = (
+        _doc_buckets(docs)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    rc = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    both = feats.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n")).otherwise(0)
+        ).alias("tc"),
+        F.sum("n").alias("rc"),
+    )
     spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
-    counts = (
-        spine.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("tc", F.lit(0)).alias("tc"),
-            F.coalesce("rc", F.lit(0)).alias("rc"),
-        )
+    counts = spine.join(both, "bucket", "left").select(
+        "bucket",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
     )
     totals = counts.agg(
         F.sum("tc").alias("__tt"), F.sum("rc").alias("__tr")
@@ -120,8 +128,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lr").alias("__s"),
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lr")).alias("__s"),
         )
     )
     return docs.join(scored, "doc_id", "left").select(

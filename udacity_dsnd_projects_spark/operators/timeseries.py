@@ -40,6 +40,10 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax via ``max(struct(ts, event_id, value))`` (event_id breaks
     ts ties deterministically), not a separate ranking pass."""
     ev = load_table(spark, "events", sf_dir)
+    # hourly feeds BOTH the spine bounds and the grid join; checkpoint
+    # so the events scan + downsample shuffle run once, not per
+    # consumer (hourly is users × active-hours — far smaller than the
+    # event log it replaces).
     hourly = (
         ev.withColumn("hr", F.date_trunc("hour", F.col("ts")))
         .groupBy("user_id", "hr")
@@ -47,6 +51,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.struct("ts", "event_id", "value"))["value"].alias("obs_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .localCheckpoint(eager=True)
     )
     spine = (
         hourly.groupBy("user_id")
