@@ -252,3 +252,56 @@ def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
     )
     for r in hm:
         assert r["head"] < r["tail"]
+
+
+# --------------------------------------------------------------------------
+# batch-4 fourth wave: BM25 lexical retrieval
+# --------------------------------------------------------------------------
+from udacity_dsnd_projects_spark.functions import search as srch
+
+
+def test_bm25_returns_topk_per_query_and_self_retrieves(spark, sf_dir):
+    out = srch.bm25_search(spark, sf_dir)
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in out.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(per_q) == srch.N_QUERIES
+    for n in per_q.values():
+        assert n <= srch.BM25_TOPK
+    # ranks are contiguous from 1 and scores are non-increasing in rank
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("rk")
+    bad = (
+        out.withColumn("prev_rk", F.lag("rk").over(w))
+        .withColumn("prev_score", F.lag("score").over(w))
+        .filter(
+            (F.coalesce(F.col("prev_rk"), F.lit(0)) != F.col("rk") - 1)
+            | (
+                F.col("prev_score").isNotNull()
+                & (F.col("prev_score") < F.col("score"))
+            )
+        )
+    )
+    assert bad.count() == 0
+    # at least one query self-retrieves the doc it was cut from (all
+    # of them do on larger corpora; tiny SF makes common-word queries
+    # ambiguous, so only existence is asserted here)
+    assert out.filter(F.col("query_id") == F.col("doc_id")).count() >= 1
+
+
+def test_bm25_plan_prunes_postings_and_pushes_group_limit(spark, sf_dir):
+    plan = (
+        srch.bm25_search(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-k executes as WindowGroupLimit (map-side pre-limit)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    # the query-term set joins in as a broadcast (postings are pruned
+    # to queried terms, never a full inverted index)
+    assert "BroadcastHashJoin" in plan

@@ -21,6 +21,7 @@ from udacity_dsnd_projects_spark.functions import graph as _graph
 from udacity_dsnd_projects_spark.functions import multimodal as _mm
 from udacity_dsnd_projects_spark.functions import pipeline as _pipe
 from udacity_dsnd_projects_spark.functions import scalar as _scalar
+from udacity_dsnd_projects_spark.functions import search as _search
 from udacity_dsnd_projects_spark.functions import selection as _sel
 from udacity_dsnd_projects_spark.functions import snapshot as _snap
 from udacity_dsnd_projects_spark.functions import similarity as _sim
@@ -181,6 +182,8 @@ register(
 # NEW (batch 4): clustering health report; binary-payload dedup
 register("cluster_quality", _pipe.cluster_quality, _pipe.ORACLE_CLUSTER_QUALITY)
 register("media_dedup", _mm.media_dedup, _mm.ORACLE_MEDIA_DEDUP)
+# NEW (batch 4): BM25 lexical retrieval (keyword twin of cosine top-k)
+register("bm25_search", _search.bm25_search, _search.ORACLE_BM25_SEARCH)
 # NEW (batch 4): asymmetric containment dedup; Gopher rule gate;
 # CCNet head/middle/tail perplexity split
 register(
@@ -480,6 +483,7 @@ _ROUND5_NEEDS_VERDICT = (
     "shingle_containment_pairs",
     "gopher_quality_filter",
     "ccnet_perplexity_bucket",
+    "bm25_search",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
