@@ -305,3 +305,29 @@ def test_bm25_plan_prunes_postings_and_pushes_group_limit(spark, sf_dir):
     # the query-term set joins in as a broadcast (postings are pruned
     # to queried terms, never a full inverted index)
     assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_fusion_ranks_dual_mode_hits_highest(spark, sf_dir):
+    """An item found by BOTH retrieval modes must outscore any item
+    found by one mode at the same single-mode rank, and the fused
+    frame preserves both source ranks for triage."""
+    out = srch.hybrid_retrieval_fusion(spark, sf_dir)
+    both = out.filter(
+        F.col("lex_rk").isNotNull() & F.col("vec_rk").isNotNull()
+    )
+    single = out.filter(
+        F.col("lex_rk").isNull() | F.col("vec_rk").isNull()
+    )
+    if both.count() > 0 and single.count() > 0:
+        best_single = single.agg(F.max("rrf")).first()[0]
+        worst_both_possible = 2.0 / (srch.RRF_K + srch.BM25_TOPK)
+        # structural bound: a dual hit at worst ranks still beats a
+        # single hit at best rank iff 2/(K+k) > 1/(K+1) — holds for
+        # K=60, k=10
+        assert worst_both_possible > 1.0 / (srch.RRF_K + 1)
+        assert best_single <= 1.0 / (srch.RRF_K + 1) + 1e-12
+    # every fused rank list is contiguous from 1
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("fused_rk").alias("mx")
+    )
+    assert per_q.filter(F.col("n") != F.col("mx")).count() == 0

@@ -158,3 +158,104 @@ FROM (
   FROM scored
 ) t WHERE rk <= {BM25_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine top-k
+# --------------------------------------------------------------------------
+#: RRF dampening constant (the standard 60 from Cormack et al.).
+RRF_K = 60
+#: Fused results per query.
+RRF_TOPK = 10
+
+
+def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two retrieval modes the engine
+    carries: BM25 lexical ranks (:func:`bm25_search`) and brute-force
+    cosine ranks (functions/similarity.py::cosine_topk_bruteforce),
+    fused as ``Σ 1/(RRF_K + rank)`` per (query, item) — the standard
+    hybrid-search combiner (Cormack et al., SIGIR'09), rank-only so
+    the incomparable score scales never need calibration. Queries are
+    the same first-8 ids in both modes, and doc_id/vec_id share the
+    corpus id space (the fixture's multimodal contract: row i's text
+    and embedding describe the same item).
+
+    Scale shape: both inputs end at per-query top-k, so the fusion
+    operates on (queries × k)-sized frames — metadata, regardless of
+    corpus size; the FULL OUTER join keeps single-mode hits (rank
+    contribution 0 from the missing side via coalesce). Each RRF term
+    is an exact double of small-integer arithmetic evaluated in a
+    FIXED expression order (a two-term projection, not a float
+    aggregation), so cross-engine totals are bit-identical. Final
+    top-k is WindowGroupLimit again."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    lex = bm25_search(spark, sf_dir).select(
+        "query_id",
+        F.col("doc_id").alias("item_id"),
+        F.col("rk").alias("lex_rk"),
+    )
+    vec = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("item_id"),
+        F.col("rn").cast("long").alias("vec_rk"),
+    )
+    fused = lex.join(vec, ["query_id", "item_id"], "full_outer").select(
+        "query_id",
+        "item_id",
+        "lex_rk",
+        "vec_rk",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rk")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("item_id")
+    )
+    return (
+        fused.withColumn("fused_rk", F.row_number().over(w))
+        .filter(F.col("fused_rk") <= RRF_TOPK)
+        .select(
+            "query_id",
+            "item_id",
+            "lex_rk",
+            "vec_rk",
+            "rrf",
+            F.col("fused_rk").cast("long").alias("fused_rk"),
+        )
+    )
+
+
+def _oracle_hybrid() -> str:
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        ORACLE_COSINE_TOPK_BRUTEFORCE,
+    )
+
+    return f"""
+WITH lex AS ({ORACLE_BM25_SEARCH}),
+vec AS ({ORACLE_COSINE_TOPK_BRUTEFORCE}),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.vec_id) AS item_id,
+         l.rk AS lex_rk, v.rn AS vec_rk,
+         ROUND(COALESCE(1.0 / ({RRF_K} + l.rk), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.rn), 0.0), 8) AS rrf
+  FROM lex l
+  FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.vec_id
+)
+SELECT query_id, item_id, lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk, rrf,
+       CAST(fused_rk AS BIGINT) AS fused_rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, item_id) AS fused_rk
+  FROM fused
+) t WHERE fused_rk <= {RRF_TOPK}
+"""
+
+
+ORACLE_HYBRID_RETRIEVAL_FUSION = _oracle_hybrid()

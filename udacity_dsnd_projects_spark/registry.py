@@ -184,6 +184,11 @@ register("cluster_quality", _pipe.cluster_quality, _pipe.ORACLE_CLUSTER_QUALITY)
 register("media_dedup", _mm.media_dedup, _mm.ORACLE_MEDIA_DEDUP)
 # NEW (batch 4): BM25 lexical retrieval (keyword twin of cosine top-k)
 register("bm25_search", _search.bm25_search, _search.ORACLE_BM25_SEARCH)
+register(
+    "hybrid_retrieval_fusion",
+    _search.hybrid_retrieval_fusion,
+    _search.ORACLE_HYBRID_RETRIEVAL_FUSION,
+)
 # NEW (batch 4): asymmetric containment dedup; Gopher rule gate;
 # CCNet head/middle/tail perplexity split
 register(
@@ -484,6 +489,7 @@ _ROUND5_NEEDS_VERDICT = (
     "gopher_quality_filter",
     "ccnet_perplexity_bucket",
     "bm25_search",
+    "hybrid_retrieval_fusion",
     "url_normalize",
     "url_dedup",
     "lang_zscore_pandas",
