@@ -331,3 +331,22 @@ def test_hybrid_fusion_ranks_dual_mode_hits_highest(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.max("fused_rk").alias("mx")
     )
     assert per_q.filter(F.col("n") != F.col("mx")).count() == 0
+
+
+def test_media_digest_is_utf8_md5_even_for_non_ascii(spark):
+    """ORACLE_MEDIA_DEDUP hashes the VARCHAR in DuckDB while the Spark
+    face hashes cast(text AS BINARY); both are md5 over UTF-8 bytes.
+    The fixture corpus is ASCII, so pin the equivalence on a non-ASCII
+    payload here (the docstring's claim, made falsifiable)."""
+    import hashlib
+
+    samples = ["héllo wörld", "日本語テキスト", "emoji 🚀 test", "plain"]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    got = {
+        r["text"]: r["digest"]
+        for r in df.select(
+            "text", F.md5(F.col("text").cast("binary")).alias("digest")
+        ).collect()
+    }
+    for s in samples:
+        assert got[s] == hashlib.md5(s.encode("utf-8")).hexdigest()
