@@ -962,3 +962,55 @@ def test_cdc_changelog_stream_equals_batch_merge(spark, sf_dir, tmp_path_factory
     got = sorted(map(tuple, served.collect()))
     want = sorted(map(tuple, cdc_merge(spark, sf_dir).collect()))
     assert got == want and got
+
+
+def test_gap_fill_stateful_fills_silent_hours_across_batches(spark, tmp_path_factory):
+    """T6 — streaming LOCF: the stateful gap-fill face must (a) emit
+    filler rows for hours with no events, carrying the last value,
+    (b) merge same-hour events arriving in DIFFERENT micro-batches
+    into one (re-emitted) observation, matching the batch face's
+    hourly argmax."""
+    from datetime import datetime
+
+    from udacity_dsnd_projects_spark.streaming.stateful import gap_fill_stateful
+
+    root = tmp_path_factory.mktemp("gapfill")
+    path = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    # batch 1: user 1 twice in hour 10; user 2 once in hour 9
+    b1 = [(1, t(10, 5), 1, 1.0), (1, t(10, 40), 2, 2.0), (2, t(9, 15), 3, 5.0)]
+    # batch 2: user 1 jumps to hour 13 (hours 11, 12 silent);
+    # user 2 gets a LATER event in the SAME hour 9 (cross-batch merge)
+    b2 = [(1, t(13, 10), 4, 3.0), (2, t(9, 45), 5, 6.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    out = gap_fill_stateful(file_stream(spark, path, schema))
+    rows = run_to_memory(out, "gapfill_state", output_mode="update").collect()
+
+    # last emission per (user, hr) is the current row (update mode)
+    final: dict[tuple, tuple] = {}
+    for r in rows:
+        final[(r["user_id"], r["hr"])] = (
+            r["value_filled"],
+            r["n_events"],
+            r["is_observed"],
+        )
+    assert final == {
+        (1, t(10, 0)): (2.0, 2, 1),
+        (1, t(11, 0)): (2.0, 0, 0),
+        (1, t(12, 0)): (2.0, 0, 0),
+        (1, t(13, 0)): (3.0, 1, 1),
+        (2, t(9, 0)): (6.0, 2, 1),
+    }

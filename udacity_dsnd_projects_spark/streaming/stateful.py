@@ -187,3 +187,116 @@ def latest_per_key_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+def gap_fill_stateful(events: DataFrame) -> DataFrame:
+    """Streaming face of
+    :func:`~udacity_dsnd_projects_spark.operators.timeseries.timeseries_gap_fill`:
+    per-user hourly LOCF resampling as incremental state. Per key the
+    state is (last emitted hour, running argmax of that hour, carried
+    value); each micro-batch emits (a) filler rows for every silent
+    hour between the state's frontier and the batch's hours — carrying
+    the last observed value forward, ``is_observed`` 0 — and (b) the
+    observed hours themselves, re-emitting an hour when a later batch
+    adds events to it (update-mode semantics: the LAST emission per
+    (user, hr) is current, exactly like the compacted-table sink).
+
+    Contract: per-user event time must be non-decreasing ACROSS
+    micro-batches (the watermark-ordered replay the file/Kafka sources
+    provide); an event older than the state frontier is counted into
+    the frontier hour's stats rather than rewriting emitted history —
+    the same no-time-travel rule every LOCF stream has.
+
+    Scale: state is O(distinct users × one row); silent-hour emission
+    is bounded per batch by the real gap length, and each batch
+    touches only the users present in it.
+
+    Expects columns (user_id, ts, event_id, value).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("hr", T.TimestampType()),
+            T.StructField("value_filled", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("is_observed", T.IntegerType()),
+        ]
+    )
+    # (frontier hour epoch-us, best ts-us, best event_id, best value,
+    #  events-in-frontier-hour, carried LOCF value)
+    state_schema = T.StructType(
+        [
+            T.StructField("hr_us", T.LongType()),
+            T.StructField("best_ts", T.LongType()),
+            T.StructField("best_eid", T.LongType()),
+            T.StructField("best_val", T.DoubleType()),
+            T.StructField("n_ev", T.LongType()),
+            T.StructField("carry", T.DoubleType()),
+        ]
+    )
+
+    def update_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        st = list(state.get) if state.exists else None
+        rows: list[list] = []
+
+        def emit(hr_us: int, val, n_ev: int, observed: int) -> None:
+            rows.append(
+                [
+                    key[0],
+                    pd.Timestamp(hr_us, unit="us"),
+                    val,
+                    n_ev,
+                    observed,
+                ]
+            )
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for t_us, eid, val in zip(
+                ts_us, pdf["event_id"], pdf["value"]
+            ):
+                hr_us = (t_us // _HOUR_US) * _HOUR_US
+                if st is None:
+                    st = [hr_us, t_us, int(eid), float(val), 1, float(val)]
+                    continue
+                if hr_us < st[0]:
+                    # no-time-travel: fold into the frontier hour
+                    hr_us = st[0]
+                if hr_us == st[0]:
+                    st[4] += 1
+                    if (t_us, int(eid)) > (st[1], st[2]):
+                        st[1], st[2], st[3] = t_us, int(eid), float(val)
+                    st[5] = st[3]
+                else:
+                    # close the frontier hour, fill the silent gap
+                    emit(st[0], st[3], st[4], 1)
+                    carry = st[3]
+                    h = st[0] + _HOUR_US
+                    while h < hr_us:
+                        emit(h, carry, 0, 0)
+                        h += _HOUR_US
+                    st = [hr_us, t_us, int(eid), float(val), 1, carry]
+        if st is not None:
+            state.update(tuple(st))
+            emit(st[0], st[3], st[4], 1)  # current (possibly partial) hour
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "hr", "value_filled", "n_events", "is_observed"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
