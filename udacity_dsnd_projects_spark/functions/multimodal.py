@@ -394,8 +394,13 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, never the payload); keeper election is a
     map-side-combined ``min(media_id)`` per digest joined back on the
     digest — no window, no payload movement."""
-    m = _media_with_recrawls(spark, sf_dir).select(
-        "media_id", "modality", F.md5("content").alias("digest")
+    # the digest frame feeds keeper election AND the join back; the
+    # checkpoint stops the synthesize+hash subtree running twice (and
+    # drops the payload column before anything is stored)
+    m = (
+        _media_with_recrawls(spark, sf_dir)
+        .select("media_id", "modality", F.md5("content").alias("digest"))
+        .localCheckpoint(eager=True)
     )
     keep = m.groupBy("digest").agg(F.min("media_id").alias("keeper_id"))
     return m.join(keep, "digest").select(

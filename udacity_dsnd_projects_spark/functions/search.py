@@ -58,6 +58,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("dl").alias("__avgdl"),
     )
+    # qterms is metadata-sized; postings are term-PRUNED (queried terms
+    # only) and therefore tiny relative to the corpus. Checkpoint both:
+    # postings feed df_tbl AND the scoring join, and without the
+    # materialization Catalyst re-evaluates the whole corpus explode
+    # for each consumer (observed as 6 parquet scans in the plan; 2
+    # after).
     qterms = (
         d.filter(F.col("doc_id") < N_QUERIES)
         .select(
@@ -65,12 +71,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.slice("toks", 1, QUERY_TERMS)).alias("term"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     postings = (
         d.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .localCheckpoint(eager=True)
     )
     df_tbl = postings.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
