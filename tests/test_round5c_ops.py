@@ -350,3 +350,20 @@ def test_media_digest_is_utf8_md5_even_for_non_ascii(spark):
     }
     for s in samples:
         assert got[s] == hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def test_checkpointed_ops_scan_the_corpus_once(spark, sf_dir):
+    """The checkpoint placements are load-bearing: without them the
+    postings/digest subtrees re-evaluate per consumer (observed as 4-6
+    parquet scans). Lock the collapsed plans."""
+    import re
+
+    for fn, cap in [
+        (srch.bm25_search, 1),
+        (mm.media_dedup, 0),  # digest checkpoint covers everything
+    ]:
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        n = len(re.findall(r"FileScan parquet", plan))
+        assert n <= cap, f"{fn.__name__}: {n} parquet scans (cap {cap})"
