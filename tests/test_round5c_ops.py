@@ -56,39 +56,71 @@ def test_gap_fill_grid_is_dense_and_locf_holds(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("hr").alias("lo"),
         F.max("hr").alias("hi"),
-        F.sum(
-            (F.col("value_filled").isNull() & (F.col("is_observed") == 0)).cast(
-                "int"
-            )
-        ).alias("null_filled"),
-        F.min(
-            F.when(F.col("is_observed") == 1, F.col("hr"))
-        ).alias("first_obs"),
     )
     bad = per_user.filter(
         F.col("n")
         != (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / 3600 + 1
     )
     assert bad.count() == 0, "spine has holes"
-    # every NULL value_filled sits strictly before the first observation
-    holes = g.join(
-        per_user.select("user_id", "first_obs"), "user_id"
-    ).filter(F.col("value_filled").isNull() & (F.col("hr") >= F.col("first_obs")))
-    assert holes.count() == 0
+    # the spine starts at each user's first OBSERVED hour, so LOCF
+    # always has a value to carry: value_filled is never NULL, and the
+    # grid boundary rows are observed
+    assert g.filter(F.col("value_filled").isNull()).count() == 0
+    firsts = g.join(
+        g.groupBy("user_id").agg(F.min("hr").alias("hr")), ["user_id", "hr"]
+    )
+    assert firsts.filter(F.col("is_observed") != 1).count() == 0
+    # filler rows really carry the PREVIOUS observed value
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = g.withColumn(
+        "prev_obs",
+        F.last(F.when(F.col("is_observed") == 1, F.col("value_filled")), True).over(w),
+    )
+    mismatch = carried.filter(
+        (F.col("is_observed") == 0) & (F.col("value_filled") != F.col("prev_obs"))
+    )
+    assert mismatch.count() == 0
 
 
 def test_session_window_agrees_with_gaps_and_islands(spark, sf_dir):
     """The native session_window face and the lag/cumsum sessionize
-    must carve the same sessions (the 30-min rule differs only on
-    gaps of EXACTLY 1800.000000s — measure-zero on microsecond
-    event times): same session count per user, same event total."""
+    must carve the same sessions — EXCEPT where their boundary rules
+    genuinely differ: sessionize measures gaps at WHOLE-SECOND
+    resolution (``unix_timestamp``; new session iff truncated gap >
+    1800) while session_window splits at the exact microsecond gap
+    >= 1800s, so any true gap in [1800s, 1801s) may split one and not
+    the other. Users with a gap inside that band are excluded; for
+    everyone else the two operators must agree exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window as W
+
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wv))
+    band_users = [
+        r["user_id"]
+        for r in ev.withColumn("g", gap_us)
+        .filter(
+            (F.col("g") >= 1800 * 1_000_000) & (F.col("g") < 1801 * 1_000_000)
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
     native = (
         ts.session_window_rollup(spark, sf_dir)
+        .filter(~F.col("user_id").isin(band_users))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
     )
     manual = (
         sessionize(spark, sf_dir)
+        .filter(~F.col("user_id").isin(band_users))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
     )

@@ -362,9 +362,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_for(load_table(spark, "documents", sf_dir))
 
 
-def jaccard_pairs_for(docs: DataFrame) -> DataFrame:
-    """See :func:`ngram_jaccard_pairs` — over an arbitrary
-    (doc_id, text) frame."""
+def shingle_pair_counts(docs: DataFrame) -> DataFrame:
+    """Shared candidate-pair substrate of the Jaccard AND containment
+    faces: (doc_a, doc_b, common, na, nb) for every doc pair sharing
+    ≥1 rare shingle — the stop-shingle-capped inverted-index self-join
+    described in :func:`ngram_jaccard_pairs`. Factored so the two
+    faces can never drift on the index/cap/join shape."""
     from pyspark.sql import Window
 
     sh = _shingled_docs(docs)
@@ -381,7 +384,7 @@ def jaccard_pairs_for(docs: DataFrame) -> DataFrame:
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
-    pairs = (
+    return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -391,6 +394,12 @@ def jaccard_pairs_for(docs: DataFrame) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     )
+
+
+def jaccard_pairs_for(docs: DataFrame) -> DataFrame:
+    """See :func:`ngram_jaccard_pairs` — over an arbitrary
+    (doc_id, text) frame."""
+    pairs = shingle_pair_counts(docs)
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         pairs.filter(jac > JACCARD_THRESHOLD)
@@ -930,44 +939,14 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     see WHY a pair was caught (high C, low J = wrap; high both =
     near-identical).
 
-    Scale shape: identical to the Jaccard face — stop-shingles capped
-    at SHINGLE_DF_CAP before the self-join, merge-hinted so the
-    shingle subtree's exchange is computed once and reused, candidate
-    set bounded to pairs sharing ≥1 rare shingle. Only the final
-    filter differs, so the plan inherits every bound already proven
-    for the Jaccard face."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, "documents", sf_dir)
-    sh = _shingled_docs(docs)
-    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
-    kept = (
-        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
-        .filter(F.col("__df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "s")
-    )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("common"))
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-    )
+    Scale shape: identical to the Jaccard face by construction — both
+    filter the SAME :func:`shingle_pair_counts` substrate
+    (stop-shingles capped at SHINGLE_DF_CAP before the self-join,
+    merge-hinted exchange reuse, candidate set bounded to pairs
+    sharing ≥1 rare shingle), so the plan inherits every bound
+    already proven for the Jaccard face and the two faces cannot
+    drift."""
+    pairs = shingle_pair_counts(load_table(spark, "documents", sf_dir))
     cont = F.col("common") / F.least("na", "nb")
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return pairs.filter(cont >= CONTAINMENT_THRESHOLD).select(

@@ -91,12 +91,14 @@ def pagerank(
     # initial rank state comes straight from it (symmetric edges: the
     # src set IS the node set) instead of an edge-scale distinct().
     # Net: two edge-sized exchanges removed from the setup phase.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    if broadcast_ranks:
-        deg = deg.localCheckpoint(eager=True)
-        deg_side = F.broadcast(deg)
-    else:
-        deg_side = deg
+    # deg is node-sized in EITHER regime, and the initial rank state
+    # derives from it below — checkpoint unconditionally so iteration
+    # 1 never re-evaluates the edge-building subtree through the rank
+    # lineage.
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    deg_side = F.broadcast(deg) if broadcast_ranks else deg
     w = edges.join(deg_side, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     )

@@ -1146,10 +1146,7 @@ def cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DECIMAL over the per-row squared distance (each side squares
     the SAME 5-dp-rounded dist double, so the products are
     bit-identical and the decimal sum is order-independent)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    assigned = assign_to_centroids(emb, first_k_centroids(emb))
+    assigned = kmeans_assign(spark, sf_dir)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(

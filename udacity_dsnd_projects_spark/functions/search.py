@@ -20,8 +20,13 @@ from udacity_dsnd_projects_spark.sources.catalog import load_table
 #: BM25 shape parameters (the universal defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
-#: Query workload: the first N docs by id supply the queries...
-N_QUERIES = 8
+#: Query workload: the first N docs by id supply the queries — the
+#: SAME constant as the cosine faces (imported, not redefined:
+#: hybrid_retrieval_fusion is only meaningful when both modes answer
+#: the identical query set).
+from udacity_dsnd_projects_spark.functions.similarity import (  # noqa: E402
+    N_QUERIES,
+)
 #: ...each query being the doc's first QUERY_TERMS tokens (distinct).
 QUERY_TERMS = 5
 #: Results per query.
@@ -73,11 +78,17 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # PRUNE BEFORE AGGREGATING: the broadcast semi-join on term sits
+    # below the groupBy, so only queried-term occurrences ever reach
+    # the tf shuffle — Catalyst won't push an inner join under an
+    # aggregate on its own, and joining after the groupBy would
+    # materialize tf for EVERY corpus term (the full inverted index
+    # this operator exists to avoid).
     postings = (
         d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
         .localCheckpoint(eager=True)
     )
     df_tbl = postings.groupBy("term").agg(

@@ -111,11 +111,18 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
         .select("o_custkey")
     )
+    # The above-average gate compares EXACTLY, per the module's
+    # engine-identical rule: acctbal > sum/cnt is evaluated as
+    # acctbal·cnt > sum with both sides in DECIMAL (float AVG is
+    # summation-order-dependent — a boundary customer could flip
+    # between engines; cross-multiplying never divides at all).
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)")).alias("__bal_sum"),
+        F.count(F.lit(1)).alias("__bal_cnt"),
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("__avg_bal")
+        F.col("c_acctbal").cast("decimal(30,6)") * F.col("__bal_cnt")
+        > F.col("__bal_sum")
     )
     idle = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
     return idle.groupBy("c_mktsegment").agg(
@@ -129,7 +136,10 @@ SELECT c_mktsegment, COUNT(*) AS n_customers,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE)
          AS total_balance
 FROM customer c
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE CAST(c_acctbal AS DECIMAL(30,6))
+      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(30,6)))
+         FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')

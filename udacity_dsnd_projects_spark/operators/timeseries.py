@@ -28,8 +28,9 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample each user's event stream onto an hourly grid and fill
     gaps by last-observation-carried-forward — the feature-store /
     dashboard primitive that turns an irregular event log into a
-    regular time series. Hours before a user's first observation stay
-    NULL (LOCF has nothing to carry).
+    regular time series. The spine spans each user's first..last
+    OBSERVED hour, so the first grid row is always observed and
+    ``value_filled`` is never NULL (asserted in tests).
 
     Scale shape: the hourly downsample is one groupBy on (user_id,
     hour) — high-cardinality, map-side combined; the per-user spine is

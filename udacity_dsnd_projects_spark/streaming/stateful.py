@@ -226,7 +226,7 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
         ]
     )
     # (frontier hour epoch-us, best ts-us, best event_id, best value,
-    #  events-in-frontier-hour, carried LOCF value)
+    #  events-in-frontier-hour)
     state_schema = T.StructType(
         [
             T.StructField("hr_us", T.LongType()),
@@ -234,7 +234,6 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
             T.StructField("best_eid", T.LongType()),
             T.StructField("best_val", T.DoubleType()),
             T.StructField("n_ev", T.LongType()),
-            T.StructField("carry", T.DoubleType()),
         ]
     )
 
@@ -257,15 +256,22 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
                 ]
             )
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = pdf["ts"].astype("int64") // 1000
+        # One group can arrive as SEVERAL Arrow chunks (rows beyond
+        # arrow.maxRecordsPerBatch split); sorting per chunk would
+        # process events out of time order and corrupt the frontier —
+        # concatenate first, sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            ts_us = batch["ts"].astype("int64") // 1000
             for t_us, eid, val in zip(
-                ts_us, pdf["event_id"], pdf["value"]
+                ts_us, batch["event_id"], batch["value"]
             ):
                 hr_us = (t_us // _HOUR_US) * _HOUR_US
                 if st is None:
-                    st = [hr_us, t_us, int(eid), float(val), 1, float(val)]
+                    st = [hr_us, t_us, int(eid), float(val), 1]
                     continue
                 if hr_us < st[0]:
                     # no-time-travel: fold into the frontier hour
@@ -274,7 +280,6 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
                     st[4] += 1
                     if (t_us, int(eid)) > (st[1], st[2]):
                         st[1], st[2], st[3] = t_us, int(eid), float(val)
-                    st[5] = st[3]
                 else:
                     # close the frontier hour, fill the silent gap
                     emit(st[0], st[3], st[4], 1)
@@ -283,7 +288,7 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
                     while h < hr_us:
                         emit(h, carry, 0, 0)
                         h += _HOUR_US
-                    st = [hr_us, t_us, int(eid), float(val), 1, carry]
+                    st = [hr_us, t_us, int(eid), float(val), 1]
         if st is not None:
             state.update(tuple(st))
             emit(st[0], st[3], st[4], 1)  # current (possibly partial) hour
