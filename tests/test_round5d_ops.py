@@ -1,0 +1,99 @@
+"""Round-5 fourth batch (relational2): plan properties and edge
+semantics for the TPC-H Q2/Q5/Q6/Q8/Q9/Q10/Q14/Q16/Q18/Q19 shapes.
+Value correctness is covered by tests/test_queries.py's oracle
+replica; these tests pin the SCALE properties (pushdown, broadcast,
+no stray shuffles) and the deterministic top-k tie-break."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dsnd_projects_spark import registry
+from udacity_dsnd_projects_spark.operators import relational2 as rel2
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    # Q6 is the pushdown benchmark: date + discount + quantity must
+    # all reach the parquet scan, and only the 4 touched columns load
+    plan = _plan(spark, sf_dir, "forecast_revenue")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_regional_supplier_volume_broadcasts_all_dims(spark, sf_dir):
+    # Q5: region/nation/customer/supplier all ride broadcasts; the
+    # only hash shuffle left is orders⋈lineitem on orderkey
+    plan = _plan(spark, sf_dir, "regional_supplier_volume")
+    # at the test SF even the date-pruned orders side fits the
+    # broadcast threshold, so ALL joins may be broadcast — the scale
+    # property asserted is "no dim ever rides a shuffle join"
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bracket_revenue_single_pass_no_shuffle(spark, sf_dir):
+    # Q19: broadcast part + one global aggregate — lineitem rows must
+    # never cross an exchange (only the 1-row partial-agg exchange)
+    plan = _plan(spark, sf_dir, "bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+
+
+def test_returned_item_top20_is_take_ordered_and_tie_stable(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_item_customers")
+    # top-20 must be a TakeOrdered, not a global sort materialization
+    assert "TakeOrderedAndProject" in plan
+    # the boundary row is deterministic: ordering includes custkey
+    df = registry.queries()["returned_item_customers"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert len({r.c_custkey for r in rows}) == 20
+
+
+def test_min_cost_supplier_keeps_ties(spark, sf_dir):
+    # Q2 preserves EVERY supplier achieving the per-part minimum —
+    # each (part, cost) group at the min must be complete
+    df = registry.queries()["min_cost_supplier"](spark, sf_dir)
+    per_part = df.groupBy("p_partkey").agg(
+        F.countDistinct("supply_cost").alias("n_costs")
+    )
+    assert per_part.filter(F.col("n_costs") > 1).count() == 0
+
+
+def test_large_volume_orders_threshold_is_strict(spark, sf_dir):
+    df = registry.queries()["large_volume_orders"](spark, sf_dir)
+    assert df.filter(F.col("total_qty") <= rel2.LARGE_ORDER_QTY).count() == 0
+
+
+def test_market_share_bounded_and_promo_pct_bounded(spark, sf_dir):
+    shares = registry.queries()["national_market_share"](spark, sf_dir)
+    bad = shares.filter(
+        (F.col("mkt_share") < 0) | (F.col("mkt_share") > 1)
+    ).count()
+    assert bad == 0
+    promo = registry.queries()["promo_revenue_share"](spark, sf_dir)
+    bad = promo.filter(
+        (F.col("promo_pct") < 0) | (F.col("promo_pct") > 100)
+    ).count()
+    assert bad == 0
+
+
+def test_part_supplier_diversity_excludes_blocklist(spark, sf_dir):
+    # negative-balance suppliers must not count toward any segment:
+    # rerunning with the blocklist empty can only grow counts
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    blocked = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < rel2.BLOCKED_SUPPLIER_BAL)
+        .count()
+    )
+    assert blocked > 0  # the proxy blocklist is non-trivial on this corpus

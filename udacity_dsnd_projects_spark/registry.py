@@ -33,6 +33,7 @@ from udacity_dsnd_projects_spark.operators import envelope as _env
 from udacity_dsnd_projects_spark.operators import joins as _joins
 from udacity_dsnd_projects_spark.operators import projections as _proj
 from udacity_dsnd_projects_spark.operators import relational as _rel
+from udacity_dsnd_projects_spark.operators import relational2 as _rel2
 from udacity_dsnd_projects_spark.operators import risk_join as _risk
 from udacity_dsnd_projects_spark.operators import timeseries as _ts
 from udacity_dsnd_projects_spark.operators import setops as _setops
@@ -238,6 +239,47 @@ register("shard_assign", _pipe.shard_assign, _pipe.ORACLE_SHARD_ASSIGN)
 
 # --- Window filler: prior-round greens re-verified while slots exist -------
 register("lang_zscore", _pipe.lang_zscore, _pipe.ORACLE_LANG_ZSCORE)
+
+# --- ROUND-5 OVERFLOW: added after the 50-slot window filled. Locally
+# oracle-verified every run by tests/test_queries.py under
+# driver-identical confs; FRONT OF THE ROUND-6 ROTATION (move these
+# into the window first next round — see _ROUND6_ROTATION_CANDIDATES).
+register(
+    "regional_supplier_volume",
+    _rel2.regional_supplier_volume,
+    _rel2.ORACLE_REGIONAL_SUPPLIER_VOLUME,
+)
+register("forecast_revenue", _rel2.forecast_revenue, _rel2.ORACLE_FORECAST_REVENUE)
+register(
+    "national_market_share",
+    _rel2.national_market_share,
+    _rel2.ORACLE_NATIONAL_MARKET_SHARE,
+)
+register("product_profit", _rel2.product_profit, _rel2.ORACLE_PRODUCT_PROFIT)
+register(
+    "returned_item_customers",
+    _rel2.returned_item_customers,
+    _rel2.ORACLE_RETURNED_ITEM_CUSTOMERS,
+)
+register(
+    "promo_revenue_share",
+    _rel2.promo_revenue_share,
+    _rel2.ORACLE_PROMO_REVENUE_SHARE,
+)
+register(
+    "part_supplier_diversity",
+    _rel2.part_supplier_diversity,
+    _rel2.ORACLE_PART_SUPPLIER_DIVERSITY,
+)
+register(
+    "large_volume_orders",
+    _rel2.large_volume_orders,
+    _rel2.ORACLE_LARGE_VOLUME_ORDERS,
+)
+register("bracket_revenue", _rel2.bracket_revenue, _rel2.ORACLE_BRACKET_REVENUE)
+register(
+    "min_cost_supplier", _rel2.min_cost_supplier, _rel2.ORACLE_MIN_COST_SUPPLIER
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -502,6 +544,24 @@ _ROUND5_NEEDS_VERDICT = (
     "seq_pack_concat",
     "shard_assign",
 )
+#: Queries added AFTER the round-5 window filled (50 slots, 49 consumed
+#: by _ROUND5_NEEDS_VERDICT). They hold local oracle-replica greens but
+#: no driver verdict yet — round 6 MUST rotate these to the front of
+#: the window before re-verifying anything else. The round-6 guard
+#: should be built from this list, not hand-collected.
+_ROUND6_ROTATION_CANDIDATES = (
+    "regional_supplier_volume",
+    "forecast_revenue",
+    "national_market_share",
+    "product_profit",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "part_supplier_diversity",
+    "large_volume_orders",
+    "bracket_revenue",
+    "min_cost_supplier",
+)
+
 _names = list(_REGISTRY)
 for _q in _ROUND5_NEEDS_VERDICT:
     # contract check, not a debug assert: must survive python -O
@@ -509,4 +569,13 @@ for _q in _ROUND5_NEEDS_VERDICT:
         raise RuntimeError(
             f"driver-unverified query pushed past the {_WINDOW}-entry "
             f"CORRECTNESS window: {_q} at index {_names.index(_q)}"
+        )
+for _q in _ROUND6_ROTATION_CANDIDATES:
+    # overflow queries must exist and must NOT displace window entries
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"round-6 rotation candidate not registered: {_q}")
+    if _names.index(_q) < _WINDOW:
+        raise RuntimeError(
+            f"round-5 overflow query {_q} sits INSIDE the window at index "
+            f"{_names.index(_q)} — it would displace a round-5 verdict"
         )
