@@ -97,3 +97,42 @@ def test_part_supplier_diversity_excludes_blocklist(spark, sf_dir):
         .count()
     )
     assert blocked > 0  # the proxy blocklist is non-trivial on this corpus
+
+
+# --- training.py: sliding windows + curriculum -----------------------------
+
+
+def test_sliding_window_chunks_no_shuffle_and_tiling(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import training as tr
+
+    plan = _plan(spark, sf_dir, "sliding_window_chunks")
+    # row-local explode: the whole operator is one scan, zero exchanges
+    assert "Exchange" not in plan
+    df = registry.queries()["sliding_window_chunks"](spark, sf_dir)
+    w, s = tr.WINDOW_TOKS, tr.WINDOW_STRIDE
+    # starts advance by exactly the stride and every non-final window
+    # is full-size; the final window reaches the end of the doc
+    assert df.filter(F.col("start_tok") != F.col("win_id") * s).count() == 0
+    last = df.groupBy("doc_id").agg(F.max("win_id").alias("mx"))
+    nonfinal = df.join(last, "doc_id").filter(F.col("win_id") < F.col("mx"))
+    assert nonfinal.filter(F.col("win_len") != w).count() == 0
+    assert df.filter(F.col("win_len") <= 0).count() == 0
+
+
+def test_curriculum_order_phases_balanced_and_positions_dense(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions import training as tr
+
+    df = registry.queries()["curriculum_order"](spark, sf_dir)
+    sizes = df.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n"), F.max("position").alias("mx"),
+        F.min("position").alias("mn"),
+        F.countDistinct("position").alias("nd"),
+    )
+    rows = sizes.collect()
+    assert len(rows) == tr.CURRICULUM_PHASES
+    # NTILE balance: phase sizes differ by at most 1
+    ns = [r.n for r in rows]
+    assert max(ns) - min(ns) <= 1
+    # positions are dense 1..n within each phase
+    for r in rows:
+        assert (r.mn, r.mx, r.nd) == (1, r.n, r.n)

@@ -26,6 +26,7 @@ from udacity_dsnd_projects_spark.functions import selection as _sel
 from udacity_dsnd_projects_spark.functions import snapshot as _snap
 from udacity_dsnd_projects_spark.functions import similarity as _sim
 from udacity_dsnd_projects_spark.functions import text as _text
+from udacity_dsnd_projects_spark.functions import training as _train
 from udacity_dsnd_projects_spark.functions import web as _web
 from udacity_dsnd_projects_spark.operators import aggregations as _agg
 from udacity_dsnd_projects_spark.operators import analytics as _an
@@ -279,6 +280,14 @@ register(
 register("bracket_revenue", _rel2.bracket_revenue, _rel2.ORACLE_BRACKET_REVENUE)
 register(
     "min_cost_supplier", _rel2.min_cost_supplier, _rel2.ORACLE_MIN_COST_SUPPLIER
+)
+register(
+    "sliding_window_chunks",
+    _train.sliding_window_chunks,
+    _train.ORACLE_SLIDING_WINDOW_CHUNKS,
+)
+register(
+    "curriculum_order", _train.curriculum_order, _train.ORACLE_CURRICULUM_ORDER
 )
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
@@ -560,6 +569,8 @@ _ROUND6_ROTATION_CANDIDATES = (
     "large_volume_orders",
     "bracket_revenue",
     "min_cost_supplier",
+    "sliding_window_chunks",
+    "curriculum_order",
 )
 
 _names = list(_REGISTRY)
