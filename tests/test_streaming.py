@@ -1014,3 +1014,35 @@ def test_gap_fill_stateful_fills_silent_hours_across_batches(spark, tmp_path_fac
         (1, t(13, 0)): (3.0, 1, 1),
         (2, t(9, 0)): (6.0, 2, 1),
     }
+
+
+def test_window_chunks_stream_equals_batch(spark, tmp_path_factory):
+    """The context-window chunker is stateless, so the SAME transform
+    (functions/training.py::window_chunks) runs unchanged under a
+    file stream in append mode; chunks accumulated across two
+    micro-batch files equal the batch answer row-for-row."""
+    from udacity_dsnd_projects_spark.functions.training import window_chunks
+
+    root = tmp_path_factory.mktemp("winchunks")
+    path = str(root / "docs")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    long_text = " ".join(f"tok{i % 7}" for i in range(150))  # 4 windows
+    b1 = [(1, "short doc"), (2, long_text)]
+    b2 = [(3, " ".join(["x"] * 48)), (4, " ".join(["y"] * 49))]  # 1 and 2
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    got = run_to_memory(
+        window_chunks(file_stream(spark, path, schema)), "win_chunks_stream"
+    ).collect()
+    batch = window_chunks(spark.read.schema(schema).parquet(path)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # the stride math: 150 toks -> ceil((150-48)/32)+1 = 5 windows
+    assert sum(1 for r in got if r.doc_id == 2) == 5
+    assert sum(1 for r in got if r.doc_id == 3) == 1
+    assert sum(1 for r in got if r.doc_id == 4) == 2

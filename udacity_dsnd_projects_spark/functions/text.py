@@ -836,3 +836,46 @@ SELECT doc_id, lang, cross_entropy, rk,
          AS bucket_label
 FROM ranked
 """
+
+
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of corpus metadata
+    lang vs :func:`language_id`'s prediction, with per-true-lang
+    recall — the QA readout a curation pipeline checks before trusting
+    the classifier gate.
+
+    Scale shape: the per-doc scoring is the same single codegen'd
+    scan as ``language_id``; the matrix rollup reduces to ≤ langs²
+    rows before the recall window runs, so the window's
+    ``partitionBy(lang)`` operates on a metadata-sized aggregated
+    frame (never on corpus rows). Recall divides exact integer counts
+    as doubles — IEEE-identical in both engines."""
+    from pyspark.sql import Window
+
+    per_doc = language_id(spark, sf_dir).select("lang", "predicted_lang")
+    cells = per_doc.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("recall_share"),
+    )
+
+
+ORACLE_LANGUAGE_CONFUSION_MATRIX = f"""
+WITH per_doc AS ({ORACLE_LANGUAGE_ID}),
+cells AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+  FROM per_doc GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+       CAST(n_docs AS DOUBLE)
+       / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS recall_share
+FROM cells
+"""

@@ -60,8 +60,16 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical expression); hashing happens inside the same
     codegen stage as the explode. At 100 TB this is embarrassingly
     parallel and bounded by scan throughput."""
+    return window_chunks(load_table(spark, "documents", sf_dir))
+
+
+def window_chunks(docs: DataFrame) -> DataFrame:
+    """The chunking transform itself, over any frame with
+    ``(doc_id, text)`` — shared verbatim by the batch query face above
+    and the streaming face (stateless, so it runs unchanged under a
+    ``readStream`` in append mode; tests/test_streaming.py asserts
+    stream == batch)."""
     w, s = WINDOW_TOKS, WINDOW_STRIDE
-    docs = load_table(spark, "documents", sf_dir)
     d = docs.select("doc_id", _toks().alias("t")).filter(F.size("t") >= 1)
     n = F.size("t")
     n_win = F.when(n <= w, F.lit(1)).otherwise(

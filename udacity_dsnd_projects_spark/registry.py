@@ -289,6 +289,11 @@ register(
 register(
     "curriculum_order", _train.curriculum_order, _train.ORACLE_CURRICULUM_ORDER
 )
+register(
+    "language_confusion_matrix",
+    _text.language_confusion_matrix,
+    _text.ORACLE_LANGUAGE_CONFUSION_MATRIX,
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -571,6 +576,7 @@ _ROUND6_ROTATION_CANDIDATES = (
     "min_cost_supplier",
     "sliding_window_chunks",
     "curriculum_order",
+    "language_confusion_matrix",
 )
 
 _names = list(_REGISTRY)
