@@ -1,5 +1,6 @@
-"""Round-5 fourth batch (relational2): plan properties and edge
-semantics for the TPC-H Q2/Q5/Q6/Q8/Q9/Q10/Q14/Q16/Q18/Q19 shapes.
+"""Round-5 fifth batch (relational2 + training): plan properties and
+edge semantics for the TPC-H Q2/Q5/Q6/Q8/Q9/Q10/Q14/Q16/Q18/Q19
+shapes plus the sliding-window chunker and curriculum scheduler.
 Value correctness is covered by tests/test_queries.py's oracle
 replica; these tests pin the SCALE properties (pushdown, broadcast,
 no stray shuffles) and the deterministic top-k tie-break."""
@@ -59,13 +60,48 @@ def test_returned_item_top20_is_take_ordered_and_tie_stable(spark, sf_dir):
 
 
 def test_min_cost_supplier_keeps_ties(spark, sf_dir):
-    # Q2 preserves EVERY supplier achieving the per-part minimum —
-    # each (part, cost) group at the min must be complete
+    # Q2 preserves EVERY supplier achieving the per-part minimum. An
+    # independent aggregate-then-join recomputation (different plan
+    # shape from the operator's window-min) must agree on the exact
+    # (part, supplier) winner set — a row_number()==1 regression that
+    # arbitrarily drops tied suppliers fails this set equality.
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
     df = registry.queries()["min_cost_supplier"](spark, sf_dir)
-    per_part = df.groupBy("p_partkey").agg(
-        F.countDistinct("supply_cost").alias("n_costs")
+    got = {(r.p_partkey, r.s_suppkey) for r in df.collect()}
+
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
     )
-    assert per_part.filter(F.col("n_costs") > 1).count() == 0
+    euro = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).join(
+        euro, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    costs = (
+        li.join(part, F.col("l_partkey") == part["p_partkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("cost"))
+    )
+    mins = costs.groupBy("l_partkey").agg(F.min("cost").alias("mn"))
+    expected = {
+        (r.l_partkey, r.l_suppkey)
+        for r in costs.join(mins, "l_partkey")
+        .filter(F.col("cost") == F.col("mn"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
 
 
 def test_large_volume_orders_threshold_is_strict(spark, sf_dir):
@@ -87,16 +123,42 @@ def test_market_share_bounded_and_promo_pct_bounded(spark, sf_dir):
 
 
 def test_part_supplier_diversity_excludes_blocklist(spark, sf_dir):
-    # negative-balance suppliers must not count toward any segment:
-    # rerunning with the blocklist empty can only grow counts
+    # the blocklist must actually remove suppliers from segment
+    # counts: an unblocked recomputation strictly exceeds the
+    # operator's total, by exactly the blocked pairs' contribution
     from udacity_dsnd_projects_spark.sources.catalog import load_table
 
-    blocked = (
-        load_table(spark, "supplier", sf_dir)
-        .filter(F.col("s_acctbal") < rel2.BLOCKED_SUPPLIER_BAL)
-        .count()
+    df = registry.queries()["part_supplier_diversity"](spark, sf_dir)
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in df.collect()
+    }
+
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    rel = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(part, F.col("l_partkey") == part["p_partkey"])
     )
-    assert blocked > 0  # the proxy blocklist is non-trivial on this corpus
+    blocked = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < rel2.BLOCKED_SUPPLIER_BAL
+    ).select("s_suppkey")
+    assert blocked.count() > 0  # the proxy blocklist is non-vacuous
+    unblocked = {
+        (r.p_brand, r.p_type, r.p_size): r.n
+        for r in rel.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    # same segment keys (a segment served ONLY by blocked suppliers
+    # would vanish — assert that isn't silently happening here), every
+    # segment's count bounded by the unblocked one, and the blocklist
+    # visibly bites somewhere
+    assert set(got) == set(unblocked)
+    assert all(got[k] <= unblocked[k] for k in got)
+    assert any(got[k] < unblocked[k] for k in got)
 
 
 # --- training.py: sliding windows + curriculum -----------------------------

@@ -1031,7 +1031,7 @@ def test_window_chunks_stream_equals_batch(spark, tmp_path_factory):
             T.StructField("text", T.StringType()),
         ]
     )
-    long_text = " ".join(f"tok{i % 7}" for i in range(150))  # 4 windows
+    long_text = " ".join(f"tok{i % 7}" for i in range(150))  # 5 windows
     b1 = [(1, "short doc"), (2, long_text)]
     b2 = [(3, " ".join(["x"] * 48)), (4, " ".join(["y"] * 49))]  # 1 and 2
     spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)

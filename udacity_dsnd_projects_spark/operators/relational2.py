@@ -98,8 +98,16 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    supp = load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey", "s_nationkey"
+    # nation name folds into the supplier dim up front (one broadcast,
+    # same shape as national_market_share / min_cost_supplier)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
     joined = (
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
@@ -108,10 +116,6 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(supp),
             (F.col("l_suppkey") == supp["s_suppkey"])
             & (F.col("c_nationkey") == supp["s_nationkey"]),
-        )
-        .join(
-            F.broadcast(asia_nations),
-            F.col("s_nationkey") == asia_nations["n_nationkey"],
         )
     )
     return joined.groupBy("n_name").agg(
