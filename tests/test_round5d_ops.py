@@ -198,3 +198,61 @@ def test_curriculum_order_phases_balanced_and_positions_dense(spark, sf_dir):
     # positions are dense 1..n within each phase
     for r in rows:
         assert (r.mn, r.mx, r.nd) == (1, r.n, r.n)
+
+
+def test_window_chunks_matches_python_reference_on_random_docs(spark):
+    """Property check: the chunker's Spark-side window math equals a
+    straightforward Python reference on random token counts — pinned
+    over the seam where the single-window case meets the multi-window
+    ceil-division (n ≤ W vs n > W), including exact-boundary lengths.
+
+    hypothesis would shrink failures better, but a Spark round-trip
+    per example is too slow for its default budget — a deterministic
+    sweep over every length around the boundaries plus a coarse tail
+    covers the same seam."""
+    import hashlib
+
+    from udacity_dsnd_projects_spark.functions.training import (
+        WINDOW_STRIDE as S,
+        WINDOW_TOKS as W,
+        window_chunks,
+    )
+    from pyspark.sql import types as T
+
+    lengths = sorted(
+        set(
+            list(range(1, 2))
+            + list(range(W - 2, W + 3))
+            + list(range(W + S - 2, W + S + 3))
+            + list(range(W + 2 * S - 2, W + 2 * S + 3))
+            + [200, 333, 500]
+        )
+    )
+    rows = [
+        (i, " ".join(f"w{(i * 31 + j) % 13}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    got = {
+        (r.doc_id, r.win_id): (r.start_tok, r.win_len, r.win_hash)
+        for r in window_chunks(spark.createDataFrame(rows, schema)).collect()
+    }
+
+    expected = {}
+    for i, n in enumerate(lengths):
+        toks = [f"w{(i * 31 + j) % 13}" for j in range(n)]
+        n_win = 1 if n <= W else -((n - W) // -S) + 1  # ceil div
+        for k in range(n_win):
+            start = k * S
+            window = toks[start : start + W]
+            expected[(i, k)] = (
+                start,
+                len(window),
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+            )
+    assert got == expected
