@@ -256,3 +256,18 @@ def test_window_chunks_matches_python_reference_on_random_docs(spark):
                 hashlib.md5(" ".join(window).encode()).hexdigest(),
             )
     assert got == expected
+
+
+def test_skew_profile_is_take_ordered_over_key_frame(spark, sf_dir):
+    # top-k must be a TakeOrdered over the ALREADY-AGGREGATED key
+    # frame (one hash aggregate pair for the groupBy, a broadcast for
+    # the 1-row totals), never a global sort of fact rows
+    plan = _plan(spark, sf_dir, "skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    df = registry.queries()["skew_profile"](spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    # shares are a probability mass subset; ratios positive
+    assert all(0 < r.row_share <= 1 and r.skew_ratio > 0 for r in rows)
+    assert sum(r.row_share for r in rows) <= 1.0 + 1e-9

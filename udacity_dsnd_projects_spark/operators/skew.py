@@ -76,3 +76,69 @@ SELECT s_nationkey,
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """
+
+
+#: skew_profile reports this many heaviest keys.
+PROFILE_TOP_K = 10
+
+
+def skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics: the heaviest
+    :data:`PROFILE_TOP_K` values of lineitem's supplier key, each with
+    its row share and its skew ratio (observed count over the
+    uniform-distribution expectation). This is the readout an operator
+    consults BEFORE choosing mitigation — a ratio near 1 says hash
+    partitioning is fine; a hot key (ratio ≫ 1) argues for
+    :func:`salted_join` or AQE skew splitting.
+
+    Scale shape: one map-side-combined groupBy over the key (the scan
+    reads one column); the global (total, distinct) pair is a 1-row
+    aggregate OVER THE GROUPED FRAME (key-cardinality input, not
+    corpus rows) broadcast back as a cross join; the top-k is a
+    TakeOrdered with key tiebreak, never a global sort. Shares divide
+    exact integer counts as doubles — engine-identical."""
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    per_key = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n_rows").desc(), F.col("l_suppkey"))
+        .limit(PROFILE_TOP_K)
+        .select(
+            "l_suppkey",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total").cast("double"))
+            .alias("row_share"),
+            (
+                F.col("n_rows").cast("double")
+                / (
+                    F.col("__total").cast("double")
+                    / F.col("__distinct").cast("double")
+                )
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+ORACLE_SKEW_PROFILE = f"""
+WITH per_key AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+), totals AS (
+  SELECT SUM(n_rows) AS total, COUNT(*) AS n_distinct FROM per_key
+)
+SELECT l_suppkey, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS row_share,
+       CAST(n_rows AS DOUBLE)
+         / (CAST(total AS DOUBLE) / CAST(n_distinct AS DOUBLE)) AS skew_ratio
+FROM per_key, totals
+ORDER BY n_rows DESC, l_suppkey
+LIMIT {PROFILE_TOP_K}
+"""

@@ -294,6 +294,7 @@ register(
     _text.language_confusion_matrix,
     _text.ORACLE_LANGUAGE_CONFUSION_MATRIX,
 )
+register("skew_profile", _skew.skew_profile, _skew.ORACLE_SKEW_PROFILE)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -577,6 +578,7 @@ _ROUND6_ROTATION_CANDIDATES = (
     "sliding_window_chunks",
     "curriculum_order",
     "language_confusion_matrix",
+    "skew_profile",
 )
 
 _names = list(_REGISTRY)
