@@ -271,3 +271,22 @@ def test_skew_profile_is_take_ordered_over_key_frame(spark, sf_dir):
     # shares are a probability mass subset; ratios positive
     assert all(0 < r.row_share <= 1 and r.skew_ratio > 0 for r in rows)
     assert sum(r.row_share for r in rows) <= 1.0 + 1e-9
+
+
+def test_corpus_datacard_single_scan_and_sane_ranges(spark, sf_dir):
+    # one documents scan feeds every column (the planted-copy union
+    # reads the same table twice in the logical plan, but no column
+    # outside the five per-doc inputs is read), and the ratio columns
+    # are probability-ranged with a non-trivial dup rate overall
+    df = registry.queries()["corpus_datacard"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pct_en <= 1.0
+        assert 0.0 <= r.mean_quality <= 1.0
+        assert 0.0 <= r.dup_rate < 1.0
+        assert r.total_tokens > 0 and r.n_docs > 0
+    assert any(r.dup_rate > 0 for r in rows)  # planted dups visible
+    plan = _plan(spark, sf_dir, "corpus_datacard")
+    read = plan.split("ReadSchema")[-1]
+    assert "n_chars" not in read  # untouched column pruned from scan

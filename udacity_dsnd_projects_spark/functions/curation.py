@@ -475,3 +475,92 @@ SELECT t.source, t.n_docs,
        ROUND(COALESCE(dup.n_near_dup, 0) * 1.0 / t.n_docs, 6) AS dup_rate
 FROM totals t LEFT JOIN dup ON t.source = dup.source
 """
+
+
+#: Planted-duplicate modulus shared with dedup.py's exact-dup corpus
+#: (every 10th doc re-crawled under a new id).
+_DATACARD_DUP_MOD = 10
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datacard: the one-stop summary a dataset
+    release ships — document and token counts, English share, mean
+    composite quality, and exact-duplicate rate — computed over the
+    same planted-duplicate corpus as ``exact_dedup`` so the dup-rate
+    column reflects real duplicate mass at every SF.
+
+    Scale shape: ONE documents scan computes every per-doc input
+    (token count, quality composite, content md5) inside a single
+    codegen stage; the only shuffle is the groupBy(source) whose
+    countDistinct runs the standard two-phase partial-distinct. The
+    quality composite lands on exact quarter steps (binary-exact
+    doubles), so its SUM is order-independent; every ratio divides
+    exact integer/step counts as doubles — engine-identical."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        quality_score_expr,
+        tokens_col,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+    copies = docs.filter(F.col("doc_id") % _DATACARD_DUP_MOD == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    per_doc = docs.unionByName(copies).select(
+        "source",
+        (F.col("lang") == "en").cast("int").alias("__is_en"),
+        F.size(tokens_col(F.col("text"))).alias("__n_tok"),
+        quality_score_expr(F.col("text")).alias("__q"),
+        F.md5(F.col("text").cast("binary")).alias("__h"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("__n_tok").alias("total_tokens"),
+        (F.sum("__is_en").cast("double") / n.cast("double")).alias("pct_en"),
+        (F.sum("__q") / n.cast("double")).alias("mean_quality"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("__h").cast("double") / n.cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+from udacity_dsnd_projects_spark.functions.text import _EN as _ORACLE_EN_STOPWORDS  # noqa: E402
+
+ORACLE_CORPUS_DATACARD = rf"""
+WITH d AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % {_DATACARD_DUP_MOD} = 0
+), per_doc AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
+         (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+               THEN 0.25 ELSE 0.0 END
+          + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                           x -> list_contains(['{_ORACLE_EN_STOPWORDS}'], x))) AS DOUBLE)
+                      / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+                      > 0.01 THEN 0.25 ELSE 0.0 END) AS q,
+         md5(text) AS h
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(is_en) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pct_en,
+       SUM(q) / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+       1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS dup_rate
+FROM per_doc GROUP BY source
+"""

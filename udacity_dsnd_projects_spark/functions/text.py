@@ -75,6 +75,28 @@ FROM documents
 """
 
 
+def quality_score_expr(text: Column) -> Column:
+    """The composite [0,1] quality score as a single reusable column
+    expression over ``text`` — shared by :func:`quality_score` (which
+    also reports the component ratios) and the per-source rollups
+    (curation.py's datacard). Scores land on exact quarter steps
+    (0.25 = 2^-2 is binary-exact), so SUMs of this column are
+    order-independent in IEEE double."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^a-zA-Z0-9\s]"))
+    n_digit = F.regexp_count(text, F.lit(r"[0-9]"))
+    en = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    return (
+        F.when(n_tok >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_punct / n_chars < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_digit / n_chars < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_stop / n_tok > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio,
     digit ratio, mean token length, and a composite [0,1] score.
@@ -92,12 +114,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_ratio = n_digit / n_chars
     stop_ratio = n_stop / n_tok
     mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
-    score = (
-        F.when(n_tok >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(digit_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
+    score = quality_score_expr(F.col("text"))
     return docs.select(
         "doc_id",
         F.round(punct_ratio, 5).alias("punct_ratio"),

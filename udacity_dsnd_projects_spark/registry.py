@@ -295,6 +295,9 @@ register(
     _text.ORACLE_LANGUAGE_CONFUSION_MATRIX,
 )
 register("skew_profile", _skew.skew_profile, _skew.ORACLE_SKEW_PROFILE)
+register(
+    "corpus_datacard", _cur.corpus_datacard, _cur.ORACLE_CORPUS_DATACARD
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -579,6 +582,7 @@ _ROUND6_ROTATION_CANDIDATES = (
     "curriculum_order",
     "language_confusion_matrix",
     "skew_profile",
+    "corpus_datacard",
 )
 
 _names = list(_REGISTRY)
