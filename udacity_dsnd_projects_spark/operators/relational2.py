@@ -1,15 +1,18 @@
-"""Second relational batch: the remaining classic warehouse shapes the
-corpus schema can express (TPC-H Q2/Q5/Q6/Q8/Q9/Q10/Q14/Q16/Q18/Q19
-re-expressed Spark-first, adapted where the corpus has no partsupp
-table — supply cost derives from lineitem unit prices).
+"""Second relational batch: the remaining classic warehouse shapes
+(TPC-H Q2/Q5/Q6/Q8/Q9/Q10/Q11/Q14/Q16/Q18/Q19/Q20 re-expressed
+Spark-first, adapted where the corpus has no partsupp table — supply
+cost/availability derive from lineitem).
 
 Reference parity: the reference's batch face is Spark SQL over
 warehouse tables (spark-data-lakes/etl.py); together with
-operators/relational.py this completes the canonical decision-support
-query-shape inventory a warehouse user runs: multi-dim join trees
-(Q5/Q8/Q9), correlated-min supplier selection (Q2), disjunctive
-bracket predicates (Q19), HAVING-gated per-order rollups (Q18),
-share-of-total ratios (Q8/Q14), and single-pass filter aggregates (Q6).
+operators/relational.py and operators/analytics.py this completes ALL
+22 TPC-H query shapes: multi-dim join trees (Q5/Q8/Q9), correlated-min
+supplier selection (Q2), concentration gates (Q11/Q20, relative-to-
+mean so every SF is non-vacuous), disjunctive bracket predicates
+(Q19), HAVING-gated per-order rollups (Q18), share-of-total ratios
+(Q8/Q14), and single-pass filter aggregates (Q6). Q12's ship-mode
+bucket count is adapted to order priorities (the corpus has no
+shipmode column); Q2/Q11/Q16/Q20's partsupp is proxied from lineitem.
 
 Engine-stability rules (same as operators/relational.py):
 - money sums accumulate in DECIMAL(30,6), round at 2 dp in decimal,
@@ -732,4 +735,176 @@ SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
        supp_nation, supply_cost
 FROM costs
 QUALIFY supply_cost = MIN(supply_cost) OVER (PARTITION BY l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important inventory value (partsupp proxied from lineitem)
+# --------------------------------------------------------------------------
+
+#: Q11/Q20 shape: concentration gate — a part (Q11) or a supplier's
+#: share of a part (Q20) is "outsized" above this multiple of the
+#: uniform expectation. Relative-to-mean, so the gate survives scale
+#: dilution (a fixed absolute fraction empties as row counts grow).
+CONCENTRATION_MULT = 2
+
+#: The nation both concentration queries focus on (has suppliers at
+#: every SF of this corpus; the smallest SF populates only a subset
+#: of the 25 nations).
+CONCENTRATION_NATION = "NATION_3"
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the parts representing an outsized share of
+    one nation's traded value — per-part value rollup gated by a
+    scalar subquery over the SAME rollup (HAVING value > mult ×
+    mean value). Traded value proxies the original's partsupp stock
+    value as sum(extendedprice) over the nation's lineitems; the
+    gate is relative to the mean so it stays non-vacuous at every SF.
+
+    Scale shape: the nation's supplier list broadcasts into the fact
+    scan; the per-part rollup shuffles once on partkey; the grand
+    total AND part count come from a 1-row aggregate OVER THE ROLLUP
+    (part-cardinality input) broadcast back as a cross join — the
+    fact table is scanned exactly once. The gate cross-multiplies in
+    DECIMAL (value·count > mult·total — no float division, no
+    boundary)."""
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name") == CONCENTRATION_NATION
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation["n_nationkey"],
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")), 2
+            ).alias("__val_dec")
+        )
+    )
+    total = per_part.agg(
+        F.sum("__val_dec").alias("__total_dec"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__val_dec") * F.col("__n_parts")
+            > F.lit(CONCENTRATION_MULT) * F.col("__total_dec")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__val_dec").cast("double").alias("traded_value"),
+        )
+    )
+
+
+ORACLE_IMPORTANT_PART_VALUE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS val_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = '{CONCENTRATION_NATION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS traded_value
+FROM per_part, (SELECT SUM(val_dec) AS total_dec, COUNT(*) AS n_parts
+                FROM per_part) t
+WHERE val_dec * n_parts > {CONCENTRATION_MULT} * total_dec
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant-volume suppliers (partsupp availability proxied)
+# --------------------------------------------------------------------------
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped an
+    outsized share of some red part's volume (more than
+    :data:`CONCENTRATION_MULT` × the uniform per-supplier share) —
+    the nested IN (... IN (...)) chain decorrelated into two rollups
+    and a semi-join, reported as distinct suppliers.
+
+    Scale shape: part prunes on the name prefix and broadcasts;
+    per-(part, supplier) and per-part quantity rollups share the one
+    fact scan's shuffle on partkey (AQE reuses the exchange);
+    quantities and supplier counts are small integers in double, so
+    sums and the cross-multiplied share gate (sup_qty·n_suppliers >
+    mult·total_qty) are exact — no division; the nation filter
+    broadcasts and the final semi-join runs over the tiny dominant
+    set."""
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__sup_qty")
+    )
+    per_part = li.groupBy(li["l_partkey"].alias("__pk")).agg(
+        F.sum("l_quantity").alias("__tot_qty"),
+        F.countDistinct("l_suppkey").alias("__n_sup"),
+    )
+    dominant = per_ps.join(
+        per_part, per_ps["l_partkey"] == F.col("__pk")
+    ).filter(
+        F.col("__sup_qty") * F.col("__n_sup")
+        > F.lit(CONCENTRATION_MULT) * F.col("__tot_qty")
+    )
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name") == CONCENTRATION_NATION
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation["n_nationkey"],
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp.join(
+            dominant,
+            supp["s_suppkey"] == dominant["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = f"""
+WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sup_qty
+  FROM lineitem JOIN red ON l_partkey = p_partkey
+  GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, SUM(l_quantity) AS tot_qty,
+         COUNT(DISTINCT l_suppkey) AS n_sup
+  FROM lineitem JOIN red ON l_partkey = p_partkey
+  GROUP BY l_partkey
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE sup_qty * n_sup > {CONCENTRATION_MULT} * tot_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{CONCENTRATION_NATION}'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
 """

@@ -298,6 +298,16 @@ register("skew_profile", _skew.skew_profile, _skew.ORACLE_SKEW_PROFILE)
 register(
     "corpus_datacard", _cur.corpus_datacard, _cur.ORACLE_CORPUS_DATACARD
 )
+register(
+    "important_part_value",
+    _rel2.important_part_value,
+    _rel2.ORACLE_IMPORTANT_PART_VALUE,
+)
+register(
+    "dominant_part_suppliers",
+    _rel2.dominant_part_suppliers,
+    _rel2.ORACLE_DOMINANT_PART_SUPPLIERS,
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -583,6 +593,8 @@ _ROUND6_ROTATION_CANDIDATES = (
     "language_confusion_matrix",
     "skew_profile",
     "corpus_datacard",
+    "important_part_value",
+    "dominant_part_suppliers",
 )
 
 _names = list(_REGISTRY)
