@@ -306,3 +306,48 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def unpivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the wide→long inverse of :func:`pivot_agg`: per-
+    nation customer aggregates melt into (nation, metric, value)
+    rows. Uses the native ``unpivot`` operator (Spark's ``stack``
+    expansion), which is a row-local projection — the melt itself
+    adds NO shuffle on top of the source rollup.
+
+    Scale shape: the rollup is one map-side-combined groupBy over
+    ~nations; the unpivot multiplies that metadata-sized frame by the
+    metric count inside the same stage. Metric values are cast to a
+    common double type up front (unpivot requires a shared value
+    type; the count is integer-exact in double)."""
+    cust = load_table(spark, "customer", sf_dir)
+    wide = cust.groupBy("c_nationkey").agg(
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("total_balance"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"],
+        ["total_balance", "n_customers", "max_balance"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_UNPIVOT_AGG = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE)
+           AS total_balance,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         ROUND(MAX(c_acctbal), 2) AS max_balance
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'total_balance' AS metric, total_balance AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'n_customers', n_customers FROM wide
+UNION ALL
+SELECT c_nationkey, 'max_balance', max_balance FROM wide
+"""
