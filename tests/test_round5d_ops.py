@@ -290,3 +290,36 @@ def test_corpus_datacard_single_scan_and_sane_ranges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_datacard")
     read = plan.split("ReadSchema")[-1]
     assert "n_chars" not in read  # untouched column pruned from scan
+
+
+def test_rolling_distinct_users_matches_bruteforce_on_sample_days(spark, sf_dir):
+    # spot-check trailing-window semantics directly: for three spine
+    # days, the reported count equals a brute-force distinct over
+    # events in [d-6, d]
+    import datetime as dt
+
+    from udacity_dsnd_projects_spark.operators.timeseries import (
+        ROLLING_WINDOW_DAYS,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    df = registry.queries()["rolling_distinct_users"](spark, sf_dir)
+    rows = {r.day: r.active_users_7d for r in df.collect()}
+    days = sorted(rows)
+    assert len(days) >= ROLLING_WINDOW_DAYS
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    for probe in (days[0], days[len(days) // 2], days[-1]):
+        lo = probe - dt.timedelta(days=ROLLING_WINDOW_DAYS - 1)
+        expect = len(
+            {
+                r.user_id
+                for r in ev
+                if lo.date() <= r.day <= probe.date()
+            }
+        )
+        assert rows[probe] == expect, probe

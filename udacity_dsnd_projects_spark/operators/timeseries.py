@@ -164,3 +164,76 @@ SELECT user_id,
          AS total_value
 FROM sessions GROUP BY user_id, sid
 """
+
+
+#: Trailing window length for the rolling distinct-user count.
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per calendar day — the
+    DAU/WAU-style metric SQL windows cannot express (COUNT(DISTINCT)
+    OVER a range frame is unsupported in both engines), decorrelated
+    by CONTRIBUTION EXPLODE: each (user, active day) pair contributes
+    to the 7 target days whose trailing window contains it, then one
+    distinct count per target day.
+
+    Scale shape: the per-(user, day) dedup is the only corpus-sized
+    shuffle; the explode multiplies that already-deduped frame by a
+    CONSTANT 7 inside the same stage (never a nested-loop range
+    join — a day-spine × activity BNLJ is the naive formulation this
+    replaces); the final countDistinct per day runs two-phase over
+    day-keyed partitions. The calendar spine (1-row min/max →
+    sequence) left-joins so silent days report 0."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = ev.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), ROLLING_WINDOW_DAYS - 1),
+            )
+        ).alias("target_day"),
+        "user_id",
+    )
+    bounds = ev.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    counts = contrib.groupBy("target_day").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    return (
+        spine.join(counts, spine["day"] == counts["target_day"], "left")
+        .select(
+            # both engines emit the spine as midnight timestamps (the
+            # oracle's generate_series over dates yields timestamps)
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("active_users_7d"),
+        )
+    )
+
+
+ORACLE_ROLLING_DISTINCT_USERS = f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), contrib AS (
+  SELECT u.t AS target_day, user_id
+  FROM ev, UNNEST(generate_series(day,
+                                  day + INTERVAL {ROLLING_WINDOW_DAYS - 1} DAY,
+                                  INTERVAL 1 DAY)) AS u(t)
+), spine AS (
+  SELECT s.t AS day
+  FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev) b,
+       UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS s(t)
+)
+SELECT spine.day,
+       COALESCE(COUNT(DISTINCT contrib.user_id), 0) AS active_users_7d
+FROM spine LEFT JOIN contrib ON contrib.target_day = spine.day
+GROUP BY spine.day
+"""

@@ -309,6 +309,11 @@ register(
     _rel2.ORACLE_DOMINANT_PART_SUPPLIERS,
 )
 register("unpivot_agg", _agg.unpivot_agg, _agg.ORACLE_UNPIVOT_AGG)
+register(
+    "rolling_distinct_users",
+    _ts.rolling_distinct_users,
+    _ts.ORACLE_ROLLING_DISTINCT_USERS,
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -597,6 +602,7 @@ _ROUND6_ROTATION_CANDIDATES = (
     "important_part_value",
     "dominant_part_suppliers",
     "unpivot_agg",
+    "rolling_distinct_users",
 )
 
 _names = list(_REGISTRY)
