@@ -288,8 +288,12 @@ def test_corpus_datacard_single_scan_and_sane_ranges(spark, sf_dir):
         assert r.total_tokens > 0 and r.n_docs > 0
     assert any(r.dup_rate > 0 for r in rows)  # planted dups visible
     plan = _plan(spark, sf_dir, "corpus_datacard")
-    read = plan.split("ReadSchema")[-1]
-    assert "n_chars" not in read  # untouched column pruned from scan
+    # the planted-copy union produces TWO documents scans — the
+    # untouched column must be pruned from EVERY one of them
+    segments = plan.split("ReadSchema")[1:]
+    assert segments
+    for seg in segments:
+        assert "n_chars" not in seg.split("\n")[0]
 
 
 def test_rolling_distinct_users_matches_bruteforce_on_sample_days(spark, sf_dir):
@@ -323,3 +327,13 @@ def test_rolling_distinct_users_matches_bruteforce_on_sample_days(spark, sf_dir)
             }
         )
         assert rows[probe] == expect, probe
+
+
+def test_dominant_suppliers_reuses_the_pair_exchange(spark, sf_dir):
+    # both branches of the per_ps ⋈ agg(per_ps) self-join must share
+    # the per-(part, supplier) shuffle — executed plan shows a
+    # ReusedExchange, i.e. the fact scan + wide exchange ran once
+    df = registry.queries()["dominant_part_suppliers"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_dsnd_projects_spark.functions.dedup import (
+    PLANTED_DUP_MOD,
+    PLANTED_ID_OFFSET,
     _ORACLE_PLANTED,
     _docs_with_planted_dups,
     _oracle_lsh_pairs,
@@ -199,17 +201,17 @@ def _docs_with_planted_dups_with_lang(spark: SparkSession, sf_dir: str) -> DataF
     """Like dedup._docs_with_planted_dups but keeps the lang column for
     the final rollup."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
-    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+    copies = docs.filter(F.col("doc_id") % PLANTED_DUP_MOD == 0).select(
+        (F.col("doc_id") + PLANTED_ID_OFFSET).alias("doc_id"), "text", "lang"
     )
     return docs.unionByName(copies)
 
 
-_ORACLE_PLANTED_LANG = """
+_ORACLE_PLANTED_LANG = f"""
   SELECT doc_id, text, lang FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text, lang FROM documents
-  WHERE doc_id % 10 = 0
+  SELECT doc_id + {PLANTED_ID_OFFSET} AS doc_id, text, lang FROM documents
+  WHERE doc_id % {PLANTED_DUP_MOD} = 0
 """
 
 _ORACLE_QUALITY = rf"""
@@ -477,11 +479,6 @@ FROM totals t LEFT JOIN dup ON t.source = dup.source
 """
 
 
-#: Planted-duplicate modulus shared with dedup.py's exact-dup corpus
-#: (every 10th doc re-crawled under a new id).
-_DATACARD_DUP_MOD = 10
-
-
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datacard: the one-stop summary a dataset
     release ships — document and token counts, English share, mean
@@ -504,8 +501,8 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "text", "lang", "source"
     )
-    copies = docs.filter(F.col("doc_id") % _DATACARD_DUP_MOD == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+    copies = docs.filter(F.col("doc_id") % PLANTED_DUP_MOD == 0).select(
+        (F.col("doc_id") + PLANTED_ID_OFFSET).alias("doc_id"),
         "text",
         "lang",
         "source",
@@ -530,28 +527,21 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from udacity_dsnd_projects_spark.functions.text import _EN as _ORACLE_EN_STOPWORDS  # noqa: E402
+from udacity_dsnd_projects_spark.functions.text import (  # noqa: E402
+    _ORACLE_QUALITY_EXPR,
+)
 
 ORACLE_CORPUS_DATACARD = rf"""
 WITH d AS (
   SELECT doc_id, text, lang, source FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text, lang, source
-  FROM documents WHERE doc_id % {_DATACARD_DUP_MOD} = 0
+  SELECT doc_id + {PLANTED_ID_OFFSET} AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % {PLANTED_DUP_MOD} = 0
 ), per_doc AS (
   SELECT source,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
          len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
-         (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
-               THEN 0.25 ELSE 0.0 END
-          + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END
-          + CASE WHEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END
-          + CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                                           x -> list_contains(['{_ORACLE_EN_STOPWORDS}'], x))) AS DOUBLE)
-                      / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
-                      > 0.01 THEN 0.25 ELSE 0.0 END) AS q,
+         {_ORACLE_QUALITY_EXPR} AS q,
          md5(text) AS h
   FROM d
 )

@@ -134,20 +134,30 @@ def _oracle_shingles(src: str = "documents") -> str:
 _ORACLE_SHINGLES = _oracle_shingles()
 
 
+#: Planted-duplicate corpus knobs — every PLANTED_DUP_MOD-th doc is
+#: re-crawled under doc_id + PLANTED_ID_OFFSET. Shared by every
+#: operator that scores duplicate mass (exact_dedup here,
+#: curation.py's corpus_datacard) so their corpora can never diverge.
+PLANTED_DUP_MOD = 10
+PLANTED_ID_OFFSET = 10_000_000
+
+
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ copies of every 10th doc (new ids) — synthetic exact
-    duplicates so the dedup operators have real work on the corpus."""
+    """documents ∪ copies of every PLANTED_DUP_MOD-th doc (new ids) —
+    synthetic exact duplicates so the dedup operators have real work
+    on the corpus."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    copies = docs.filter(F.col("doc_id") % PLANTED_DUP_MOD == 0).select(
+        (F.col("doc_id") + PLANTED_ID_OFFSET).alias("doc_id"), "text"
     )
     return docs.unionByName(copies)
 
 
-_ORACLE_PLANTED = """
+_ORACLE_PLANTED = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + {PLANTED_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {PLANTED_DUP_MOD} = 0
 """
 
 

@@ -126,6 +126,22 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EN = "', '".join(LANG_STOPWORDS["en"])
+
+#: DuckDB twin of :func:`quality_score_expr` over a raw ``text``
+#: column — interpolated into EVERY oracle that scores quality
+#: (ORACLE_QUALITY_SCORE below, curation.py's datacard), so the two
+#: engines' scoring rules can only change together.
+_ORACLE_QUALITY_EXPR = rf"""(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+        THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                    x -> list_contains(['{_EN}'], x))) AS DOUBLE)
+               / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+               > 0.01 THEN 0.25 ELSE 0.0 END)"""
+
 ORACLE_QUALITY_SCORE = rf"""
 WITH t AS (
   SELECT doc_id, text,
@@ -135,7 +151,7 @@ WITH t AS (
          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
   FROM documents
 ), s AS (
-  SELECT doc_id, n_chars, n_punct, n_digit,
+  SELECT doc_id, text, n_chars, n_punct, n_digit,
          CAST(len(toks) AS DOUBLE) AS n_tok,
          CAST(len(list_filter(toks, x -> list_contains(['{_EN}'], x))) AS DOUBLE)
            AS n_stop
@@ -146,10 +162,7 @@ SELECT doc_id,
        ROUND(n_digit / n_chars, 5) AS digit_ratio,
        ROUND(n_stop / n_tok, 5) AS stopword_ratio,
        ROUND((n_chars - (n_tok - 1)) / n_tok, 5) AS mean_token_len,
-       (CASE WHEN n_tok >= 10 THEN 0.25 ELSE 0.0 END
-        + CASE WHEN n_punct / n_chars < 0.1 THEN 0.25 ELSE 0.0 END
-        + CASE WHEN n_digit / n_chars < 0.1 THEN 0.25 ELSE 0.0 END
-        + CASE WHEN n_stop / n_tok > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+       {_ORACLE_QUALITY_EXPR} AS quality
 FROM s
 """
 

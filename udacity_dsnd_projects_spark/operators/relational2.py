@@ -837,9 +837,13 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nested IN (... IN (...)) chain decorrelated into two rollups
     and a semi-join, reported as distinct suppliers.
 
-    Scale shape: part prunes on the name prefix and broadcasts;
-    per-(part, supplier) and per-part quantity rollups share the one
-    fact scan's shuffle on partkey (AQE reuses the exchange);
+    Scale shape: part prunes on the name prefix and broadcasts; the
+    per-part totals roll up from the already-aggregated per-(part,
+    supplier) frame (sum-of-sums is exact for integer-valued
+    quantities, and the supplier count is a plain row count since
+    that frame holds one row per pair), so both join branches share
+    ONE per-pair shuffle subtree — AQE's ReusedExchange executes the
+    fact scan and its wide exchange once at runtime (plan-asserted);
     quantities and supplier counts are small integers in double, so
     sums and the cross-multiplied share gate (sup_qty·n_suppliers >
     mult·total_qty) are exact — no division; the nation filter
@@ -854,9 +858,9 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("__sup_qty")
     )
-    per_part = li.groupBy(li["l_partkey"].alias("__pk")).agg(
-        F.sum("l_quantity").alias("__tot_qty"),
-        F.countDistinct("l_suppkey").alias("__n_sup"),
+    per_part = per_ps.groupBy(per_ps["l_partkey"].alias("__pk")).agg(
+        F.sum("__sup_qty").alias("__tot_qty"),
+        F.count(F.lit(1)).alias("__n_sup"),
     )
     dominant = per_ps.join(
         per_part, per_ps["l_partkey"] == F.col("__pk")
