@@ -337,3 +337,24 @@ def test_dominant_suppliers_reuses_the_pair_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_exact_quantiles_match_bruteforce_rank_definition(spark, sf_dir):
+    import math
+
+    from udacity_dsnd_projects_spark.operators.analytics import QUANTILE_PROBES
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    got = {
+        r.quantile: r.value
+        for r in registry.queries()["exact_quantiles"](spark, sf_dir).collect()
+    }
+    vals = sorted(
+        (r.l_extendedprice, r.l_orderkey, r.l_linenumber)
+        for r in load_table(spark, "lineitem", sf_dir)
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    n = len(vals)
+    for q in QUANTILE_PROBES:
+        assert got[q] == vals[math.ceil(q * n) - 1][0], q

@@ -627,3 +627,73 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority
 """
+
+
+#: Probe points for the exact distributed quantile face.
+QUANTILE_PROBES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles of lineitem's extended price at the
+    :data:`QUANTILE_PROBES` points — the deterministic complement to
+    the ``quantile_sketch`` estimator (which has no oracle by
+    design): quantile q = the value at total-order rank ⌈q·n⌉, the
+    classic rank-based definition both engines compute identically.
+
+    Scale shape: the total order comes from the distributed
+    exact-rank primitive (range-bucketed parallel windows + broadcast
+    offsets — operators/ranks.py), NEVER a single-task global sort;
+    the probe match then filters ~5 rows out of the ranked corpus
+    with a plain OR of rank equalities (the per-row count column
+    rides the rank pass, so no extra aggregate), and only those ≤5
+    survivors are exploded against the probe list to label
+    coincident ranks. ⌈q·n⌉ is the same IEEE multiply + ceil in both
+    engines — boundary-stable because both compute it on identical
+    doubles."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = exact_group_rank(
+        li,
+        [],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        rank_col="__rk",
+        count_col="__cnt",
+    )
+    is_probe_rank = None
+    for q in QUANTILE_PROBES:
+        c = F.ceil(F.lit(q) * F.col("__cnt")) == F.col("__rk")
+        is_probe_rank = c if is_probe_rank is None else (is_probe_rank | c)
+    hits = ranked.filter(is_probe_rank)
+    probes = F.array([F.lit(q) for q in QUANTILE_PROBES])
+    return (
+        hits.select(
+            "l_extendedprice",
+            "__rk",
+            "__cnt",
+            F.explode(probes).alias("quantile"),
+        )
+        .filter(F.ceil(F.col("quantile") * F.col("__cnt")) == F.col("__rk"))
+        .select("quantile", F.col("l_extendedprice").alias("value"))
+    )
+
+
+def _probe_values_sql() -> str:
+    return ", ".join(f"({q})" for q in QUANTILE_PROBES)
+
+
+ORACLE_EXACT_QUANTILES = f"""
+WITH r AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT q.quantile, l_extendedprice AS value
+FROM r JOIN (VALUES {_probe_values_sql()}) AS q(quantile)
+  ON rk = CEIL(q.quantile * n)
+"""

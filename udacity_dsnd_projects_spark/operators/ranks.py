@@ -103,6 +103,16 @@ def exact_group_rank(
     """
     from pyspark.ml.feature import Bucketizer
 
+    # "__n"/"__off"/the bucket column are internal scratch names that
+    # are dropped before returning — a caller-chosen output name that
+    # collides would be silently dropped with them (bit us twice:
+    # curriculum_order, exact_quantiles)
+    reserved = {"__n", "__off", _BKT}
+    if rank_col in reserved or (count_col is not None and count_col in reserved):
+        raise ValueError(
+            f"rank_col/count_col may not use reserved internal names {reserved}"
+        )
+
     err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.stat.approxQuantile(order_col, probs, err)
@@ -172,6 +182,13 @@ def exact_group_cumsum(
     integral values (the driver-side fold reorders additions; integer
     sums are order-independent, float sums are not)."""
     from pyspark.ml.feature import Bucketizer
+
+    # same reserved-scratch-name rule as exact_group_rank
+    reserved = {"__n", "__off", _BKT}
+    if cumsum_col in reserved:
+        raise ValueError(
+            f"cumsum_col may not use reserved internal names {reserved}"
+        )
 
     err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
     probs = [i / n_buckets for i in range(1, n_buckets)]

@@ -314,6 +314,7 @@ register(
     _ts.rolling_distinct_users,
     _ts.ORACLE_ROLLING_DISTINCT_USERS,
 )
+register("exact_quantiles", _an.exact_quantiles, _an.ORACLE_EXACT_QUANTILES)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -603,6 +604,7 @@ _ROUND6_ROTATION_CANDIDATES = (
     "dominant_part_suppliers",
     "unpivot_agg",
     "rolling_distinct_users",
+    "exact_quantiles",
 )
 
 _names = list(_REGISTRY)
