@@ -358,3 +358,11 @@ def test_exact_quantiles_match_bruteforce_rank_definition(spark, sf_dir):
     n = len(vals)
     for q in QUANTILE_PROBES:
         assert got[q] == vals[math.ceil(q * n) - 1][0], q
+
+
+def test_exact_quantiles_never_global_sorts(spark, sf_dir):
+    # the rank primitive must keep the total order distributed: a
+    # single-task global sort would appear as a rangepartitioning
+    # exchange — assert it never does
+    plan = _plan(spark, sf_dir, "exact_quantiles")
+    assert "rangepartitioning" not in plan
