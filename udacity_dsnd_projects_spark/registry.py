@@ -315,6 +315,9 @@ register(
     _ts.ORACLE_ROLLING_DISTINCT_USERS,
 )
 register("exact_quantiles", _an.exact_quantiles, _an.ORACLE_EXACT_QUANTILES)
+register(
+    "grouping_sets_agg", _agg.grouping_sets_agg, _agg.ORACLE_GROUPING_SETS_AGG
+)
 register("timestamp_convert", _scalar.timestamp_convert, _scalar.ORACLE_TIMESTAMP_CONVERT)
 register("rolling_avg_24h", _an.rolling_avg_24h, _an.ORACLE_ROLLING_AVG_24H)
 register("cosine_scores_pandas", _sim.cosine_scores_pandas, _sim.ORACLE_COSINE_SCORES)
@@ -605,6 +608,7 @@ _ROUND6_ROTATION_CANDIDATES = (
     "unpivot_agg",
     "rolling_distinct_users",
     "exact_quantiles",
+    "grouping_sets_agg",
 )
 
 _names = list(_REGISTRY)
