@@ -870,9 +870,11 @@ FROM ranked
 
 def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: the confusion matrix of corpus metadata
-    lang vs :func:`language_id`'s prediction, with per-true-lang
-    recall — the QA readout a curation pipeline checks before trusting
-    the classifier gate.
+    lang vs :func:`language_id`'s prediction, with each cell's share
+    of its true-lang row (``row_share``) — the QA readout a curation
+    pipeline checks before trusting the classifier gate. Recall is the
+    DIAGONAL subset of ``row_share`` (predicted_lang == lang);
+    off-diagonal cells are misclassification rates.
 
     Scale shape: the per-doc scoring is the same single codegen'd
     scan as ``language_id``; the matrix rollup reduces to ≤ langs²
@@ -894,7 +896,7 @@ def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_docs").cast("double")
             / F.sum("n_docs").over(w).cast("double")
-        ).alias("recall_share"),
+        ).alias("row_share"),
     )
 
 
@@ -906,6 +908,6 @@ cells AS (
 )
 SELECT lang, predicted_lang, n_docs,
        CAST(n_docs AS DOUBLE)
-       / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS recall_share
+       / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS row_share
 FROM cells
 """

@@ -326,7 +326,9 @@ def unpivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_balance"),
         F.count(F.lit(1)).cast("double").alias("n_customers"),
-        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+        F.round(F.max("c_acctbal").cast("decimal(30,6)"), 2)
+        .cast("double")
+        .alias("max_balance"),
     )
     return wide.unpivot(
         ["c_nationkey"],
@@ -342,7 +344,8 @@ WITH wide AS (
          CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE)
            AS total_balance,
          CAST(COUNT(*) AS DOUBLE) AS n_customers,
-         ROUND(MAX(c_acctbal), 2) AS max_balance
+         CAST(ROUND(CAST(MAX(c_acctbal) AS DECIMAL(30,6)), 2) AS DOUBLE)
+           AS max_balance
   FROM customer GROUP BY c_nationkey
 )
 SELECT c_nationkey, 'total_balance' AS metric, total_balance AS value FROM wide
@@ -368,10 +371,13 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ALL' via COALESCE (the corpus has no NULL flags), keeping the
     output engine-comparable without relying on engine-specific
     grouping_id bit orders. Money sums follow the module's decimal
-    rule."""
-    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
-        "__gs_lineitem"
-    )
+    rule.
+
+    The DataFrame is passed as a parameterized ``spark.sql`` argument
+    (no named temp view) so concurrent invocations on one
+    SparkSession — e.g. two sf_dirs side by side — cannot
+    cross-contaminate and nothing leaks into the session catalog."""
+    li = load_table(spark, "lineitem", sf_dir)
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -379,10 +385,11 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2)
                     AS DOUBLE) AS revenue,
                COUNT(*) AS n_lines
-        FROM __gs_lineitem
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
-        """
+        """,
+        li=li,
     )
 
 
