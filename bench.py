@@ -23,15 +23,15 @@ if _REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Round-4 recorded total (BENCH_r04.json, sf 0.1, local[32] on the
+#: Round-5 recorded total (BENCH_r05.json, sf 0.1, local[32] on the
 #: driver's 32-core/128GiB box) — the regression floor, ratcheted each
 #: round to the newest driver-recorded total over the SAME 17-query
-#: best-of-2 methodology (r2: 20.1912s → r3: 17.6925s → r4: 13.7779s).
-#: `tests/test_bench_floor.py` fails the suite if a fresh run exceeds
-#: 2× this; BASELINE.md "Engine bench targets". Machine-specific: on
-#: slower hardware set SPARK_GRAFT_BENCH_FLOOR to that box's recorded
-#: total instead.
-BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.7779"))
+#: best-of-2 methodology (r2: 20.1912s → r3: 17.6925s → r4: 13.7779s →
+#: r5: 13.64s). `tests/test_bench_floor.py` fails the suite if a fresh
+#: run exceeds 2× this; BASELINE.md "Engine bench targets".
+#: Machine-specific: on slower hardware set SPARK_GRAFT_BENCH_FLOOR to
+#: that box's recorded total instead.
+BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.64"))
 
 #: Queries timed by the bench. Grows as the registry grows; keep this the
 #: set of headline operators (one per §2 category) rather than every
@@ -65,6 +65,106 @@ def _sf_from_dir(d: str) -> float:
         return float(name.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+#: Stream micro-bench replay shape: events split into this many
+#: chronological micro-batches (one file per trigger), so the watermark
+#: advances ~3 days of event time per batch and join state is evicted
+#: between batches. Peak state is the regression metric: a change that
+#: breaks eviction (losing the range predicate, or a watermark on only
+#: one side) shows up as peak_state_rows jumping toward the full
+#: stream size, the way a slow plan shows up in runtime.
+STREAM_CHUNKS = 10
+STREAM_DELAY = "1 hour"
+
+
+def stream_state_bench(spark) -> dict:
+    """Replay the corpus events through the DEFAULT (watermarked)
+    stream-stream join and record peak join-state rows + wall-clock.
+
+    view events (customer/score side) join purchase events
+    (email side) on user id within ±STREAM_DELAY event time, exactly
+    the `join_risk` default face. Both replays are file streams over
+    chronologically-chunked parquet (maxFilesPerTrigger=1, oldest
+    first), so state grows and drains across STREAM_CHUNKS
+    micro-batches the way it would against a live source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.stedi import join_risk
+
+    ev = load_table(spark, "events", SF_DIR)
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # chronological chunks on fixed quantile boundaries of ts
+        bounds = ev.selectExpr(
+            f"percentile(unix_micros(ts), array({', '.join(str((i + 1) / STREAM_CHUNKS) for i in range(STREAM_CHUNKS - 1))})) AS b"
+        ).collect()[0]["b"]
+        edges = [float("-inf")] + list(bounds) + [float("inf")]
+        for side, etype in (("risk", "view"), ("cust", "purchase")):
+            part = ev.filter(F.col("event_type") == etype)
+            for i in range(STREAM_CHUNKS):
+                part.filter(
+                    (F.unix_micros("ts") > edges[i])
+                    & (F.unix_micros("ts") <= edges[i + 1])
+                ).coalesce(1).write.mode("append").parquet(f"{root}/{side}")
+
+        schema = ev.schema
+        risks = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(f"{root}/risk")
+            .select(
+                F.col("user_id").alias("customer"),
+                F.col("value").alias("score"),
+                F.col("ts").alias("risk_event_ts"),
+            )
+        )
+        custs = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(f"{root}/cust")
+            .select(
+                F.col("user_id").alias("email"),
+                F.col("ts").alias("event_ts"),
+            )
+        )
+        joined = join_risk(
+            risks,
+            custs,
+            watermarks=("risk_event_ts", "event_ts"),
+            delay=STREAM_DELAY,
+        )
+        t0 = time.perf_counter()
+        q = joined.writeStream.format("noop").outputMode("append").start()
+        try:
+            q.processAllAvailable()
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+        elapsed = round(time.perf_counter() - t0, 4)
+        peak = max(
+            (
+                sum(op["numRowsTotal"] for op in p["stateOperators"])
+                for p in progresses
+                if p["stateOperators"]
+            ),
+            default=0,
+        )
+        rows_out = sum(p["sink"]["numOutputRows"] for p in progresses)
+        return {
+            "join_risk_peak_state_rows": int(peak),
+            "join_risk_output_rows": int(rows_out),
+            "micro_batches": len(progresses),
+            "sec": elapsed,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -115,6 +215,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # bounded-state regression metric for the default
+                # (watermarked) stream-stream join face — not part of
+                # `value`, which stays the comparable headline total
+                "stream": stream_state_bench(spark),
             }
         )
     )

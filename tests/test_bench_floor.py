@@ -13,6 +13,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full bench.py subprocess at sf 0.1
+
 REPO = Path(__file__).resolve().parent.parent
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -139,6 +140,7 @@ def test_substring_dedup_and_url_ops_on_tiny_docs(spark, sf_dir):
     assert all(r["ok"] for r in got.collect())
 
 
+@pytest.mark.slow  # ~14 s adversarial sweep; full-suite only
 def test_exact_rank_property_random_frames(spark):
     """Property check: exact_group_rank / exact_group_cumsum reproduce
     the window functions bit-for-bit on adversarial frames — NULL group

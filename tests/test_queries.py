@@ -16,6 +16,7 @@ def _registry_items():
     return [(name, qs[name], oracles.get(name)) for name in sorted(qs)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "name,fn,oracle", _registry_items(), ids=[n for n, _, _ in _registry_items()]
 )

@@ -10,6 +10,8 @@ import json
 
 import pytest
 
+pytestmark = pytest.mark.slow  # replay suites run many micro-batches
+
 from udacity_dsnd_projects_spark.schemas import (
     STATION,
     TURNSTILE,

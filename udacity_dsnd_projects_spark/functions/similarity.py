@@ -931,3 +931,155 @@ FROM bf LEFT JOIN ivf
   ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
 GROUP BY bf.query_id
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance (round 6)
+# --------------------------------------------------------------------------
+#: Deterministic "new batch" split for the upsert faces: vectors with
+#: vec_id % UPSERT_MOD == UPSERT_REM arrived AFTER the index snapshot
+#: was built. Centroid seeds (vec_id < KMEANS_K) are excluded from the
+#: batch so the centroid set is fully determined at snapshot-build time.
+UPSERT_MOD = 10
+UPSERT_REM = 7
+
+
+def ivf_upsert(
+    prior_index: DataFrame,
+    new_emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Incrementally maintain an IVF index: assign ONLY the new vectors
+    to the EXISTING centroids and union with the prior index snapshot —
+    the retrieval-loop twin of the crawl loop's ``incremental_dedup``.
+
+    This is the 100 TB shape: a 100 TB index snapshot is parquet that
+    is never re-read, let alone re-assigned — the upsert touches only
+    the new batch (zero-shuffle inlined-centroid argmin, the
+    :func:`~..pipeline.assign_to_centroids` scan) and the union is a
+    metadata-only plan node. Because the centroids are pinned, the
+    upserted index is row-identical to a full rebuild over
+    snapshot ∪ batch (tests assert this), so retrieval quality can
+    only degrade through centroid drift — which
+    :func:`ivf_staleness_report` makes observable per cluster.
+    """
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        assign_to_centroids,
+    )
+
+    fresh = assign_to_centroids(new_emb, centroids).withColumn(
+        "src", F.lit("new")
+    )
+    return prior_index.unionByName(fresh)
+
+
+def _upsert_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]]]:
+    """(prior snapshot index, new-batch embeddings, pinned centroids)
+    under the deterministic UPSERT_MOD/UPSERT_REM split."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        KMEANS_K,
+        assign_to_centroids,
+        first_k_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    is_new = (F.col("vec_id") % UPSERT_MOD == UPSERT_REM) & (
+        F.col("vec_id") >= KMEANS_K
+    )
+    centroids = first_k_centroids(emb)  # vec_id < K: all in the snapshot
+    snapshot = assign_to_centroids(emb.filter(~is_new), centroids).withColumn(
+        "src", F.lit("snapshot")
+    )
+    return snapshot, emb.filter(is_new), centroids
+
+
+def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of :func:`ivf_upsert`: the prior snapshot covers
+    every vector outside the deterministic new-batch split; the batch
+    is assigned against the snapshot's pinned centroids and unioned.
+    Returns (vec_id, cluster, dist, src) — the upserted index with
+    provenance. Oracle = one assignment over the union (legal exactly
+    because the centroid set is pinned)."""
+    snapshot, new_emb, centroids = _upsert_inputs(spark, sf_dir)
+    return ivf_upsert(snapshot, new_emb, centroids)
+
+
+def ivf_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster staleness of the upserted IVF index: how far the
+    NEW batch lands from the pinned centroids relative to the snapshot
+    members — the drift signal that tells the retrieval loop when the
+    cheap upsert path has degraded enough to warrant a centroid
+    rebuild (the :func:`~..pipeline.cluster_quality` twin for the
+    incremental regime).
+
+    Scale shape: one K-row map-side-combined rollup over the upsert
+    plan (which itself only scans the new batch plus the snapshot
+    parquet). Mean distances divide DECIMAL-exact sums as doubles;
+    clusters that received no new vectors report NULL mean/drift
+    rather than a fabricated 0."""
+    idx = ivf_index_upsert(spark, sf_dir)
+    snap_d = F.when(
+        F.col("src") == "snapshot", F.col("dist").cast("decimal(30,10)")
+    )
+    new_d = F.when(F.col("src") == "new", F.col("dist").cast("decimal(30,10)"))
+    agg = idx.groupBy("cluster").agg(
+        F.count(snap_d).alias("n_snapshot"),
+        F.count(new_d).alias("n_new"),
+        F.sum(snap_d).alias("__ssum"),
+        F.sum(new_d).alias("__nsum"),
+    )
+    mean_snap = F.round(F.col("__ssum").cast("double") / F.col("n_snapshot"), 5)
+    mean_new = F.round(F.col("__nsum").cast("double") / F.col("n_new"), 5)
+    return agg.select(
+        "cluster",
+        "n_snapshot",
+        "n_new",
+        mean_snap.alias("mean_dist_snapshot"),
+        mean_new.alias("mean_dist_new"),
+        F.round(mean_new - mean_snap, 5).alias("drift"),
+    )
+
+
+def _oracle_ivf_upsert() -> tuple[str, str]:
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        KMEANS_K,
+        ORACLE_KMEANS_ASSIGN,
+    )
+
+    upsert = f"""
+WITH assigned AS ({ORACLE_KMEANS_ASSIGN})
+SELECT vec_id, cluster, dist,
+       CASE WHEN vec_id % {UPSERT_MOD} = {UPSERT_REM}
+                 AND vec_id >= {KMEANS_K}
+            THEN 'new' ELSE 'snapshot' END AS src
+FROM assigned
+"""
+    staleness = f"""
+WITH idx AS ({upsert})
+SELECT cluster,
+       COUNT(CASE WHEN src = 'snapshot' THEN 1 END) AS n_snapshot,
+       COUNT(CASE WHEN src = 'new' THEN 1 END) AS n_new,
+       ROUND(CAST(SUM(CASE WHEN src = 'snapshot'
+                           THEN CAST(dist AS DECIMAL(30,10)) END) AS DOUBLE)
+             / COUNT(CASE WHEN src = 'snapshot' THEN 1 END), 5)
+         AS mean_dist_snapshot,
+       ROUND(CAST(SUM(CASE WHEN src = 'new'
+                           THEN CAST(dist AS DECIMAL(30,10)) END) AS DOUBLE)
+             / COUNT(CASE WHEN src = 'new' THEN 1 END), 5) AS mean_dist_new,
+       ROUND(ROUND(CAST(SUM(CASE WHEN src = 'new'
+                            THEN CAST(dist AS DECIMAL(30,10)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN src = 'new' THEN 1 END), 5)
+             - ROUND(CAST(SUM(CASE WHEN src = 'snapshot'
+                              THEN CAST(dist AS DECIMAL(30,10)) END) AS DOUBLE)
+                     / COUNT(CASE WHEN src = 'snapshot' THEN 1 END), 5), 5)
+         AS drift
+FROM idx GROUP BY cluster
+"""
+    return upsert, staleness
+
+
+ORACLE_IVF_INDEX_UPSERT, ORACLE_IVF_STALENESS_REPORT = _oracle_ivf_upsert()

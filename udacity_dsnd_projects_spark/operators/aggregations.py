@@ -402,3 +402,66 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+
+
+def unpivot_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of :func:`unpivot_agg` via the ``UNPIVOT`` clause —
+    same wide rollup, melt expressed in SQL instead of the DataFrame
+    ``unpivot`` builder. ``INCLUDE NULLS`` is required for exactness:
+    ANSI UNPIVOT filters NULL values by default, while the DataFrame
+    builder keeps them. With it, both lower to the same Expand node
+    and Catalyst plans them identically (tests assert plan equality
+    after normalizing expression ids); the oracle is shared. The wide
+    frame is passed as a parameterized ``spark.sql`` argument — no
+    session temp view."""
+    cust = load_table(spark, "customer", sf_dir)
+    wide = cust.groupBy("c_nationkey").agg(
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("total_balance"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.max("c_acctbal").cast("decimal(30,6)"), 2)
+        .cast("double")
+        .alias("max_balance"),
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey, metric, value
+        FROM {w}
+        UNPIVOT INCLUDE NULLS (value FOR metric IN (total_balance,
+                                                    n_customers,
+                                                    max_balance))
+        """,
+        w=wide,
+    )
+
+
+def grouping_sets_agg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of :func:`grouping_sets_agg` via the native
+    ``DataFrame.groupingSets`` builder (Spark 4) — proves the irregular
+    set list no longer NEEDS the SQL surface. Lowers to the same
+    Expand + single hash aggregate as the SQL face (tests assert plan
+    equality after normalizing expression ids); the oracle is shared."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupingSets(
+        [
+            [F.col("l_returnflag"), F.col("l_linestatus")],
+            [F.col("l_returnflag")],
+            [],
+        ],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        "revenue",
+        "n_lines",
+    )

@@ -122,6 +122,15 @@ register("cdc_merge", _snap.cdc_merge, _snap.ORACLE_CDC_MERGE)
 register("mixture_upsample", _pipe.mixture_upsample, _pipe.ORACLE_MIXTURE_UPSAMPLE)
 # NEW: within-cluster top-k cosine neighbor graph
 register("knn_graph", _sim.knn_graph, _sim.ORACLE_KNN_GRAPH)
+# NEW (round 6): incremental IVF index maintenance + drift readout
+register(
+    "ivf_index_upsert", _sim.ivf_index_upsert, _sim.ORACLE_IVF_INDEX_UPSERT
+)
+register(
+    "ivf_staleness_report",
+    _sim.ivf_staleness_report,
+    _sim.ORACLE_IVF_STALENESS_REPORT,
+)
 # NEW: TPC-H Q7-shape bilateral trade rollup (widest relational join tree)
 register(
     "nation_trade_volume", _an.nation_trade_volume, _an.ORACLE_NATION_TRADE_VOLUME
@@ -527,6 +536,14 @@ register(
 
 # --- Redundant faces sharing an in/previously-verified oracle ---------------
 register("risk_join_sql", _risk.risk_join_sql, _risk.ORACLE_RISK_JOIN)  # dup face
+# round-6 twin faces (VERDICT r5 item 6): plan-equality asserted in
+# tests/test_round6_ops.py, oracles shared with the primary faces
+register("unpivot_agg_sql", _agg.unpivot_agg_sql, _agg.ORACLE_UNPIVOT_AGG)
+register(
+    "grouping_sets_agg_df",
+    _agg.grouping_sets_agg_df,
+    _agg.ORACLE_GROUPING_SETS_AGG,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -563,6 +580,11 @@ _ROUND6_NEEDS_VERDICT = (
     "rolling_distinct_users",
     "exact_quantiles",
     "grouping_sets_agg",  # ADVICE r5: parameterized sql(), no temp view
+    # --- brand-new in round 6 ---
+    "ivf_index_upsert",
+    "ivf_staleness_report",
+    "unpivot_agg_sql",
+    "grouping_sets_agg_df",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
