@@ -160,3 +160,109 @@ def test_unpivot_twin_faces_plan_identical(spark, sf_dir):
     assert sorted(map(tuple, df_face.collect())) == sorted(
         map(tuple, sql_face.collect())
     )
+
+
+# --------------------------------------------------------------------------
+# Label-noise + drift monitors
+# --------------------------------------------------------------------------
+def test_knn_label_agreement_reconciles_with_graph(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        knn_graph,
+        knn_label_agreement,
+    )
+
+    rep = knn_label_agreement(spark, sf_dir)
+    rows = rep.collect()
+    deg = {
+        r["vec_id"]: r["count"]
+        for r in knn_graph(spark, sf_dir).groupBy("vec_id").count().collect()
+    }
+    assert {r["vec_id"] for r in rows} == set(deg)
+    for r in rows:
+        assert r["n_nbrs"] == deg[r["vec_id"]]
+        assert 0 <= r["n_same"] <= r["n_nbrs"]
+        assert abs(r["agreement"] - round(r["n_same"] / r["n_nbrs"], 6)) < 1e-12
+        assert r["suspect"] == int(r["agreement"] < 0.5)
+
+
+def test_embedding_drift_by_source_consistency(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        embedding_drift_by_source,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    rep = embedding_drift_by_source(spark, sf_dir).collect()
+    n_corpus = load_table(spark, "embeddings", sf_dir).count()
+    assert sum(r["n_vecs"] for r in rep) == n_corpus
+    for r in rep:
+        assert -1.0 <= r["cosine_to_global"] <= 1.0
+        assert r["l2_to_global"] >= 0.0
+
+
+def test_embedding_drift_single_scan(spark, sf_dir):
+    """The global rollup reuses the per-source partials: the executed
+    plan must contain exactly one embeddings parquet scan."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        embedding_drift_by_source,
+    )
+
+    plan = (
+        embedding_drift_by_source(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("embeddings.parquet") <= 1
+
+
+# --------------------------------------------------------------------------
+# Tokenizer induction + split contamination
+# --------------------------------------------------------------------------
+def test_bpe_pair_counts_shape(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        BPE_TOP_PAIRS,
+        bpe_pair_counts,
+    )
+
+    rows = bpe_pair_counts(spark, sf_dir).orderBy("rank").collect()
+    assert 0 < len(rows) <= BPE_TOP_PAIRS
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 and " " not in r["pair"] for r in rows)
+
+
+def test_split_leakage_report_partitions_pairs(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.curation import (
+        split_leakage_report,
+    )
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        _docs_with_planted_dups,
+        lsh_pairs_for,
+    )
+
+    rep = split_leakage_report(spark, sf_dir).collect()
+    classes = {r["pair_class"] for r in rep}
+    assert classes <= {"within_train", "within_test", "cross_split"}
+    n_pairs_total = lsh_pairs_for(_docs_with_planted_dups(spark, sf_dir)).count()
+    assert sum(r["n_pairs"] for r in rep) == n_pairs_total
+    assert abs(sum(r["pair_share"] for r in rep) - 1.0) < 1e-6
+    for r in rep:
+        assert 0.0 < r["mean_jaccard"] <= 1.0
+
+
+def test_ivf_upsert_plan_is_shuffle_free(spark, sf_dir):
+    """The whole incremental index path — snapshot assign, new-batch
+    assign, union — is projections over scans: no Exchange anywhere
+    (the centroids are inlined literals, the union is metadata)."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        ivf_index_upsert,
+    )
+
+    plan = (
+        ivf_index_upsert(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

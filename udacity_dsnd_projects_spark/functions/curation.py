@@ -554,3 +554,87 @@ SELECT source,
          AS dup_rate
 FROM per_doc GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Train/test split leakage via near-duplicates (round 6)
+# --------------------------------------------------------------------------
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check for the deterministic train/test split: how
+    many NEAR-DUPLICATE pairs straddle the split boundary. A document
+    hash-split keeps each doc's assignment independent of its content,
+    which is exactly why two near-identical docs can land on opposite
+    sides — the eval set then contains (approximate) copies of
+    training data and benchmark numbers inflate. Run over the
+    planted-duplicate corpus (same fixture as ``exact_dedup`` /
+    ``corpus_curation``) so the report has real leakage to find:
+    (pair_class ∈ {within_train, within_test, cross_split}, n_pairs,
+    mean_jaccard, pair_share). cross_split rows are the pairs a
+    pipeline either removes from eval or collapses before splitting.
+
+    Scale shape: the pair frame IS the capped LSH candidate output
+    (never all-pairs); the split labels are pure modular arithmetic on
+    the pair's own id columns (zero joins — no corpus re-scan), and
+    the rollup reduces to ≤3 rows map-side. Mean similarity divides a
+    DECIMAL-exact sum; pair_share divides exact counts over the 3-row
+    frame's window total."""
+    from udacity_dsnd_projects_spark.functions.pipeline import split_assign
+
+    pairs = lsh_pairs_for(_docs_with_planted_dups(spark, sf_dir))
+    sa, sb = split_assign(F.col("doc_a")), split_assign(F.col("doc_b"))
+    classed = pairs.select(
+        F.when(sa == sb, F.concat(F.lit("within_"), sa))
+        .otherwise(F.lit("cross_split"))
+        .alias("pair_class"),
+        F.col("est_jaccard").cast("decimal(30,10)").alias("j"),
+    )
+    agg = classed.groupBy("pair_class").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("j").alias("__jsum")
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "pair_class",
+        "n_pairs",
+        F.round(F.col("__jsum").cast("double") / F.col("n_pairs"), 6).alias(
+            "mean_jaccard"
+        ),
+        F.round(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(total), 6
+        ).alias("pair_share"),
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        SPLIT_A,
+        SPLIT_B,
+        SPLIT_MOD,
+        TRAIN_PCT,
+    )
+
+    split = (
+        lambda c: f"CASE WHEN ({c} * {SPLIT_A} + {SPLIT_B}) % {SPLIT_MOD} "
+        f"% 100 < {TRAIN_PCT} THEN 'train' ELSE 'test' END"
+    )
+    return f"""
+WITH planted AS ({_ORACLE_PLANTED}),
+lsh AS ({_oracle_lsh_pairs("planted")}),
+classed AS (
+  SELECT CASE WHEN {split("doc_a")} = {split("doc_b")}
+              THEN 'within_' || {split("doc_a")}
+              ELSE 'cross_split' END AS pair_class,
+         CAST(est_jaccard AS DECIMAL(30,10)) AS j
+  FROM lsh
+),
+agg AS (
+  SELECT pair_class, COUNT(*) AS n_pairs, SUM(j) AS jsum
+  FROM classed GROUP BY pair_class
+)
+SELECT pair_class, n_pairs,
+       ROUND(CAST(jsum AS DOUBLE) / n_pairs, 6) AS mean_jaccard,
+       ROUND(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS pair_share
+FROM agg
+"""
+
+
+ORACLE_SPLIT_LEAKAGE_REPORT = _oracle_split_leakage()

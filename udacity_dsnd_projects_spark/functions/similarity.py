@@ -1083,3 +1083,194 @@ FROM idx GROUP BY cluster
 
 
 ORACLE_IVF_INDEX_UPSERT, ORACLE_IVF_STALENESS_REPORT = _oracle_ivf_upsert()
+
+
+# --------------------------------------------------------------------------
+# Label-quality + distribution-drift monitoring (round 6)
+# --------------------------------------------------------------------------
+#: Agreement below this marks an example as suspect (likely label
+#: noise). 0.5 = "most of my neighbors disagree with my label".
+LABEL_AGREEMENT_MIN = 0.5
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection over the kNN graph (the Confident-
+    Learning / cleanlab shape without the model): for each vector, the
+    share of its :func:`knn_graph` neighbors that carry the SAME label
+    — (vec_id, label, n_nbrs, n_same, agreement, suspect). Vectors
+    whose neighborhood votes against their label (< 
+    :data:`LABEL_AGREEMENT_MIN`) are the candidates a curation
+    pipeline routes to re-annotation before training a quality
+    classifier on the corpus.
+
+    Scale shape: the edge frame is O(N·KNN_K) — bounded by
+    construction — and each label lookup is an equi-join of that edge
+    frame against the (vec_id, label) projection of the corpus, so
+    nothing here exceeds the kNN substrate's own cost; the agreement
+    rollup reduces to one row per vector map-side. The division is
+    exact-integer-over-exact-integer in double, identical in both
+    engines."""
+    labels = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    edges = knn_graph(spark, sf_dir).select("vec_id", "nbr_id")
+    j = edges.join(labels, "vec_id").join(
+        labels.select(
+            F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+        ),
+        "nbr_id",
+    )
+    same = (F.col("nbr_label") == F.col("label")).cast("long")
+    agg = j.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).alias("n_nbrs"), F.sum(same).alias("n_same")
+    )
+    agreement = F.round(
+        F.col("n_same").cast("double") / F.col("n_nbrs"), 6
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        "n_nbrs",
+        "n_same",
+        agreement.alias("agreement"),
+        (agreement < LABEL_AGREEMENT_MIN).cast("int").alias("suspect"),
+    )
+
+
+def _oracle_knn_label_agreement() -> str:
+    return f"""
+WITH g AS ({ORACLE_KNN_GRAPH}),
+l AS (SELECT vec_id, label FROM embeddings),
+agg AS (
+  SELECT g.vec_id, l.label,
+         COUNT(*) AS n_nbrs,
+         CAST(SUM(CASE WHEN nl.label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same
+  FROM g
+  JOIN l ON g.vec_id = l.vec_id
+  JOIN l nl ON g.nbr_id = nl.vec_id
+  GROUP BY g.vec_id, l.label
+)
+SELECT vec_id, label, n_nbrs, n_same,
+       ROUND(CAST(n_same AS DOUBLE) / n_nbrs, 6) AS agreement,
+       CAST(ROUND(CAST(n_same AS DOUBLE) / n_nbrs, 6)
+            < {LABEL_AGREEMENT_MIN} AS INTEGER) AS suspect
+FROM agg
+"""
+
+
+ORACLE_KNN_LABEL_AGREEMENT = _oracle_knn_label_agreement()
+
+#: Embedding dimensionality of the corpus (every face that unrolls the
+#: vector — LSH planes, centroid literals, drift sums — assumes it).
+EMB_DIM = 64
+
+
+def embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: each source's mean embedding vs the
+    global mean embedding — (source, n_vecs, cosine_to_global,
+    l2_to_global). The dashboard a training-data pipeline watches to
+    catch a crawl source drifting away from (or collapsing into) the
+    corpus centroid between snapshots; read together with
+    :func:`ivf_staleness_report` it tells you WHERE new mass is
+    landing, not just how far from the centroids.
+
+    Scale shape: ONE corpus scan produces per-source component sums
+    (map-side-combined groupBy to a sources-sized frame); the global
+    sums REUSE those partials (a second tiny aggregate over the
+    source frame — never a second corpus scan) and come back via a
+    broadcast of one row. Component sums accumulate in DECIMAL so
+    they are summation-order independent and bit-equal across
+    engines; the mean division and the cosine/L2 folds then run in
+    double over identical operands in identical (index) order."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    per_src = (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[
+                F.sum(F.col("v")[i].cast("decimal(30,10)")).alias(f"s{i}")
+                for i in range(EMB_DIM)
+            ],
+        )
+        # sources-sized; materialized because BOTH the global rollup and
+        # the final select consume it — without this the corpus scan
+        # would execute twice
+        .localCheckpoint(eager=True)
+    )
+    glob = per_src.agg(
+        F.sum("n_vecs").alias("gn"),
+        *[F.sum(f"s{i}").alias(f"g{i}") for i in range(EMB_DIM)],
+    )
+    x = per_src.crossJoin(F.broadcast(glob))
+
+    def _mean(col: str, n: str, i: int) -> Column:
+        return F.col(f"{col}{i}").cast("double") / F.col(n)
+
+    def _sq(c: Column) -> Column:
+        return c * c  # explicit product — `**` lowers to pow(), which
+        # is only 1-ulp-accurate and need not equal the oracle's x*x
+
+    dot = sum(
+        (_mean("s", "n_vecs", i) * _mean("g", "gn", i) for i in range(EMB_DIM)),
+        F.lit(0.0),
+    )
+    ns = F.sqrt(
+        sum((_sq(_mean("s", "n_vecs", i)) for i in range(EMB_DIM)), F.lit(0.0))
+    )
+    ng = F.sqrt(
+        sum((_sq(_mean("g", "gn", i)) for i in range(EMB_DIM)), F.lit(0.0))
+    )
+    l2 = F.sqrt(
+        sum(
+            (
+                _sq(_mean("s", "n_vecs", i) - _mean("g", "gn", i))
+                for i in range(EMB_DIM)
+            ),
+            F.lit(0.0),
+        )
+    )
+    return x.select(
+        "source",
+        "n_vecs",
+        F.round(dot / (ns * ng), 6).alias("cosine_to_global"),
+        F.round(l2, 6).alias("l2_to_global"),
+    )
+
+
+def _oracle_embedding_drift() -> str:
+    ssum = ",\n         ".join(
+        f"SUM(CAST(v[{i + 1}] AS DECIMAL(30,10))) AS s{i}"
+        for i in range(EMB_DIM)
+    )
+    gsum = ", ".join(f"SUM(s{i}) AS g{i}" for i in range(EMB_DIM))
+    ms = lambda i: f"(CAST(s{i} AS DOUBLE) / n_vecs)"  # noqa: E731
+    mg = lambda i: f"(CAST(g{i} AS DOUBLE) / gn)"  # noqa: E731
+    dot = " + ".join(f"{ms(i)} * {mg(i)}" for i in range(EMB_DIM))
+    ns = " + ".join(f"{ms(i)} * {ms(i)}" for i in range(EMB_DIM))
+    ng = " + ".join(f"{mg(i)} * {mg(i)}" for i in range(EMB_DIM))
+    l2 = " + ".join(
+        f"({ms(i)} - {mg(i)}) * ({ms(i)} - {mg(i)})" for i in range(EMB_DIM)
+    )
+    return f"""
+WITH j AS (
+  SELECT d.source, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), per_src AS (
+  SELECT source, COUNT(*) AS n_vecs,
+         {ssum}
+  FROM j GROUP BY source
+), gtot AS (
+  SELECT SUM(n_vecs) AS gn, {gsum} FROM per_src
+)
+SELECT source, n_vecs,
+       ROUND((0.0 + {dot}) / (sqrt(0.0 + {ns}) * sqrt(0.0 + {ng})), 6)
+         AS cosine_to_global,
+       ROUND(sqrt(0.0 + {l2}), 6) AS l2_to_global
+FROM per_src CROSS JOIN gtot
+"""
+
+
+ORACLE_EMBEDDING_DRIFT_BY_SOURCE = _oracle_embedding_drift()

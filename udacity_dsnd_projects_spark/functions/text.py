@@ -911,3 +911,135 @@ SELECT lang, predicted_lang, n_docs,
        / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS row_share
 FROM cells
 """
+
+
+# --------------------------------------------------------------------------
+# Tokenizer induction: the first BPE merge table (round 6)
+# --------------------------------------------------------------------------
+#: How many top pairs the merge-candidate report returns.
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies WITHIN
+    whitespace words — the statistic the first BPE merge step argmaxes
+    over (Sennrich et al. 2016), emitted as the top
+    :data:`BPE_TOP_PAIRS` merge candidates (pair, n_occurrences, rank).
+    Differs from :func:`perplexity_score`'s bigram LM (whole-text,
+    crosses spaces) and :func:`token_bigram_pmi` (word-level): BPE
+    merges never cross word boundaries, so pairs are counted inside
+    each word only.
+
+    Scale shape: pair generation is a per-row projection inside the
+    scan's stage (explode of substring bigrams — no join); the count
+    reduces map-side to a frame bounded by charset² (≤ a few thousand
+    rows at ANY corpus size), so the global order-and-rank at the end
+    is a metadata-frame sort, never a corpus sort. Subsequent merge
+    rounds would re-run this over the re-segmented corpus; the
+    per-round cost is always one scan + one bounded aggregation."""
+    from udacity_dsnd_projects_spark.functions.pipeline import _toks
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(F.explode(_toks()).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("pair", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+  FROM words WHERE len(w) >= 2
+), counts AS (
+  SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, rank FROM (
+  SELECT pair, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+  FROM counts
+) t WHERE rank <= {BPE_TOP_PAIRS}
+"""
+
+
+def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED ARTIFACT behind :func:`perplexity_score`: the
+    char-bigram language model itself — (bg, c1, c_bg, c_ctx, nll)
+    with nll = ln(c_ctx) − ln(c_bg) = −ln P(c2|c1). Exporting the
+    model as its own table is the train/score decomposition a real
+    pipeline ships: train once on a reference corpus snapshot,
+    broadcast the table to score every later snapshot (scoring joins
+    this table instead of re-counting — the KenLM-file analog).
+
+    Scale shape: two map-side-combined aggregations reducing to a
+    vocabulary-sized frame (≤65k rows for full byte bigrams at ANY
+    corpus size); the context rollup aggregates the already-reduced
+    count frame, never the gram stream."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(F.lower(F.trim(F.col("text"))).alias("s")).filter(
+        F.length("s") >= 2
+    )
+    grams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 1),
+                lambda i: F.col("s").substr(i, F.lit(2)),
+            )
+        ).alias("bg")
+    )
+    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c_bg").alias("c_ctx")
+    )
+    return (
+        counts.withColumn("c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(ctx), "c1")
+        .select(
+            "bg",
+            "c1",
+            "c_bg",
+            "c_ctx",
+            F.round(F.log("c_ctx") - F.log("c_bg"), 5).alias("nll"),
+        )
+    )
+
+
+ORACLE_CHAR_BIGRAM_LM = r"""
+WITH d AS (
+  SELECT lower(trim(text)) AS s FROM documents
+  WHERE len(lower(trim(text))) >= 2
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(s)), i -> s[i:i+1])) AS bg
+  FROM d
+), counts AS (
+  SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY bg
+), ctx AS (
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as
+  -- float (4540.0) — the driver compares stringified values, so the
+  -- exported column must come back as BIGINT to match Spark's long
+  SELECT bg[1:1] AS c1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx
+  FROM counts GROUP BY 1
+)
+SELECT bg, counts.bg[1:1] AS c1, c_bg, c_ctx,
+       ROUND(ln(c_ctx) - ln(c_bg), 5) AS nll
+FROM counts JOIN ctx ON counts.bg[1:1] = ctx.c1
+"""

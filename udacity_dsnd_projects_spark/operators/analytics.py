@@ -697,3 +697,65 @@ SELECT q.quantile, l_extendedprice AS value
 FROM r JOIN (VALUES {_probe_values_sql()}) AS q(quantile)
   ON rk = CEIL(q.quantile * n)
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition rollup over the event stream: for each
+    (prev_type → next_type) pair of CONSECUTIVE events within a user's
+    timeline, the transition count and its row-normalized probability
+    — the product-analytics twin of :func:`funnel_conversion` that
+    does not fix an order up front (the funnel checks ONE path; this
+    table scores every observed path, and is the input to next-event
+    prediction / anomalous-journey detection).
+
+    Scale shape: the lag runs over the maximal-cardinality user_id
+    partition (the same high-cardinality window every sessionize-family
+    op uses — never a global sort), ties broken by event_id so the
+    sequence is deterministic under any partitioning; the rollup then
+    reduces to ≤ |event_types|² rows before the row-share window, so
+    that window operates on a metadata-sized frame. The share divides
+    exact counts in double — engine-identical."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row),
+            6,
+        ).alias("row_share"),
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), cells AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type), 6)
+         AS row_share
+FROM cells
+"""

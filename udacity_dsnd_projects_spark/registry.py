@@ -131,6 +131,34 @@ register(
     _sim.ivf_staleness_report,
     _sim.ORACLE_IVF_STALENESS_REPORT,
 )
+# NEW (round 6): the exported char-bigram LM (train/score
+# decomposition of perplexity_score); Markov event-transition rollup
+register("char_bigram_lm", _text.char_bigram_lm, _text.ORACLE_CHAR_BIGRAM_LM)
+register(
+    "event_transition_matrix",
+    _an.event_transition_matrix,
+    _an.ORACLE_EVENT_TRANSITION_MATRIX,
+)
+# NEW (round 6): tokenizer-induction pair counts; split-contamination
+# report over the LSH pair substrate
+register("bpe_pair_counts", _text.bpe_pair_counts, _text.ORACLE_BPE_PAIR_COUNTS)
+register(
+    "split_leakage_report",
+    _cur.split_leakage_report,
+    _cur.ORACLE_SPLIT_LEAKAGE_REPORT,
+)
+# NEW (round 6): label-noise detection over the kNN substrate;
+# per-source embedding drift monitor
+register(
+    "knn_label_agreement",
+    _sim.knn_label_agreement,
+    _sim.ORACLE_KNN_LABEL_AGREEMENT,
+)
+register(
+    "embedding_drift_by_source",
+    _sim.embedding_drift_by_source,
+    _sim.ORACLE_EMBEDDING_DRIFT_BY_SOURCE,
+)
 # NEW: TPC-H Q7-shape bilateral trade rollup (widest relational join tree)
 register(
     "nation_trade_volume", _an.nation_trade_volume, _an.ORACLE_NATION_TRADE_VOLUME
@@ -585,6 +613,12 @@ _ROUND6_NEEDS_VERDICT = (
     "ivf_staleness_report",
     "unpivot_agg_sql",
     "grouping_sets_agg_df",
+    "knn_label_agreement",
+    "embedding_drift_by_source",
+    "bpe_pair_counts",
+    "split_leakage_report",
+    "char_bigram_lm",
+    "event_transition_matrix",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
