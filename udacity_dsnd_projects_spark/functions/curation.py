@@ -638,3 +638,183 @@ FROM agg
 
 
 ORACLE_SPLIT_LEAKAGE_REPORT = _oracle_split_leakage()
+
+
+# --------------------------------------------------------------------------
+# Near-dup graph observability: source overlap, cluster sizes, triangles
+# (round 6, third batch)
+# --------------------------------------------------------------------------
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawl sources duplicate EACH OTHER: the near-dup pair
+    graph rolled up to an unordered source×source matrix — (source_a,
+    source_b, n_pairs, pair_share). The mirror-detection readout:
+    :func:`near_dup_rate_by_source` says source X is 40% duplicated;
+    this says the copies live in source Y — so the fix is dropping the
+    mirror, not doc-by-doc deletion. Diagonal rows (same source both
+    sides) are intra-source scraper loops.
+
+    Scale shape: the pair frame IS the capped LSH candidate output;
+    two equi-joins attach the (doc_id, source) projection — the pair
+    side is far smaller than the corpus — and the rollup reduces to a
+    sources²-bounded frame map-side. ``pair_share`` divides exact
+    counts over that tiny frame's window total."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_pairs_for(docs.select("doc_id", "text"))
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    agg = j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = Window.partitionBy()
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(total), 6
+        ).alias("pair_share"),
+    )
+
+
+ORACLE_SOURCE_OVERLAP_MATRIX = f"""
+WITH p AS ({_oracle_lsh_pairs("documents")}),
+j AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+),
+agg AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM j GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_pairs,
+       ROUND(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS pair_share
+FROM agg
+"""
+
+
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters — (cluster_size,
+    n_clusters, n_docs). The curation-planning readout: a corpus of
+    many 2-clusters dedups cheaply and loses little; a few giant
+    clusters mean boilerplate or a mirror (cross-check
+    :func:`source_overlap_matrix`) and a large deletion volume.
+    ``n_docs = cluster_size × n_clusters`` is the exact doc count the
+    dedup pass will touch per stratum.
+
+    Scale shape: two map-side-combined aggregations over the
+    component frame (pair-graph-sized, never the corpus); the
+    histogram is at most O(max cluster size) rows."""
+    comp = near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+ORACLE_DUP_CLUSTER_HISTOGRAM = f"""
+WITH comp AS ({ORACLE_NEAR_DUP_COMPONENTS}),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering diagnostics of the near-dup pair graph in one
+    row — (n_edges, n_wedges, n_triangles, transitivity) with
+    transitivity = 3·triangles/wedges. This is the statistic that
+    justifies (or indicts) collapsing near-dup clusters by connected
+    components: transitivity near 1 means the pair graph is a union of
+    near-cliques — components ARE duplicate groups; low transitivity
+    means long weak chains, and a component collapse is over-merging
+    docs that were never pairwise similar.
+
+    Scale shape: the edge frame (capped LSH output) is eagerly
+    localCheckpoint'ed once, so the three-way triangle self-join reads
+    the materialized ids instead of re-evaluating the LSH subtree per
+    join side (the same pair-graph-only discipline as the
+    connected-components loop). Wedge counts come from exact degree
+    sums; the a<b<c orientation counts each triangle exactly once.
+    Everything after the LSH cap is bounded by the pair graph, never
+    the corpus."""
+    pairs = lsh_pairs_for(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.explode(F.array("doc_a", "doc_b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.expr("CAST(SUM(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+ORACLE_NEAR_DUP_TRIANGLES = f"""
+WITH p AS ({_oracle_lsh_pairs("documents")}),
+edges AS (SELECT doc_a, doc_b FROM p),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT doc_a AS node FROM edges
+    UNION ALL SELECT doc_b AS node FROM edges
+  ) GROUP BY node
+),
+w AS (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+t AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.doc_b = e2.doc_a
+  JOIN edges e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges, 6) END AS transitivity
+FROM ne CROSS JOIN w CROSS JOIN t
+"""

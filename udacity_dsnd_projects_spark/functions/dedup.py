@@ -988,3 +988,162 @@ JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
 WHERE p.common * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# MinHash calibration + snapshot n-gram novelty (round 6)
+# --------------------------------------------------------------------------
+#: Width of the est_jaccard buckets in the calibration report. est is
+#: a multiple of 1/NUM_PERM (binary-exact in double), so est*10 and
+#: its floor are bit-identical across engines.
+CALIBRATION_BIN = 0.1
+
+
+def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading face of the MinHash/LSH substrate (the dedup twin
+    of :func:`~udacity_dsnd_projects_spark.functions.similarity.ann_recall_report`):
+    for every LSH candidate pair, the TRUE shingle-set Jaccard is
+    computed and compared against the signature estimate, bucketed by
+    estimate — (est_bin, n_pairs, mean_est, mean_exact, mean_abs_err).
+    This is the dashboard that tells you whether ``NUM_PERM=16`` rows
+    are enough at your threshold, or the banding is passing junk: a
+    bucket whose ``mean_exact`` sits far under its ``est_bin`` means
+    the LSH layer forwards false positives the verifier then pays for.
+
+    Scale shape: the pair frame is the capped LSH candidate output
+    (never all-pairs); the exact Jaccard joins the per-doc shingle
+    arrays onto that bounded pair frame (two equi-joins where the pair
+    side is far smaller than the corpus) and intersects row-locally
+    via ``array_intersect``. Means accumulate as DECIMAL sums of
+    pre-rounded terms — summation-order independent, so both engines
+    agree bit-for-bit — and the final report is ≤ a handful of rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_pairs_for(docs)
+    sh = _shingled_docs(docs)
+    j = pairs.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    exact = inter / (F.size("sha") + F.size("shb") - inter)
+    ex = j.select(
+        F.round(F.floor(F.col("est_jaccard") * 10) / 10, 1).alias("est_bin"),
+        F.col("est_jaccard").cast("decimal(30,10)").alias("e"),
+        F.round(exact, 8).cast("decimal(30,10)").alias("x"),
+    )
+    agg = ex.groupBy("est_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("e").alias("__se"),
+        F.sum("x").alias("__sx"),
+        F.sum(F.abs(F.col("e") - F.col("x"))).alias("__sae"),
+    )
+    return agg.select(
+        "est_bin",
+        "n_pairs",
+        F.round(F.col("__se").cast("double") / F.col("n_pairs"), 6).alias(
+            "mean_est"
+        ),
+        F.round(F.col("__sx").cast("double") / F.col("n_pairs"), 6).alias(
+            "mean_exact"
+        ),
+        F.round(F.col("__sae").cast("double") / F.col("n_pairs"), 6).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+ORACLE_MINHASH_CALIBRATION_REPORT = f"""
+WITH p AS ({ORACLE_MINHASH_LSH_PAIRS}),
+docs AS ({_ORACLE_SHINGLES}),
+ex AS (
+  SELECT ROUND(FLOOR(p.est_jaccard * 10) / 10, 1) AS est_bin,
+         CAST(p.est_jaccard AS DECIMAL(30,10)) AS e,
+         CAST(ROUND(
+           len(list_intersect(da.sh, db.sh)) * 1.0
+           / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+           8) AS DECIMAL(30,10)) AS x
+  FROM p
+  JOIN docs da ON p.doc_a = da.doc_id
+  JOIN docs db ON p.doc_b = db.doc_id
+),
+agg AS (
+  SELECT est_bin, COUNT(*) AS n_pairs,
+         SUM(e) AS se, SUM(x) AS sx, SUM(ABS(e - x)) AS sae
+  FROM ex GROUP BY est_bin
+)
+SELECT est_bin, n_pairs,
+       ROUND(CAST(se AS DOUBLE) / n_pairs, 6) AS mean_est,
+       ROUND(CAST(sx AS DOUBLE) / n_pairs, 6) AS mean_exact,
+       ROUND(CAST(sae AS DOUBLE) / n_pairs, 6) AS mean_abs_err
+FROM agg
+"""
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty of a new crawl batch against the
+    prior corpus snapshot: (doc_id, n_grams, n_novel, novelty_rate)
+    where ``n_novel`` counts the doc's distinct shingles NOT present
+    anywhere in the snapshot. The crawl-prioritization twin of
+    :func:`incremental_dedup` — that one asks "is this content new?";
+    this one asks "HOW MUCH of it is new?", the signal a pipeline uses
+    to rank sources by information yield between snapshots (distinct
+    from ``ngram_contamination``, which checks the batch against a
+    blocklist, not the corpus's own history).
+
+    Scale shape: the snapshot collapses to its DISTINCT shingle-hash
+    set once (gram-universe-sized, shuffled on the hash); the batch's
+    exploded shingles left-join that set on the same key (sort-merge,
+    one shuffle per side) and the novelty flag reduces back to one row
+    per batch doc map-side. Nothing is quadratic and no text moves —
+    only 8-byte shingle hashes. The Bloom-prefilter trick of
+    :func:`incremental_dedup` applies verbatim if the gram universe
+    ever outgrows a shuffle."""
+    hist = (
+        _shingled_docs(_inc_history(spark, sf_dir))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    batch = _shingled_docs(_inc_batch(spark, sf_dir)).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    marked = batch.join(hist.withColumn("__old", F.lit(1)), "s", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__old").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH hist_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+batch_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + {INC_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % {INC_RECRAWL_MOD} = 1
+),
+hsh AS ({_oracle_shingles("hist_src")}),
+hist AS (SELECT DISTINCT unnest(sh) AS s FROM hsh),
+bsh AS ({_oracle_shingles("batch_src")}),
+bx AS (SELECT doc_id, unnest(sh) AS s FROM bsh),
+m AS (
+  SELECT bx.doc_id, CASE WHEN hist.s IS NULL THEN 1 ELSE 0 END AS novel
+  FROM bx LEFT JOIN hist ON bx.s = hist.s
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM m GROUP BY doc_id
+"""

@@ -1043,3 +1043,74 @@ SELECT bg, counts.bg[1:1] AS c1, c_bg, c_ctx,
        ROUND(ln(c_ctx) - ln(c_bg), 5) AS nll
 FROM counts JOIN ctx ON counts.bg[1:1] = ctx.c1
 """
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility readout: how many characters
+    and UTF-8 bytes a whitespace token carries in each language —
+    (lang, n_docs, n_tokens, n_chars, n_bytes, chars_per_token,
+    bytes_per_token). The statistic a tokenizer-budget decision reads:
+    languages with high bytes-per-whitespace-token (CJK, agglutinative
+    scripts) need more BPE merges (:func:`bpe_pair_counts`) or a
+    larger vocab (:func:`vocab_coverage`) to reach the same
+    compression, and a corpus mixture weighted by documents silently
+    over-charges them in token budget.
+
+    Scale shape: one scan, all counting inside codegen'd expressions
+    (size/length/octet_length — no explode, no Python), reduced
+    map-side to a languages-sized frame. Count sums are exact
+    integers; the per-token ratios divide those exact sums in double,
+    identically in both engines."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.length(F.trim("text")) > 0
+    )
+    d = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        F.length("text").alias("chars"),
+        F.octet_length("text").alias("bytes"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("bytes").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("n_tokens"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+# CASTs: DuckDB SUM(INTEGER/BIGINT) yields HUGEINT, which pandas
+# renders as float — the driver compares stringified values, so every
+# exported sum must come back as BIGINT (see tests/oracle.py).
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH d AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+         length(text) AS chars,
+         strlen(text) AS bytes
+  FROM documents WHERE length(trim(text)) > 0
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(chars) AS BIGINT) AS n_chars,
+         CAST(SUM(bytes) AS BIGINT) AS n_bytes
+  FROM d GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+       ROUND(CAST(n_bytes AS DOUBLE) / n_tokens, 6) AS bytes_per_token
+FROM agg
+"""

@@ -759,3 +759,291 @@ SELECT prev_type, next_type, n_transitions,
          AS row_share
 FROM cells
 """
+
+
+#: Market-basket readout size — top pairs by co-occurrence count.
+BASKET_TOP_K = 100
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over orders: the top
+    :data:`BASKET_TOP_K` part pairs co-purchased in the same order,
+    with support / directional confidence / lift — the classic
+    association-rule readout (the retail twin of the corpus
+    co-occurrence ops: same shape as ``token_bigram_pmi``, different
+    domain and normalization).
+
+    Scale shape: baskets collapse to one array row per order (≤7
+    lineitems in TPC-H, so ``collect_set`` is bounded) and ordered
+    pairs expand ROW-LOCALLY from that array (≤21 structs per order —
+    the `_bucket_pairs` combinator shape, never a self-join); the pair
+    counts reduce map-side. The global top-K runs as
+    TakeOrderedAndProject over the already-reduced pair-count frame
+    (no single-partition window sort), and the per-part counts then
+    join onto just K rows via broadcast. Every ratio divides exact
+    integer counts in double, written identically in both engines."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy(
+        F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
+    ).agg(F.count(F.lit(1)).alias("n_both"))
+    top = counts.orderBy(F.desc("n_both"), "part_a", "part_b").limit(
+        BASKET_TOP_K
+    )
+    part_n = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    x = (
+        part_n.join(
+            F.broadcast(top), part_n["pk"] == top["part_a"]
+        ).select("part_a", "part_b", "n_both", F.col("n_part").alias("n_a"))
+    )
+    x = (
+        part_n.join(F.broadcast(x), part_n["pk"] == x["part_b"])
+        .select("part_a", "part_b", "n_both", "n_a", F.col("n_part").alias("n_b"))
+        .crossJoin(F.broadcast(n_orders))
+    )
+    nb = F.col("n_both").cast("double")
+    return x.select(
+        "part_a",
+        "part_b",
+        "n_both",
+        F.round(nb / F.col("n_orders"), 6).alias("support"),
+        F.round(nb / F.col("n_a"), 6).alias("conf_a_b"),
+        F.round(nb / F.col("n_b"), 6).alias("conf_b_a"),
+        F.round(
+            nb * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )
+
+
+ORACLE_MARKET_BASKET_PAIRS = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+c AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM c ORDER BY n_both DESC, part_a, part_b LIMIT {BASKET_TOP_K}
+),
+pn AS (SELECT l_partkey AS pk, COUNT(*) AS n_part FROM d GROUP BY 1),
+no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+SELECT part_a, part_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
+       ROUND(CAST(n_both AS DOUBLE) / pa.n_part, 6) AS conf_a_b,
+       ROUND(CAST(n_both AS DOUBLE) / pb.n_part, 6) AS conf_b_a,
+       ROUND(CAST(n_both AS DOUBLE) * n_orders / (pa.n_part * pb.n_part), 6)
+         AS lift
+FROM top
+JOIN pn pa ON top.part_a = pa.pk
+JOIN pn pb ON top.part_b = pb.pk
+CROSS JOIN no
+"""
+
+
+#: |z| at or above this flags a day as anomalous for its event type.
+ANOMALY_Z = 2.0
+
+
+def daily_type_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor over the event stream: each (event_type,
+    day) daily count z-scored against that type's OWN daily history —
+    (event_type, day, n_events, zscore, is_anomaly). The ops dashboard
+    that catches a collector outage (z ≪ 0) or a bot flood (z ≫ 0)
+    per event type; the stream twin of ``lang_zscore``'s corpus
+    stratification.
+
+    Scale shape: one scan reduces to a (type × day) frame map-side;
+    per-type mean/std come from exact integer sums (Σn, Σn²) over that
+    already-tiny frame, joined back by broadcast. The z expression
+    runs the same double arithmetic over the same exact operands in
+    both engines; days with zero variance (or a single day of history)
+    emit NULL z rather than a fabricated 0."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        F.col("n_days") - 1
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (F.col("n_days") > 1) & (var > 0),
+        F.round((F.col("n_events") - mean) / std, 4),
+    )
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        z.alias("zscore"),
+        F.when(F.abs(z) >= ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
+ORACLE_DAILY_TYPE_ANOMALY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+),
+j AS (
+  SELECT daily.event_type, d, n_events, n_days,
+         CAST(s1 AS DOUBLE) / n_days AS mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+            * (CAST(s1 AS DOUBLE) / n_days)) / (n_days - 1) AS var
+  FROM daily JOIN stats ON daily.event_type = stats.event_type
+),
+z AS (
+  SELECT event_type, d, n_events,
+         CASE WHEN n_days > 1 AND var > 0
+              THEN ROUND((n_events - mean) / sqrt(var), 4) END AS zscore
+  FROM j
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events, zscore,
+       CASE WHEN ABS(zscore) >= {ANOMALY_Z} THEN 1 ELSE 0 END AS is_anomaly
+FROM z
+"""
+
+
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type trend detection over the event stream: closed-form OLS
+    of daily total value against the day index — (event_type, n_days,
+    slope, intercept, r2). The drift complement of
+    :func:`daily_type_anomaly`: that one flags single anomalous DAYS
+    against a stationary mean; this one detects the mean MOVING
+    (revenue ramping, a metric decaying), with r² saying how much of
+    the variance the line explains.
+
+    Determinism: daily totals sum ``value`` in DECIMAL(30,6) (exact,
+    order-independent), then re-scale to integer micro-units so every
+    OLS moment (Σx, Σx², Σy, Σxy, Σy²) accumulates EXACTLY in
+    DECIMAL(38,0) — no double is summed in either engine. The final
+    slope/intercept/r² expressions run the same double arithmetic
+    over those identical exact operands.
+
+    Scale shape: one scan reduces map-side to the types×days frame;
+    everything after (window min-date, moment sums, the closed form)
+    operates on that metadata-sized frame. The per-type window is over
+    event-type cardinality — bounded — not the corpus."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("ydec")
+    )
+    w = Window.partitionBy("event_type")
+    ix = daily.select(
+        "event_type",
+        F.datediff("d", F.min("d").over(w)).alias("x"),
+        (F.col("ydec") * 1000000).cast("long").alias("yint"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("yint").cast("decimal(19,0)")
+    s = ix.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yint").cast("decimal(38,0)")).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n_days").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double") / 1000000.0
+    sxyd = F.col("sxy").cast("double") / 1000000.0
+    syyd = F.col("syy").cast("double") / 1000000000000.0
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    slope = num / denx
+    return s.select(
+        "event_type",
+        "n_days",
+        F.when(denx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(denx > 0, F.round((syd - slope * sxd) / nd, 6)).alias(
+            "intercept"
+        ),
+        F.when(
+            (denx > 0) & (deny > 0), F.round(num * num / (denx * deny), 6)
+        ).alias("r2"),
+    )
+
+
+ORACLE_VALUE_TREND_BY_TYPE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(30,6))) AS ydec
+  FROM events GROUP BY 1, 2
+),
+ix AS (
+  SELECT event_type,
+         datediff('day', MIN(d) OVER (PARTITION BY event_type), d) AS x,
+         CAST(ydec * 1000000 AS BIGINT) AS yint
+  FROM daily
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(yint AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(yint AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(yint AS DECIMAL(19,0)) * CAST(yint AS DECIMAL(19,0))) AS syy
+  FROM ix GROUP BY 1
+),
+e AS (
+  SELECT event_type, n_days,
+         CAST(n_days AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd,
+         CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sy AS DOUBLE) / 1000000.0 AS syd,
+         CAST(sxy AS DOUBLE) / 1000000.0 AS sxyd,
+         CAST(syy AS DOUBLE) / 1000000000000.0 AS syyd
+  FROM s
+)
+SELECT event_type, n_days,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+       END AS slope,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN ROUND((syd - (nd * sxyd - sxd * syd)
+                              / (nd * sxxd - sxd * sxd) * sxd) / nd, 6)
+       END AS intercept,
+       CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+            THEN ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                       / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+       END AS r2
+FROM e
+"""

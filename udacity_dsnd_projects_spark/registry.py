@@ -159,6 +159,50 @@ register(
     _sim.embedding_drift_by_source,
     _sim.ORACLE_EMBEDDING_DRIFT_BY_SOURCE,
 )
+# NEW (round 6, second wave): LSH self-grading + snapshot novelty +
+# tokenizer fertility + market basket + daily volume anomaly
+register(
+    "minhash_calibration_report",
+    _dedup.minhash_calibration_report,
+    _dedup.ORACLE_MINHASH_CALIBRATION_REPORT,
+)
+register("ngram_novelty", _dedup.ngram_novelty, _dedup.ORACLE_NGRAM_NOVELTY)
+register(
+    "tokenizer_fertility",
+    _text.tokenizer_fertility,
+    _text.ORACLE_TOKENIZER_FERTILITY,
+)
+register(
+    "market_basket_pairs",
+    _an.market_basket_pairs,
+    _an.ORACLE_MARKET_BASKET_PAIRS,
+)
+register(
+    "daily_type_anomaly",
+    _an.daily_type_anomaly,
+    _an.ORACLE_DAILY_TYPE_ANOMALY,
+)
+# NEW (round 6, third wave): near-dup graph observability + OLS trend
+register(
+    "source_overlap_matrix",
+    _cur.source_overlap_matrix,
+    _cur.ORACLE_SOURCE_OVERLAP_MATRIX,
+)
+register(
+    "dup_cluster_histogram",
+    _cur.dup_cluster_histogram,
+    _cur.ORACLE_DUP_CLUSTER_HISTOGRAM,
+)
+register(
+    "near_dup_triangles",
+    _cur.near_dup_triangles,
+    _cur.ORACLE_NEAR_DUP_TRIANGLES,
+)
+register(
+    "value_trend_by_type",
+    _an.value_trend_by_type,
+    _an.ORACLE_VALUE_TREND_BY_TYPE,
+)
 # NEW: TPC-H Q7-shape bilateral trade rollup (widest relational join tree)
 register(
     "nation_trade_volume", _an.nation_trade_volume, _an.ORACLE_NATION_TRADE_VOLUME
@@ -619,6 +663,15 @@ _ROUND6_NEEDS_VERDICT = (
     "split_leakage_report",
     "char_bigram_lm",
     "event_transition_matrix",
+    "minhash_calibration_report",
+    "ngram_novelty",
+    "tokenizer_fertility",
+    "market_basket_pairs",
+    "daily_type_anomaly",
+    "source_overlap_matrix",
+    "dup_cluster_histogram",
+    "near_dup_triangles",
+    "value_trend_by_type",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
