@@ -40,6 +40,20 @@ def test_calibration_bins_are_threshold_bounded(spark):
         assert r.est_bin <= r.mean_est < r.est_bin + 0.1 + 1e-9
 
 
+def test_calibration_hashes_corpus_once(spark):
+    """Both the signature path and the exact-Jaccard path must read
+    the ONE materialized shingle frame — a plan that re-scans the
+    parquet would be re-hashing the corpus per consumer (3× the
+    dominant cost at 100 TB)."""
+    plan = (
+        minhash_calibration_report(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan  # only the checkpoint is read
+
+
 def test_calibration_error_is_bounded(spark):
     rows = minhash_calibration_report(spark, SF).collect()
     # |est - exact| <= 1 always; a broken kernel (correlated perms)

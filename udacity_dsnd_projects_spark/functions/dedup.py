@@ -681,17 +681,11 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
     return bands_for_sigs(signatures_vectorized(docs))
 
 
-def lsh_pairs_for(docs: DataFrame) -> DataFrame:
-    """MinHash + LSH near-dup candidates over an arbitrary
-    (doc_id, text) frame: band the 16-row signature into 4 bands × 4
-    rows; docs colliding on any whole band become candidates (bucket
-    grouping, not all-pairs); estimated Jaccard = fraction of matching
-    signature rows; keep pairs over threshold.
-
-    This is the 100 TB dedup path: cost is O(docs × bands) rows
-    shuffled on band keys instead of an O(n²) comparison; candidate
-    pairs are generated inside each bucket (see _bucket_pairs)."""
-    pairs = _bucket_pairs(minhash_bands_for(docs), "mh")
+def lsh_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """:func:`lsh_pairs_for` from a precomputed (doc_id, mh) signature
+    frame — lets a caller that ALSO needs the shingle arrays (the
+    calibration report) hash the corpus once and feed both paths."""
+    pairs = _bucket_pairs(bands_for_sigs(sigs), "mh")
     est = (
         F.size(
             F.filter(
@@ -711,6 +705,19 @@ def lsh_pairs_for(docs: DataFrame) -> DataFrame:
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .distinct()
     )
+
+
+def lsh_pairs_for(docs: DataFrame) -> DataFrame:
+    """MinHash + LSH near-dup candidates over an arbitrary
+    (doc_id, text) frame: band the 16-row signature into 4 bands × 4
+    rows; docs colliding on any whole band become candidates (bucket
+    grouping, not all-pairs); estimated Jaccard = fraction of matching
+    signature rows; keep pairs over threshold.
+
+    This is the 100 TB dedup path: cost is O(docs × bands) rows
+    shuffled on band keys instead of an O(n²) comparison; candidate
+    pairs are generated inside each bucket (see _bucket_pairs)."""
+    return lsh_pairs_from_sigs(signatures_vectorized(docs))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,16 +1017,30 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket whose ``mean_exact`` sits far under its ``est_bin`` means
     the LSH layer forwards false positives the verifier then pays for.
 
-    Scale shape: the pair frame is the capped LSH candidate output
-    (never all-pairs); the exact Jaccard joins the per-doc shingle
-    arrays onto that bounded pair frame (two equi-joins where the pair
-    side is far smaller than the corpus) and intersects row-locally
-    via ``array_intersect``. Means accumulate as DECIMAL sums of
-    pre-rounded terms — summation-order independent, so both engines
-    agree bit-for-bit — and the final report is ≤ a handful of rows."""
+    Scale shape: the corpus is shingle-hashed exactly ONCE — the
+    (doc_id, sh) frame is eagerly localCheckpoint'ed, signatures are
+    derived from it with the JVM min-over-array expressions (the
+    hashing already happened), and the same materialized frame feeds
+    the exact-Jaccard joins; without the shared frame this report
+    would hash the corpus three times. The pair frame is the capped
+    LSH candidate output (never all-pairs); the exact Jaccard joins
+    the per-doc shingle arrays onto that bounded pair frame (two
+    equi-joins where the pair side is far smaller than the corpus)
+    and intersects row-locally via ``array_intersect``. Means
+    accumulate as DECIMAL sums of pre-rounded terms —
+    summation-order independent, so both engines agree bit-for-bit —
+    and the final report is ≤ a handful of rows."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = lsh_pairs_for(docs)
-    sh = _shingled_docs(docs)
+    sh = _shingled_docs(docs).localCheckpoint(eager=True)
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda h: (h * a + b) % HASH_MOD)
+            )
+            for a, b in zip(PERM_A, PERM_B)
+        ]
+    )
+    pairs = lsh_pairs_from_sigs(sh.select("doc_id", mh.alias("mh")))
     j = pairs.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
         "doc_a",
