@@ -115,3 +115,87 @@ def test_trend_matches_numpy_ols(spark):
         if np.var(y) > 0:
             r2 = np.corrcoef(x, y)[0, 1] ** 2
             assert math.isclose(r.r2, r2, rel_tol=1e-4, abs_tol=1e-6)
+
+
+# --- session_path_topk -----------------------------------------------------
+def test_session_paths_shape_and_plan(spark):
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        PATH_LEN,
+        PATH_TOP_K,
+        session_path_topk,
+    )
+
+    df = session_path_topk(spark, SF)
+    rows = df.collect()
+    assert 0 < len(rows) <= PATH_TOP_K
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= PATH_LEN
+        assert r.n_users > 0
+        assert 0.0 < r.user_share <= 1.0
+    # shares over ALL paths sum to <=1 (top-K is a subset); each share
+    # is rounded to 6 decimals, so allow half-ulp-per-row slack
+    assert sum(r.user_share for r in rows) <= 1.0 + len(rows) * 5e-7
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- customer_rfm ----------------------------------------------------------
+def test_rfm_quartiles_are_balanced(spark):
+    from udacity_dsnd_projects_spark.operators.analytics import customer_rfm
+
+    rows = customer_rfm(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            v = getattr(r, dim)
+            assert 1 <= v <= 4
+            sizes[v] = sizes.get(v, 0) + 1
+        # NTILE(4): tile sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    for r in rows:
+        assert r.rfm_cell == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_rfm_best_scores_align_with_raw_values(spark):
+    """A customer scored 4 on a dimension must dominate (or tie) every
+    customer scored 1 on the RAW value of that dimension."""
+    from udacity_dsnd_projects_spark.operators.analytics import customer_rfm
+
+    rows = customer_rfm(spark, SF).collect()
+    worst_recency_of_best = max(r.recency_days for r in rows if r.r_score == 4)
+    best_recency_of_worst = min(r.recency_days for r in rows if r.r_score == 1)
+    assert worst_recency_of_best <= best_recency_of_worst
+    least_spend_of_best = min(r.monetary for r in rows if r.m_score == 4)
+    most_spend_of_worst = max(r.monetary for r in rows if r.m_score == 1)
+    assert least_spend_of_best >= most_spend_of_worst
+
+
+# --- quantization_error_report ---------------------------------------------
+def test_quantization_error_honors_theoretical_bound(spark):
+    """Int8 min-max quantization can be off by at most HALF a step per
+    element: (hi - lo)/255/2. Verify the reported worst error against
+    the per-vector bound computed independently."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        _as_double,
+        quantization_error_report,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    bound = (
+        load_table(spark, "embeddings", SF)
+        .select(_as_double(F.col("embedding")).alias("v"))
+        .select(
+            ((F.array_max("v") - F.array_min("v")) / 255.0 / 2.0).alias("b")
+        )
+        .agg(F.max("b"))
+        .first()[0]
+    )
+    rows = quantization_error_report(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_mean_abs_err <= r.mean_max_abs_err + 1e-9
+        assert r.mean_max_abs_err <= r.worst_abs_err + 1e-9
+        assert r.worst_abs_err <= bound * (1 + 1e-9) + 1e-9

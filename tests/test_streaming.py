@@ -16,6 +16,7 @@ from udacity_dsnd_projects_spark.schemas import (
     STATION,
     TURNSTILE,
 )
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1048,3 +1049,59 @@ def test_window_chunks_stream_equals_batch(spark, tmp_path_factory):
     assert sum(1 for r in got if r.doc_id == 2) == 5
     assert sum(1 for r in got if r.doc_id == 3) == 1
     assert sum(1 for r in got if r.doc_id == 4) == 2
+
+
+def test_transition_stream_equals_batch(spark, tmp_path_factory):
+    """Stateful per-user transition extraction: replaying time-ordered
+    micro-batches emits exactly the consecutive (prev -> next) pairs
+    the batch lag() computes on the same rows — including the pairs
+    that straddle micro-batch boundaries (held in per-user state)."""
+    from udacity_dsnd_projects_spark.streaming.stateful import transition_stateful
+
+    root = tmp_path_factory.mktemp("trans")
+    path = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase"]
+    rows = [
+        (uid, base + dt.timedelta(minutes=5 * i + uid), 100 * uid + i, types[(i + uid) % 3])
+        for uid in range(4)
+        for i in range(9)
+    ]
+    rows.sort(key=lambda r: r[1])  # time-ordered replay across batches
+    for b in range(3):
+        spark.createDataFrame(rows[b * 12 : (b + 1) * 12], schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    got_rows = run_to_memory(
+        transition_stateful(file_stream(spark, path, schema)),
+        "transition_stream",
+    ).collect()
+    got: dict[tuple, int] = {}
+    for r in got_rows:
+        k = (r["prev_type"], r["next_type"])
+        got[k] = got.get(k, 0) + 1
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .count()
+    )
+    want = {(r["prev_type"], r["next_type"]): r["count"] for r in batch.collect()}
+    assert got == want
+    # each user contributes exactly n-1 transitions
+    assert sum(got.values()) == 4 * 8

@@ -1274,3 +1274,101 @@ FROM per_src CROSS JOIN gtot
 
 
 ORACLE_EMBEDDING_DRIFT_BY_SOURCE = _oracle_embedding_drift()
+
+
+def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading face of the int8 quantization
+    (:func:`quantize_embedding`): dequantize every vector
+    (``x̂ = lo + code·(hi−lo)/255``) and report reconstruction error
+    per label stratum — (label, n_vecs, mean_max_abs_err,
+    mean_mean_abs_err, worst_abs_err). The ship/no-ship number for the
+    4×-smaller index: the theoretical bound is half a quantization
+    step per element, and the test asserts every vector honors it —
+    read next to :func:`ann_recall_report`, which grades the same
+    trade-off in retrieval terms.
+
+    Scale shape: one corpus scan; per-vector errors are row-local
+    array folds (same sequential element order in both engines), and
+    the rollup reduces map-side to a labels-sized frame. Per-vector
+    statistics are pre-rounded and summed in DECIMAL so the means are
+    summation-order independent; max is order-free by nature."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    )
+    lo, hi, codes = quantize_embedding(F.col("v"))
+    scale = (hi - lo) / F.lit(255.0)
+    recon = F.when(
+        hi > lo, F.transform(codes, lambda c: lo + c * scale)
+    ).otherwise(F.transform(codes, lambda c: lo))
+    errs = F.zip_with(F.col("v"), recon, lambda x, r: F.abs(x - r))
+    per_vec = emb.select(
+        "label",
+        F.round(F.array_max(errs), 9).cast("decimal(30,10)").alias("mx"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda a, x: a + x)
+            / F.size(F.col("v")),
+            9,
+        )
+        .cast("decimal(30,10)")
+        .alias("mn"),
+    )
+    agg = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("mx").alias("__smx"),
+        F.sum("mn").alias("__smn"),
+        F.max("mx").alias("__wmx"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.round(F.col("__smx").cast("double") / F.col("n_vecs"), 6).alias(
+            "mean_max_abs_err"
+        ),
+        F.round(F.col("__smn").cast("double") / F.col("n_vecs"), 6).alias(
+            "mean_mean_abs_err"
+        ),
+        F.round(F.col("__wmx").cast("double"), 6).alias("worst_abs_err"),
+    )
+
+
+ORACLE_QUANTIZATION_ERROR_REPORT = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), mm AS (
+  SELECT label, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+), q AS (
+  SELECT label, v, lo, hi,
+         CASE WHEN hi > lo THEN
+           list_transform(v, x -> CAST(round((x - lo) / ((hi - lo) / 255.0), 0)
+                                       AS BIGINT))
+         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM mm
+), r AS (
+  SELECT label, v,
+         CASE WHEN hi > lo THEN
+           list_transform(codes, c -> lo + c * ((hi - lo) / 255.0))
+         ELSE list_transform(codes, c -> lo) END AS recon
+  FROM q
+), pv AS (
+  SELECT label,
+         CAST(ROUND(list_max(list_transform(range(1, len(v) + 1),
+                      i -> abs(v[i] - recon[i]))), 9) AS DECIMAL(30,10)) AS mx,
+         CAST(ROUND(list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, len(v) + 1),
+                          i -> abs(v[i] - recon[i]))),
+                      (a, x) -> a + x) / len(v), 9) AS DECIMAL(30,10)) AS mn
+  FROM r
+),
+agg AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         SUM(mx) AS smx, SUM(mn) AS smn, MAX(mx) AS wmx
+  FROM pv GROUP BY label
+)
+SELECT label, n_vecs,
+       ROUND(CAST(smx AS DOUBLE) / n_vecs, 6) AS mean_max_abs_err,
+       ROUND(CAST(smn AS DOUBLE) / n_vecs, 6) AS mean_mean_abs_err,
+       ROUND(CAST(wmx AS DOUBLE), 6) AS worst_abs_err
+FROM agg
+"""

@@ -1047,3 +1047,169 @@ SELECT event_type, n_days,
        END AS r2
 FROM e
 """
+
+
+#: Journey readout: path prefix length and how many paths to report.
+PATH_LEN = 5
+PATH_TOP_K = 50
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first :data:`PATH_LEN` event
+    types (by time) joined into a ``view>click>...`` path string, then
+    the :data:`PATH_TOP_K` most common paths — (path, n_users,
+    user_share). The qualitative complement of
+    :func:`event_transition_matrix`: the matrix scores one-step
+    dynamics; this surfaces the literal multi-step journeys users
+    actually take (onboarding funnels, bot signatures — a bot is a
+    single improbable path with a huge n_users).
+
+    Scale shape: the rank runs over the maximal-cardinality user
+    window (never a global sort), the path assembles row-locally from
+    a ≤PATH_LEN collect_list, path counting reduces map-side, and the
+    global top-K lowers to TakeOrderedAndProject over the
+    already-reduced path-count frame. ``user_share`` divides exact
+    counts by the 1-row broadcast user total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.desc("n_users"), "path").limit(PATH_TOP_K)
+    total = paths.agg(F.count(F.lit(1)).alias("n_total"))
+    return top.crossJoin(F.broadcast(total)).select(
+        "path",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n_total"), 6).alias(
+            "user_share"
+        ),
+    )
+
+
+ORACLE_SESSION_PATH_TOPK = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {PATH_LEN} GROUP BY user_id
+),
+counts AS (SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path),
+top AS (
+  SELECT * FROM counts ORDER BY n_users DESC, path LIMIT {PATH_TOP_K}
+),
+tot AS (SELECT COUNT(*) AS n_total FROM paths)
+SELECT path, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / n_total, 6) AS user_share
+FROM top CROSS JOIN tot
+"""
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM rollup: per customer,
+    recency (days from their last order to the corpus's newest order),
+    frequency (order count) and monetary (total spend), each scored
+    into quartiles where 4 = best — (custkey, recency_days, n_orders,
+    monetary, r_score, f_score, m_score, rfm_cell). ``rfm_cell`` is
+    the 3-digit segment (444 = champions, 111 = lost) a lifecycle
+    campaign keys on.
+
+    Scale shape: orders reduce map-side to one row per customer (the
+    only data-sized shuffle); each quartile is NTILE(4) reconstructed
+    from the distributed exact-rank primitive
+    (:func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    + ``ntile_from_rank`` — range-bucketed total order, never a
+    single-task global window), with the customer key breaking ties to
+    a total order so both engines assign identical tiles. The
+    customer frame is checkpointed once and the three rank passes run
+    over the materialization, not three re-aggregations of orders."""
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_rank,
+        ntile_from_rank,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("__mx"))
+    per = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("__mon"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("__mx", "last_d").alias("recency_days"),
+            "n_orders",
+            F.col("__mon").cast("double").alias("monetary_d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    r = exact_group_rank(
+        per, [], "recency_days", ["custkey"], rank_col="__rrk", count_col="__n_all"
+    )
+    f = exact_group_rank(
+        r, [], "n_orders", ["custkey"], descending=True, rank_col="__frk"
+    )
+    m = exact_group_rank(
+        f, [], "monetary_d", ["custkey"], descending=True, rank_col="__mrk"
+    )
+    n = F.col("__n_all")
+    r_score = 5 - ntile_from_rank(F.col("__rrk"), n, 4)
+    f_score = 5 - ntile_from_rank(F.col("__frk"), n, 4)
+    m_score = 5 - ntile_from_rank(F.col("__mrk"), n, 4)
+    return m.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        F.round(F.col("monetary_d"), 2).alias("monetary"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).alias("rfm_cell"),
+    )
+
+
+ORACLE_CUSTOMER_RFM = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+per AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monetary_d
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT custkey,
+         datediff('day', last_d, mxd) AS recency_days,
+         n_orders, monetary_d,
+         5 - NTILE(4) OVER (ORDER BY datediff('day', last_d, mxd), custkey)
+           AS r_score,
+         5 - NTILE(4) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+         5 - NTILE(4) OVER (ORDER BY monetary_d DESC, custkey) AS m_score
+  FROM per CROSS JOIN mx
+)
+SELECT custkey, recency_days, n_orders, ROUND(monetary_d, 2) AS monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_cell
+FROM s
+"""

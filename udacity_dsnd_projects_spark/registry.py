@@ -203,6 +203,17 @@ register(
     _an.value_trend_by_type,
     _an.ORACLE_VALUE_TREND_BY_TYPE,
 )
+register(
+    "session_path_topk",
+    _an.session_path_topk,
+    _an.ORACLE_SESSION_PATH_TOPK,
+)
+register("customer_rfm", _an.customer_rfm, _an.ORACLE_CUSTOMER_RFM)
+register(
+    "quantization_error_report",
+    _sim.quantization_error_report,
+    _sim.ORACLE_QUANTIZATION_ERROR_REPORT,
+)
 # NEW: TPC-H Q7-shape bilateral trade rollup (widest relational join tree)
 register(
     "nation_trade_volume", _an.nation_trade_volume, _an.ORACLE_NATION_TRADE_VOLUME
@@ -672,6 +683,9 @@ _ROUND6_NEEDS_VERDICT = (
     "dup_cluster_histogram",
     "near_dup_triangles",
     "value_trend_by_type",
+    "session_path_topk",
+    "customer_rfm",
+    "quantization_error_report",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then

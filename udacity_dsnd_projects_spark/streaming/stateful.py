@@ -305,3 +305,77 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transition_stateful(events: DataFrame) -> DataFrame:
+    """Streaming face of
+    :func:`~udacity_dsnd_projects_spark.operators.analytics.event_transition_matrix`:
+    per-user (prev_type → next_type) transitions as incremental state.
+    Per key the state is the user's LAST event (ts, event_id, type);
+    each micro-batch sorts its rows once by (ts, event_id), emits one
+    (user_id, prev_type, next_type) row per consecutive pair —
+    including the pair that straddles the batch boundary via the
+    stored state — and leaves the newest event in state. Downstream a
+    plain streaming ``groupBy(prev_type, next_type).count()`` IS the
+    transition matrix, updated per batch; emitted transitions are
+    append-only facts (each consecutive pair exists exactly once), so
+    no retraction logic is needed.
+
+    Contract: per-user event time must be non-decreasing ACROSS
+    micro-batches (the watermark-ordered replay the file/Kafka sources
+    provide) — the same rule as :func:`gap_fill_stateful`.
+
+    Scale: state is O(distinct users × one row); each batch touches
+    only the users present in it, and the Python hop is one sorted
+    pass per Arrow group.
+
+    Expects columns (user_id, ts, event_id, event_type).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("last_eid", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def update_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        st = list(state.get) if state.exists else None
+        rows: list[list] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            ts_us = batch["ts"].astype("int64") // 1000
+            for t_us, eid, etype in zip(
+                ts_us, batch["event_id"], batch["event_type"]
+            ):
+                if st is not None:
+                    rows.append([key[0], st[2], etype])
+                st = [int(t_us), int(eid), etype]
+        if st is not None:
+            state.update(tuple(st))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "prev_type", "next_type"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
