@@ -199,3 +199,82 @@ def test_quantization_error_honors_theoretical_bound(spark):
         assert r.mean_mean_abs_err <= r.mean_max_abs_err + 1e-9
         assert r.mean_max_abs_err <= r.worst_abs_err + 1e-9
         assert r.worst_abs_err <= bound * (1 + 1e-9) + 1e-9
+
+
+# --- ship_latency_quantiles ------------------------------------------------
+def test_latency_quantiles_monotone_per_priority(spark):
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        QUANTILE_PROBES,
+        ship_latency_quantiles,
+    )
+
+    rows = ship_latency_quantiles(spark, SF).collect()
+    by_p: dict[str, dict[float, int]] = {}
+    for r in rows:
+        by_p.setdefault(r.priority, {})[r.quantile] = r.latency_days
+    assert len(by_p) >= 2, "multiple priority classes"
+    for p, qs in by_p.items():
+        assert set(qs) == set(QUANTILE_PROBES), p
+        vals = [qs[q] for q in sorted(qs)]
+        assert vals == sorted(vals), f"quantiles must be monotone for {p}"
+        # NOTE: the synthetic corpus draws l_shipdate independently of
+        # o_orderdate, so signed latencies (negative days) are expected
+        # here; real TPC-H data would make these all non-negative.
+
+
+def test_latency_quantiles_match_driver_side(spark):
+    """p50 must equal the value at rank ceil(0.5*n) of a driver-side
+    sort of the same latencies (one priority class is enough)."""
+    import math as m
+
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        ship_latency_quantiles,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", SF).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", SF).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    lat = (
+        li.join(orders, "l_orderkey")
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+                "ld"
+            ),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .collect()
+    )
+    p = lat[0]["o_orderpriority"]
+    vals = sorted(
+        (r.ld, r.l_orderkey, r.l_linenumber) for r in lat if r.o_orderpriority == p
+    )
+    want = vals[m.ceil(0.5 * len(vals)) - 1][0]
+    got = {
+        r.quantile: r.latency_days
+        for r in ship_latency_quantiles(spark, SF).collect()
+        if r.priority == p
+    }
+    assert got[0.5] == want
+
+
+# --- label_separation_report -----------------------------------------------
+def test_label_separation_geometry(spark):
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        label_separation_report,
+    )
+
+    rows = label_separation_report(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.n_vecs > 0
+        assert r.within_dist >= 0.0
+        assert r.between_dist >= 0.0
+        if r.separation is not None:
+            assert r.separation >= 0.0
+            assert abs(r.separation - r.between_dist / r.within_dist) < 1e-4

@@ -1372,3 +1372,146 @@ SELECT label, n_vecs,
        ROUND(CAST(wmx AS DOUBLE), 6) AS worst_abs_err
 FROM agg
 """
+
+
+def label_separation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation diagnostics over the labeled embeddings (the
+    Fisher-criterion shape): per label — (label, n_vecs, within_dist,
+    between_dist, separation) where ``within_dist`` is the mean L2
+    distance of members to their OWN centroid, ``between_dist`` the
+    distance of that centroid to the global centroid, and
+    ``separation`` their ratio. The pre-training readout a curation
+    pipeline checks before trusting the labels as supervision: a label
+    whose ratio ≈ 0 is inseparable from the corpus mean — read next to
+    :func:`knn_label_agreement`, which flags the same pathology
+    example-by-example.
+
+    Scale shape: one corpus scan produces per-label DECIMAL component
+    sums (map-side-combined to a labels-sized frame, checkpointed —
+    the same partials pattern as :func:`embedding_drift_by_source`);
+    centroids come from those sums, the between/global geometry stays
+    on the tiny frame, and the within pass joins the labels-sized
+    centroid arrays back by BROADCAST onto the one re-scan. Per-vector
+    distances are row-local sequential folds (identical element order
+    in both engines), pre-rounded and DECIMAL-summed so the means are
+    summation-order independent."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    )
+    sums = (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[
+                F.sum(F.col("v")[i].cast("decimal(30,10)")).alias(f"s{i}")
+                for i in range(EMB_DIM)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = sums.select(
+        "label",
+        "n_vecs",
+        F.array(
+            *[
+                (F.col(f"s{i}").cast("double") / F.col("n_vecs"))
+                for i in range(EMB_DIM)
+            ]
+        ).alias("c"),
+    )
+    glob = sums.agg(
+        F.sum("n_vecs").alias("gn"),
+        *[F.sum(f"s{i}").alias(f"g{i}") for i in range(EMB_DIM)],
+    ).select(
+        F.array(
+            *[
+                (F.col(f"g{i}").cast("double") / F.col("gn"))
+                for i in range(EMB_DIM)
+            ]
+        ).alias("g")
+    )
+    sq = F.zip_with("v", "c", lambda x, c: (x - c) * (x - c))
+    within = (
+        emb.join(F.broadcast(cent.select("label", "c")), "label")
+        .select(
+            "label",
+            F.round(
+                F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)), 9
+            )
+            .cast("decimal(30,10)")
+            .alias("d"),
+        )
+        .groupBy("label")
+        .agg(F.sum("d").alias("__sd"))
+    )
+    gsq = F.zip_with("c", "g", lambda c, g: (c - g) * (c - g))
+    between = cent.crossJoin(F.broadcast(glob)).select(
+        "label",
+        "n_vecs",
+        F.sqrt(F.aggregate(gsq, F.lit(0.0), lambda a, x: a + x)).alias("__bd"),
+    )
+    j = between.join(within, "label")
+    w = F.col("__sd").cast("double") / F.col("n_vecs")
+    return j.select(
+        "label",
+        "n_vecs",
+        F.round(w, 6).alias("within_dist"),
+        F.round(F.col("__bd"), 6).alias("between_dist"),
+        F.when(w > 0, F.round(F.col("__bd") / w, 6)).alias("separation"),
+    )
+
+
+def _oracle_label_separation() -> str:
+    ssum = ",\n         ".join(
+        f"SUM(CAST(v[{i + 1}] AS DECIMAL(30,10))) AS s{i}"
+        for i in range(EMB_DIM)
+    )
+    gsum = ", ".join(f"SUM(s{i}) AS g{i}" for i in range(EMB_DIM))
+    c_list = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n_vecs" for i in range(EMB_DIM)
+    )
+    g_list = ", ".join(f"CAST(g{i} AS DOUBLE) / gn" for i in range(EMB_DIM))
+    return f"""
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sums AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         {ssum}
+  FROM e GROUP BY label
+), cent AS (
+  SELECT label, n_vecs, [{c_list}] AS c FROM sums
+), gtot AS (
+  SELECT SUM(n_vecs) AS gn, {gsum} FROM sums
+), gcent AS (
+  SELECT [{g_list}] AS g FROM gtot
+), within AS (
+  SELECT e.label,
+         CAST(ROUND(sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {EMB_DIM + 1}),
+               i -> (v[i] - c[i]) * (v[i] - c[i]))),
+           (a, x) -> a + x)), 9) AS DECIMAL(30,10)) AS d
+  FROM e JOIN cent ON e.label = cent.label
+), w AS (
+  SELECT label, SUM(d) AS sd FROM within GROUP BY label
+), b AS (
+  SELECT label, n_vecs,
+         sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {EMB_DIM + 1}),
+               i -> (c[i] - g[i]) * (c[i] - g[i]))),
+           (a, x) -> a + x)) AS bd
+  FROM cent CROSS JOIN gcent
+)
+SELECT b.label, n_vecs,
+       ROUND(CAST(sd AS DOUBLE) / n_vecs, 6) AS within_dist,
+       ROUND(bd, 6) AS between_dist,
+       CASE WHEN CAST(sd AS DOUBLE) / n_vecs > 0
+            THEN ROUND(bd / (CAST(sd AS DOUBLE) / n_vecs), 6)
+       END AS separation
+FROM b JOIN w ON b.label = w.label
+"""
+
+
+ORACLE_LABEL_SEPARATION_REPORT = _oracle_label_separation()

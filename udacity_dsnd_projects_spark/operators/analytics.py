@@ -1213,3 +1213,84 @@ SELECT custkey, recency_days, n_orders, ROUND(monetary_d, 2) AS monetary,
        CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_cell
 FROM s
 """
+
+
+def ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority fulfillment-latency quantiles: EXACT
+    :data:`QUANTILE_PROBES` of days-from-order-to-ship for each order
+    priority — (priority, quantile, latency_days). The supply-chain
+    SLA readout (does URGENT actually ship faster, and what does the
+    p99 tail look like per class; the synthetic corpus draws ship
+    dates independently of order dates, so latencies here are signed
+    offsets — real TPC-H data makes them non-negative), and the
+    GROUPED generalization of
+    :func:`exact_quantiles`: same value-at-rank definition, but the
+    total order runs per priority class.
+
+    Scale shape: one lineitem↔orders equi-join (the only data-sized
+    shuffle), then the per-group total order comes from the
+    distributed exact-rank primitive — groups × range-buckets parallel
+    sort partitions, NEVER one task per priority class; the probe
+    match filters ~groups×5 rows with rank equalities riding the rank
+    pass's count column, identical ⌈q·n⌉ arithmetic in both
+    engines."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    lat = li.join(orders, "l_orderkey").select(
+        "priority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "latency_days"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = exact_group_rank(
+        lat,
+        ["priority"],
+        "latency_days",
+        ["l_orderkey", "l_linenumber"],
+        rank_col="__rk",
+        count_col="__cnt",
+    )
+    is_probe_rank = None
+    for q in QUANTILE_PROBES:
+        c = F.ceil(F.lit(q) * F.col("__cnt")) == F.col("__rk")
+        is_probe_rank = c if is_probe_rank is None else (is_probe_rank | c)
+    probes = F.array([F.lit(q) for q in QUANTILE_PROBES])
+    return (
+        ranked.filter(is_probe_rank)
+        .select("priority", "latency_days", "__rk", "__cnt",
+                F.explode(probes).alias("quantile"))
+        .filter(F.ceil(F.col("quantile") * F.col("__cnt")) == F.col("__rk"))
+        .select("priority", "quantile", "latency_days")
+    )
+
+
+ORACLE_SHIP_LATENCY_QUANTILES = f"""
+WITH lat AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS latency_days,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+r AS (
+  SELECT priority, latency_days,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY latency_days, l_orderkey,
+                            l_linenumber) AS rk,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM lat
+)
+SELECT priority, q.quantile, latency_days
+FROM r JOIN (VALUES {_probe_values_sql()}) AS q(quantile)
+  ON rk = CEIL(q.quantile * n)
+"""

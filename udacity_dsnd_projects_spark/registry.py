@@ -210,6 +210,16 @@ register(
 )
 register("customer_rfm", _an.customer_rfm, _an.ORACLE_CUSTOMER_RFM)
 register(
+    "ship_latency_quantiles",
+    _an.ship_latency_quantiles,
+    _an.ORACLE_SHIP_LATENCY_QUANTILES,
+)
+register(
+    "label_separation_report",
+    _sim.label_separation_report,
+    _sim.ORACLE_LABEL_SEPARATION_REPORT,
+)
+register(
     "quantization_error_report",
     _sim.quantization_error_report,
     _sim.ORACLE_QUANTIZATION_ERROR_REPORT,
@@ -686,6 +696,8 @@ _ROUND6_NEEDS_VERDICT = (
     "session_path_topk",
     "customer_rfm",
     "quantization_error_report",
+    "ship_latency_quantiles",
+    "label_separation_report",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
