@@ -1006,7 +1006,14 @@ def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     )
-    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # vocabulary-sized (≤65k full byte bigrams); materialized because
+    # BOTH the context rollup and the final join consume it — without
+    # this the corpus-wide gram explode + count would run twice
+    counts = (
+        grams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .localCheckpoint(eager=True)
+    )
     ctx = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("c_bg").alias("c_ctx")
     )

@@ -783,8 +783,13 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join onto just K rows via broadcast. Every ratio divides exact
     integer counts in double, written identically in both engines."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    # orders-sized; materialized because THREE consumers read it (pair
+    # expansion, per-part counts, the order total) — without this the
+    # lineitem scan + collect_set groupBy would execute three times
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
     )
     pairs = baskets.select(
         F.explode(
@@ -880,9 +885,13 @@ def daily_type_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; days with zero variance (or a single day of history)
     emit NULL z rather than a fabricated 0."""
     ev = load_table(spark, "events", sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # types×days-sized; materialized because BOTH the stats rollup and
+    # the z-score join consume it — saves a second events scan
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("s1"),
