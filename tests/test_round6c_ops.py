@@ -278,3 +278,84 @@ def test_label_separation_geometry(spark):
         if r.separation is not None:
             assert r.separation >= 0.0
             assert abs(r.separation - r.between_dist / r.within_dist) < 1e-4
+
+
+# --- ntile_from_rank equivalence -------------------------------------------
+def test_ntile_from_rank_equals_window_ntile(spark):
+    """ntile_from_rank must be bit-for-bit the window function's
+    assignment for every (n, k) shape — ragged remainders included.
+    customer_rfm's quartiles ride on this."""
+    from pyspark.sql import Window
+
+    from udacity_dsnd_projects_spark.operators.ranks import ntile_from_rank
+
+    rows = []
+    for gi, n in enumerate([1, 2, 3, 4, 5, 7, 8, 97, 100, 103]):
+        rows.extend((gi, i) for i in range(1, n + 1))
+    df = spark.createDataFrame(rows, "g INT, x INT")
+    w = Window.partitionBy("g").orderBy("x")
+    for k in (2, 3, 4, 7):
+        got = (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+            .select(
+                "g",
+                "x",
+                ntile_from_rank(F.col("rk"), F.col("n"), k).alias("mine"),
+                F.ntile(k).over(w).alias("theirs"),
+            )
+            .filter(F.col("mine") != F.col("theirs"))
+            .count()
+        )
+        assert got == 0, f"NTILE({k}) mismatch on {got} rows"
+
+
+# --- transition_stateful under Arrow chunk splitting -----------------------
+def test_transition_stream_survives_chunked_groups(spark, tmp_path_factory):
+    """A group whose rows exceed arrow.maxRecordsPerBatch arrives as
+    SEVERAL pandas chunks; the operator must concatenate + sort ONCE
+    or boundary transitions corrupt. Force 4-row chunks and replay one
+    user with 20 events."""
+    from pyspark.sql import types as T
+
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+    from udacity_dsnd_projects_spark.streaming.stateful import transition_stateful
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        root = tmp_path_factory.mktemp("transchunk")
+        path = str(root / "events")
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+        import datetime as dt
+
+        base = dt.datetime(2024, 3, 1)
+        types = ["a", "b", "c", "d"]
+        rows = [
+            (7, base + dt.timedelta(minutes=i), i, types[i % 4])
+            for i in range(20)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        got = run_to_memory(
+            transition_stateful(file_stream(spark, path, schema)),
+            "trans_chunked",
+        ).collect()
+        # 19 transitions in exact event order: a>b, b>c, c>d, d>a, ...
+        assert len(got) == 19
+        pairs = {(r.prev_type, r.next_type) for r in got}
+        want = {(types[i % 4], types[(i + 1) % 4]) for i in range(19)}
+        assert pairs == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
