@@ -359,3 +359,30 @@ def test_transition_stream_survives_chunked_groups(spark, tmp_path_factory):
         assert pairs == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# --- dedup_method_agreement ------------------------------------------------
+def test_method_agreement_accounting(spark):
+    """The 1-row set comparison must be internally consistent and the
+    two methods must actually overlap on the planted corpus."""
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        dedup_method_agreement,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    r = dedup_method_agreement(spark, SF).first()
+    assert r.n_minhash == minhash_lsh_pairs(spark, SF).count()
+    assert r.n_simhash == simhash_near_dup_pairs(spark, SF).count()
+    assert 0 < r.n_both <= min(r.n_minhash, r.n_simhash)
+    union = r.n_minhash + r.n_simhash - r.n_both
+    assert abs(r.agreement_jaccard - r.n_both / union) < 1e-5
+    assert (
+        abs(
+            r.agreement_jaccard
+            + r.minhash_only_share
+            + r.simhash_only_share
+            - 1.0
+        )
+        < 3e-6
+    )

@@ -1168,3 +1168,83 @@ SELECT doc_id, COUNT(*) AS n_grams,
        ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_rate
 FROM m GROUP BY doc_id
 """
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method validation of the two LSH families in one row —
+    (n_minhash, n_simhash, n_both, agreement_jaccard,
+    minhash_only_share, simhash_only_share): the pair sets found by
+    MinHash-LSH (:func:`minhash_lsh_pairs`) and SimHash banding
+    (:func:`simhash_near_dup_pairs`) compared as sets. Two
+    independently-derived detectors agreeing is the cheapest
+    whole-pipeline regression signal there is: a threshold/banding
+    change that silently breaks ONE method craters the agreement
+    before any downstream metric moves, and the *_only shares say
+    which family drifted.
+
+    Scale shape: both inputs are the capped LSH candidate outputs
+    (pair-graph-sized, never the corpus); the comparison is one
+    full-outer equi-join on (doc_a, doc_b) and a 1-row count rollup.
+    Exact-count ratios divide in double, identically in both
+    engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    mh = lsh_pairs_for(docs.select("doc_id", "text")).select(
+        "doc_a", "doc_b", F.lit(1).alias("__m")
+    )
+    sh = simhash_near_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("__s")
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("__m"), F.lit(0))).alias("n_minhash"),
+        F.sum(F.coalesce(F.col("__s"), F.lit(0))).alias("n_simhash"),
+        F.sum(
+            F.when(F.col("__m").isNotNull() & F.col("__s").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+        F.count(F.lit(1)).alias("__n_union"),
+    )
+    return agg.select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("__n_union"), 6).alias(
+            "agreement_jaccard"
+        ),
+        F.round(
+            (F.col("n_minhash") - F.col("n_both")).cast("double")
+            / F.col("__n_union"),
+            6,
+        ).alias("minhash_only_share"),
+        F.round(
+            (F.col("n_simhash") - F.col("n_both")).cast("double")
+            / F.col("__n_union"),
+            6,
+        ).alias("simhash_only_share"),
+    )
+
+
+ORACLE_DEDUP_METHOD_AGREEMENT = f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH_PAIRS})),
+sh AS (SELECT doc_a, doc_b FROM ({ORACLE_SIMHASH_NEAR_DUP_PAIRS})),
+j AS (
+  SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+         CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS m,
+         CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS s
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_minhash,
+         CAST(SUM(s) AS BIGINT) AS n_simhash,
+         CAST(SUM(m * s) AS BIGINT) AS n_both,
+         COUNT(*) AS n_union
+  FROM j
+)
+SELECT n_minhash, n_simhash, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / n_union, 6) AS agreement_jaccard,
+       ROUND(CAST(n_minhash - n_both AS DOUBLE) / n_union, 6)
+         AS minhash_only_share,
+       ROUND(CAST(n_simhash - n_both AS DOUBLE) / n_union, 6)
+         AS simhash_only_share
+FROM agg
+"""

@@ -220,6 +220,11 @@ register(
     _sim.ORACLE_LABEL_SEPARATION_REPORT,
 )
 register(
+    "dedup_method_agreement",
+    _dedup.dedup_method_agreement,
+    _dedup.ORACLE_DEDUP_METHOD_AGREEMENT,
+)
+register(
     "quantization_error_report",
     _sim.quantization_error_report,
     _sim.ORACLE_QUANTIZATION_ERROR_REPORT,
@@ -698,6 +703,7 @@ _ROUND6_NEEDS_VERDICT = (
     "quantization_error_report",
     "ship_latency_quantiles",
     "label_separation_report",
+    "dedup_method_agreement",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
