@@ -386,3 +386,22 @@ def test_method_agreement_accounting(spark):
         )
         < 3e-6
     )
+
+
+# --- nation_supplier_hhi ---------------------------------------------------
+def test_hhi_bounds_and_monopoly_floor(spark):
+    """HHI lives in [1/n, 1]; top_share² is a lower bound; a nation's
+    HHI must also dominate 1/n_suppliers (equality iff perfectly
+    fragmented)."""
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        nation_supplier_hhi,
+    )
+
+    rows = nation_supplier_hhi(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.n_suppliers >= 1
+        assert 0.0 < r.top_share <= 1.0
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
+        assert r.hhi >= r.top_share * r.top_share - 1e-6
+        assert r.total_revenue > 0

@@ -1303,3 +1303,85 @@ SELECT priority, q.quantile, latency_days
 FROM r JOIN (VALUES {_probe_values_sql()}) AS q(quantile)
   ON rk = CEIL(q.quantile * n)
 """
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration report: the Herfindahl–Hirschman index of
+    supplier revenue share within each nation — (n_name, n_suppliers,
+    total_revenue, hhi, top_share). HHI = Σ share² over a nation's
+    suppliers (1.0 = a single-supplier monopoly, →1/n = perfectly
+    fragmented); the supply-chain-risk readout procurement reads next
+    to Q2/Q16's diversity views — a nation whose HHI spikes lost
+    redundancy even if its supplier COUNT is unchanged.
+
+    Scale shape: lineitem reduces map-side to one DECIMAL revenue row
+    per supplier (the only data-sized shuffle), the supplier→nation
+    dims broadcast onto that frame, and both the share² fold and the
+    max-share readout aggregate the nations×suppliers frame a second
+    time — all post-reduction. Shares divide exact DECIMAL sums in
+    double; Σshare² sums pre-rounded DECIMAL terms so the fold is
+    summation-order independent in both engines."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("__rev")
+    )
+    j = rev.join(
+        F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"]
+    ).join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+    tot = j.groupBy("n_name").agg(
+        F.sum("__rev").alias("__tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shared = j.join(F.broadcast(tot), "n_name").select(
+        "n_name",
+        "n_suppliers",
+        "__tot",
+        (F.col("__rev").cast("double") / F.col("__tot").cast("double")).alias(
+            "__share"
+        ),
+    )
+    agg = shared.groupBy("n_name", "n_suppliers", "__tot").agg(
+        F.sum(
+            F.round(F.col("__share") * F.col("__share"), 12).cast(
+                "decimal(30,14)"
+            )
+        ).alias("__hhi"),
+        F.max("__share").alias("__top"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        F.round(F.col("__tot").cast("double"), 2).alias("total_revenue"),
+        F.round(F.col("__hhi").cast("double"), 6).alias("hhi"),
+        F.round(F.col("__top"), 6).alias("top_share"),
+    )
+
+
+ORACLE_NATION_SUPPLIER_HHI = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS r
+  FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+  SELECT n_name, r
+  FROM rev
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+tot AS (
+  SELECT n_name, SUM(r) AS t, COUNT(*) AS n_suppliers
+  FROM j GROUP BY n_name
+),
+shared AS (
+  SELECT j.n_name, n_suppliers, t,
+         CAST(r AS DOUBLE) / CAST(t AS DOUBLE) AS share
+  FROM j JOIN tot ON j.n_name = tot.n_name
+)
+SELECT n_name, n_suppliers,
+       ROUND(CAST(t AS DOUBLE), 2) AS total_revenue,
+       ROUND(CAST(SUM(CAST(ROUND(share * share, 12) AS DECIMAL(30,14)))
+                  AS DOUBLE), 6) AS hhi,
+       ROUND(MAX(share), 6) AS top_share
+FROM shared GROUP BY n_name, n_suppliers, t
+"""

@@ -225,6 +225,11 @@ register(
     _dedup.ORACLE_DEDUP_METHOD_AGREEMENT,
 )
 register(
+    "nation_supplier_hhi",
+    _an.nation_supplier_hhi,
+    _an.ORACLE_NATION_SUPPLIER_HHI,
+)
+register(
     "quantization_error_report",
     _sim.quantization_error_report,
     _sim.ORACLE_QUANTIZATION_ERROR_REPORT,
@@ -704,6 +709,7 @@ _ROUND6_NEEDS_VERDICT = (
     "ship_latency_quantiles",
     "label_separation_report",
     "dedup_method_agreement",
+    "nation_supplier_hhi",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
