@@ -405,3 +405,46 @@ def test_hhi_bounds_and_monopoly_floor(spark):
         assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
         assert r.hhi >= r.top_share * r.top_share - 1e-6
         assert r.total_revenue > 0
+
+
+# --- dow_seasonality / user_type_entropy -----------------------------------
+def test_dow_shares_sum_to_one_per_type(spark):
+    from udacity_dsnd_projects_spark.operators.analytics import dow_seasonality
+
+    rows = dow_seasonality(spark, SF).collect()
+    by_type: dict[str, float] = {}
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        assert abs(r.lift - r.share * 7) < 5e-6
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.share
+    for t, s in by_type.items():
+        assert abs(s - 1.0) < 1e-4, t
+
+
+def test_user_entropy_matches_scipy_style_reference(spark):
+    """Entropy must equal -sum p ln p computed driver-side, and a
+    single-type user must score exactly 0."""
+    import math as m
+
+    from udacity_dsnd_projects_spark.operators.analytics import user_type_entropy
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    counts = (
+        load_table(spark, "events", SF)
+        .groupBy("user_id", "event_type")
+        .count()
+        .collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for r in counts:
+        per_user.setdefault(r.user_id, []).append(r["count"])
+    got = {r.user_id: r for r in user_type_entropy(spark, SF).collect()}
+    assert set(got) == set(per_user)
+    for uid, cs in per_user.items():
+        n = sum(cs)
+        want = -sum(c / n * m.log(c / n) for c in cs)
+        r = got[uid]
+        assert r.n_events == n and r.n_types == len(cs)
+        assert abs(r.entropy - want) < 1e-5
+        if len(cs) == 1:
+            assert r.entropy == 0.0

@@ -1385,3 +1385,104 @@ SELECT n_name, n_suppliers,
        ROUND(MAX(share), 6) AS top_share
 FROM shared GROUP BY n_name, n_suppliers, t
 """
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event type — (event_type, dow,
+    n_events, share, lift): each day-of-week's share of the type's
+    events and its lift vs the uniform 1/7. The periodic-structure
+    readout :func:`daily_type_anomaly` (level alarms) and
+    :func:`value_trend_by_type` (drift) both deliberately ignore — a
+    type with strong weekday lift needs day-of-week-conditioned
+    baselines before its z-scores mean anything. ``dow`` follows the
+    0=Sunday..6=Saturday convention (Spark's ``dayofweek`` minus 1 ==
+    DuckDB's ``dayofweek``).
+
+    Scale shape: one scan reduces map-side to the ≤ types×7 frame;
+    share divides exact counts by the per-type window total over that
+    tiny frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek(F.to_date("ts")) - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    share = F.col("n_events").cast("double") / F.sum("n_events").over(w)
+    return cells.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_events",
+        F.round(share, 6).alias("share"),
+        F.round(share * 7, 6).alias("lift"),
+    )
+
+
+ORACLE_DOW_SEASONALITY = """
+WITH cells AS (
+  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS INTEGER) AS dow, n_events,
+       ROUND(CAST(n_events AS DOUBLE)
+             / SUM(n_events) OVER (PARTITION BY event_type), 6) AS share,
+       ROUND(CAST(n_events AS DOUBLE)
+             / SUM(n_events) OVER (PARTITION BY event_type) * 7, 6) AS lift
+FROM cells
+"""
+
+
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user — (user_id, n_events, n_types,
+    entropy): Shannon entropy (nats) of the user's event-type
+    distribution. The bot signature the curation family reads on the
+    events side: a scripted account hammering one action has entropy
+    ≈ 0 regardless of volume, while organic users spread across types
+    — the user-level twin of ``word_entropy``'s per-document readout.
+
+    Determinism: entropy = ln(n) − (Σ c·ln c)/n; each c·ln c term is
+    rounded then cast to DECIMAL before the per-user sum, so the
+    accumulation is summation-order independent and bit-equal across
+    engines (the same trick as the calibration/drift means).
+
+    Scale shape: one scan → (user, type) counts (map-side combined),
+    reduced again to one row per user; no window, no join."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = F.round(F.col("c") * F.log("c"), 9).cast("decimal(30,10)")
+    agg = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).alias("__clnc"),
+    )
+    ent = F.log(F.col("n_events").cast("double")) - F.col("__clnc").cast(
+        "double"
+    ) / F.col("n_events")
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(ent, 6).alias("entropy"),
+    )
+
+
+ORACLE_USER_TYPE_ENTROPY = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         COUNT(*) AS n_types,
+         SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(30,10))) AS clnc
+  FROM counts GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       ROUND(ln(CAST(n_events AS DOUBLE))
+             - CAST(clnc AS DOUBLE) / n_events, 6) AS entropy
+FROM agg
+"""

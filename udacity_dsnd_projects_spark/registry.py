@@ -229,6 +229,10 @@ register(
     _an.nation_supplier_hhi,
     _an.ORACLE_NATION_SUPPLIER_HHI,
 )
+register("dow_seasonality", _an.dow_seasonality, _an.ORACLE_DOW_SEASONALITY)
+register(
+    "user_type_entropy", _an.user_type_entropy, _an.ORACLE_USER_TYPE_ENTROPY
+)
 register(
     "quantization_error_report",
     _sim.quantization_error_report,
@@ -710,6 +714,8 @@ _ROUND6_NEEDS_VERDICT = (
     "label_separation_report",
     "dedup_method_agreement",
     "nation_supplier_hhi",
+    "dow_seasonality",
+    "user_type_entropy",
 )
 
 #: Window fillers — stalest prior driver greens (last verdict r1, then
