@@ -1147,7 +1147,13 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task global window), with the customer key breaking ties to
     a total order so both engines assign identical tiles. The
     customer frame is checkpointed once and the three rank passes run
-    over the materialization, not three re-aggregations of orders."""
+    over the materialization, not three re-aggregations of orders;
+    each rank pass is ALSO checkpointed before the next — every
+    ``exact_group_rank`` call scans its input three times (sketch,
+    counts, final window), so an un-materialized pass-1 plan would
+    re-execute ~3× inside pass 2 and passes 1+2 again inside pass 3.
+    All checkpointed frames stay one-row-per-customer slim at any
+    scale."""
     from udacity_dsnd_projects_spark.operators.ranks import (
         exact_group_rank,
         ntile_from_rank,
@@ -1173,10 +1179,10 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = exact_group_rank(
         per, [], "recency_days", ["custkey"], rank_col="__rrk", count_col="__n_all"
-    )
+    ).localCheckpoint(eager=True)
     f = exact_group_rank(
         r, [], "n_orders", ["custkey"], descending=True, rank_col="__frk"
-    )
+    ).localCheckpoint(eager=True)
     m = exact_group_rank(
         f, [], "monetary_d", ["custkey"], descending=True, rank_col="__mrk"
     )

@@ -760,37 +760,118 @@ _ROUND6_WINDOW = _ROUND6_NEEDS_VERDICT + _ROUND6_STALE_REVERIFY[
     : _WINDOW - len(_ROUND6_NEEDS_VERDICT)
 ]
 
-#: Queries added AFTER the round-6 window filled (none yet). Round 7
-#: MUST rotate these to the window front before re-verifying anything
-#: else — build the round-7 guard from this list, not hand-collected.
-_ROUND7_ROTATION_CANDIDATES: tuple[str, ...] = ()
+# ==========================================================================
+# DRIVER WINDOW (round 8) — round 7 was a null round (no builder commits,
+# driver re-verified the round-6 window verbatim), so the whole r1/r2
+# stale backlog — 44 queries whose newest driver verdict is 6–7 rounds
+# old (VERDICT r7 task 1) — now fits in one window alongside 6 round-3
+# fillers. Staleness derived by unioning CORRECTNESS_r{1..7}.json.
+# ==========================================================================
+
+#: The 44 r1/r2-stale queries (last driver verdict round 1 or 2; every
+#: one re-checked green by the local oracle replica each round since).
+#: Order: r1 cohort first (stalest), then r2, alphabetical within each.
+_ROUND8_STALE_BACKLOG = (
+    # last driver verdict: round 1 (15)
+    "array_subscript",
+    "column_equality_filter",
+    "count_distinct",
+    "cube_agg",
+    "date_parts",
+    "distinct_values",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_semi",
+    "json_get",
+    "json_map_explode",
+    "risk_join_sql",
+    "set_intersect",
+    "window_lag_lead",
+    # last driver verdict: round 2 (29)
+    "array_explode",
+    "avg_per_group",
+    "base64_roundtrip",
+    "case_when_mapping",
+    "cast_projection",
+    "grouped_count",
+    "join_asof",
+    "join_broadcast_dim",
+    "join_enrichment_chain",
+    "join_left",
+    "json_parse_flatten",
+    "latest_per_key",
+    "null_reject_filter",
+    "pivot_agg",
+    "revenue_by_nation",
+    "rollup_agg",
+    "set_except",
+    "sort_limit",
+    "split_derive",
+    "stats_per_group",
+    "string_normalize",
+    "table_profile",
+    "top_k_per_group",
+    "top_unshipped_orders",
+    "topic_dispatch_filter",
+    "union_fan_in",
+    "value_routing",
+    "window_rank",
+    "window_running_sum",
+)
+
+#: Queries whose implementation changed in round 8 and therefore need a
+#: fresh driver verdict (rotation contract): customer_rfm gained
+#: localCheckpoints between its three exact_group_rank passes (VERDICT
+#: r7 task 3) — result-identical by design, but the driver should prove
+#: it.
+_ROUND8_NEEDS_VERDICT = ("customer_rfm",)
+
+#: Window fillers — the 5 stalest round-3 greens (alphabetical; the
+#: remaining 8 r3 queries head the round-9 reverify queue).
+_ROUND8_R3_FILLERS = (
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "doc_fingerprint",
+    "embedding_lsh_buckets",
+    "embedding_near_dup",
+)
+
+_ROUND8_WINDOW = (
+    _ROUND8_NEEDS_VERDICT + _ROUND8_STALE_BACKLOG + _ROUND8_R3_FILLERS
+)
+
+#: Queries added AFTER the round-8 window filled. Round 9 MUST rotate
+#: these to the window front before re-verifying anything else — build
+#: the round-9 guard from this list, not hand-collected.
+_ROUND9_ROTATION_CANDIDATES: tuple[str, ...] = ()
 
 # --- Import-time guards (contract checks, not debug asserts: must
 # --- survive python -O) ----------------------------------------------------
-if len(_ROUND6_WINDOW) != _WINDOW:
+if len(_ROUND8_WINDOW) != _WINDOW:
     raise RuntimeError(
-        f"round-6 window holds {len(_ROUND6_WINDOW)} entries, need {_WINDOW}"
+        f"round-8 window holds {len(_ROUND8_WINDOW)} entries, need {_WINDOW}"
     )
-if len(set(_ROUND6_WINDOW)) != _WINDOW:
-    raise RuntimeError("duplicate name in the round-6 window")
-for _q in _ROUND6_WINDOW + _ROUND7_ROTATION_CANDIDATES:
+if len(set(_ROUND8_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-8 window")
+for _q in _ROUND8_WINDOW + _ROUND9_ROTATION_CANDIDATES:
     if _q not in _REGISTRY:
         raise RuntimeError(f"window/rotation query not registered: {_q}")
-for _q in _ROUND6_NEEDS_VERDICT:
-    if _q not in _ROUND6_WINDOW:
+for _q in _ROUND8_NEEDS_VERDICT + _ROUND8_STALE_BACKLOG:
+    if _q not in _ROUND8_WINDOW:
         raise RuntimeError(
-            f"driver-unverified query outside the {_WINDOW}-entry window: {_q}"
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
         )
-for _q in _ROUND7_ROTATION_CANDIDATES:
-    if _q in _ROUND6_WINDOW:
+for _q in _ROUND9_ROTATION_CANDIDATES:
+    if _q in _ROUND8_WINDOW:
         raise RuntimeError(
-            f"round-6 overflow query {_q} sits INSIDE the window — it would "
-            "displace a round-6 verdict"
+            f"round-8 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-8 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND6_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND6_WINDOW} | {
+# Reorder so the driver's first-50 truncation sees exactly _ROUND8_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND8_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND6_WINDOW)
+    if name not in set(_ROUND8_WINDOW)
 }
