@@ -1,0 +1,256 @@
+"""Round-9 regression tests (VERDICT r8 tasks 1, 3, 5): the bench
+dual-total surface (legacy17 subtotal + widened headline), the stateful
+late-row contract (out-of-order replay), and the deterministic
+stream-replay chunk writer."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- task 1: bench dual-total surface --------------------------------------
+
+
+def test_bench_headline_decomposes_into_legacy17_plus_additions():
+    """The widened headline must keep the ratchet lineage intact: the
+    LEGACY17 tuple is frozen (the exact 17 queries recorded every round
+    since r2), the round-9 additions are disjoint from it, and every
+    headline query resolves in the registry (a renamed registry entry
+    would silently shrink the bench)."""
+    import bench
+    from udacity_dsnd_projects_spark import registry
+
+    assert len(bench.LEGACY17) == 17
+    assert bench.LEGACY17[0] == "risk_join" and bench.LEGACY17[-1] == "passage_dedup"
+    assert set(bench.ROUND9_ADDITIONS) == {
+        "semantic_dedup",
+        "knn_graph",
+        "bm25_search",
+        "incremental_dedup",
+        "customer_rfm",
+        "market_basket_pairs",
+    }
+    assert not set(bench.LEGACY17) & set(bench.ROUND9_ADDITIONS)
+    assert bench.HEADLINE == bench.LEGACY17 + bench.ROUND9_ADDITIONS
+    qs = registry.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"headline queries absent from registry: {missing}"
+
+
+# --- task 5: deterministic replay chunk ordering ---------------------------
+
+
+def test_write_chunks_orders_by_name_and_mtime(spark, sf_dir, tmp_path):
+    """Replay order must be a property of the data, not filesystem mtime
+    granularity: chunk files carry lexicographically-increasing names
+    AND strictly-increasing explicit mtimes (Spark's FileStreamSource
+    sorts by (mtime, path) — both keys now agree), and the union of the
+    chunks is exactly the input rows."""
+    from bench import _ts_chunk_edges, _write_chunks
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    dest = str(tmp_path / "chunks")
+    _write_chunks(ev, _ts_chunk_edges(ev, 5), dest)
+
+    names = sorted(os.listdir(dest))
+    assert names == [f"chunk_{i:03d}.parquet" for i in range(5)]
+    mtimes = [os.path.getmtime(os.path.join(dest, n)) for n in names]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    got = spark.read.parquet(dest).count()
+    assert got == ev.count()
+    # chronological: every row in chunk i is <= every row in chunk i+1
+    maxes, mins = [], []
+    for n in names:
+        df = spark.read.parquet(os.path.join(dest, n))
+        row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        if row["lo"] is not None:
+            mins.append(row["lo"])
+            maxes.append(row["hi"])
+    assert all(hi <= lo for hi, lo in zip(maxes, mins[1:]))
+
+
+# --- task 3: stateful late-row contract ------------------------------------
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+GAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.mark.slow
+def test_transition_stateful_drops_late_rows(spark, tmp_path_factory):
+    """A row arriving with event time strictly BEFORE the stored
+    frontier violates the documented non-decreasing contract; it must
+    be dropped (no fabricated frontier→old / old→next transitions), a
+    frontier-tying row must still be processed, and in-contract rows
+    after the late one must chain off the real frontier."""
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+    from udacity_dsnd_projects_spark.streaming.stateful import transition_stateful
+
+    root = tmp_path_factory.mktemp("late_trans")
+    path = str(root / "events")
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    b1 = [(1, t(10), 1, "view"), (1, t(20), 2, "click")]
+    # batch 2: one LATE row (t15 < frontier t20) that must vanish, one
+    # frontier-TYING row (t20, in contract) and one later row
+    b2 = [(1, t(15), 3, "purchase"), (1, t(20), 4, "refund"), (1, t(30), 5, "view")]
+    for b in (b1, b2):
+        spark.createDataFrame(b, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    got = sorted(
+        (r["prev_type"], r["next_type"])
+        for r in run_to_memory(
+            transition_stateful(file_stream(spark, path, EVENT_SCHEMA)),
+            "late_trans_stream",
+        ).collect()
+    )
+    # late "purchase" row contributes NO transition in either direction
+    assert got == sorted([("view", "click"), ("click", "refund"), ("refund", "view")])
+
+
+@pytest.mark.slow
+def test_gap_fill_stateful_folds_late_rows_without_time_travel(
+    spark, tmp_path_factory
+):
+    """A cross-batch row in an hour BEFORE the frontier hour is folded
+    into the frontier hour (declared no-time-travel rule): emitted
+    history is never rewritten, the frontier hour's n_events counts the
+    folded row, and its LOCF value still comes from the argmax on true
+    event time (the older row cannot win)."""
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+    from udacity_dsnd_projects_spark.streaming.stateful import gap_fill_stateful
+
+    root = tmp_path_factory.mktemp("late_gap")
+    path = str(root / "events")
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    b1 = [(1, t(10, 5), 1, 1.0), (1, t(12, 10), 2, 3.0)]  # frontier hour 12
+    b2 = [(1, t(10, 45), 3, 9.9)]  # LATE: hour 10 already emitted
+    for b in (b1, b2):
+        spark.createDataFrame(b, GAP_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    rows = run_to_memory(
+        gap_fill_stateful(file_stream(spark, path, GAP_SCHEMA)),
+        "late_gap_stream",
+        output_mode="update",
+    ).collect()
+    final = {}
+    for r in rows:  # update mode: last emission per (user, hr) wins
+        final[(r["user_id"], r["hr"])] = (
+            r["value_filled"],
+            r["n_events"],
+            r["is_observed"],
+        )
+    assert final == {
+        (1, t(10, 0)): (1.0, 1, 1),  # emitted history NOT rewritten
+        (1, t(11, 0)): (1.0, 0, 0),
+        (1, t(12, 0)): (3.0, 2, 1),  # late row folded: counted, not argmax
+    }
+
+
+@pytest.mark.slow
+def test_daily_type_anomaly_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Task 9 — the streaming monitor face: a chronological 3-chunk
+    replay of the events table through the watermarked daily-count
+    stream + compacted-table upsert, scored by the SHARED scorer, must
+    equal the batch daily_type_anomaly answer row-for-row."""
+    from bench import _ts_chunk_edges, _write_chunks
+    from udacity_dsnd_projects_spark.operators.analytics import daily_type_anomaly
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        anomaly_monitor_view,
+        daily_type_counts_stream,
+    )
+    from udacity_dsnd_projects_spark.streaming.sinks import compacted_table_upsert
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_foreach_batch,
+    )
+
+    root = tmp_path_factory.mktemp("monitor")
+    src, table = str(root / "events"), str(root / "rollup")
+    ev = load_table(spark, "events", sf_dir)
+    _write_chunks(ev, _ts_chunk_edges(ev, 3), src)
+
+    counts = daily_type_counts_stream(file_stream(spark, src, ev.schema))
+    run_foreach_batch(
+        counts, compacted_table_upsert(table, ["event_type", "d"], "n_events")
+    )
+
+    got = sorted(map(tuple, anomaly_monitor_view(spark, table).collect()))
+    want = sorted(map(tuple, daily_type_anomaly(spark, sf_dir).collect()))
+    assert got == want and got
+
+
+@pytest.mark.slow
+def test_transition_stateful_late_count_in_state(spark, tmp_path_factory):
+    """The dropped late rows are DETECTED, not silently discarded: the
+    per-key late_count state field accumulates across micro-batches.
+    Verified behaviorally — N late rows in, exactly (in-contract
+    consecutive pairs) transitions out, independent of where the late
+    rows land in the replay."""
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+    from udacity_dsnd_projects_spark.streaming.stateful import transition_stateful
+
+    root = tmp_path_factory.mktemp("late_count")
+    path = str(root / "events")
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 12, m)
+
+    batches = [
+        [(7, t(10), 1, "a"), (7, t(20), 2, "b")],
+        [(7, t(5), 3, "x")],  # late only — emits nothing
+        [(7, t(1), 4, "y"), (7, t(25), 5, "c")],  # one late, one good
+    ]
+    for b in batches:
+        spark.createDataFrame(b, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    got = sorted(
+        (r["prev_type"], r["next_type"])
+        for r in run_to_memory(
+            transition_stateful(file_stream(spark, path, EVENT_SCHEMA)),
+            "late_count_stream",
+        ).collect()
+    )
+    assert got == sorted([("a", "b"), ("b", "c")])

@@ -765,12 +765,11 @@ WHERE len(list_filter(range(1, {NUM_PERM + 1}), i -> mha[i] = mhb[i]))
 ORACLE_MINHASH_LSH_PAIRS = _oracle_lsh_pairs()
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: each shingle hash votes ±1 on each of 32 bits (bit j of
-    the hash); fingerprint bit j is 1 iff the vote sum is positive.
-    Near-identical shingle sets → near-identical fingerprints."""
-    docs = load_table(spark, "documents", sf_dir)
-    sh = _shingled_docs(docs)
+def _simhash_expr() -> Column:
+    """The 32-bit SimHash fingerprint as a JVM expression over a ``sh``
+    shingle-hash array column (shared by :func:`simhash_fingerprints`
+    and :func:`simhash_calibration_report`)."""
+
     def bit_vote(j: int) -> Column:
         vote = F.aggregate(
             F.col("sh"),
@@ -784,7 +783,16 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = bits[0]
     for j in range(1, SIMHASH_BITS):
         fp = fp + F.shiftleft(bits[j], j)
-    return sh.select("doc_id", fp.alias("simhash"))
+    return fp
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each shingle hash votes ±1 on each of 32 bits (bit j of
+    the hash); fingerprint bit j is 1 iff the vote sum is positive.
+    Near-identical shingle sets → near-identical fingerprints."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingled_docs(docs)
+    return sh.select("doc_id", _simhash_expr().alias("simhash"))
 
 
 def _oracle_simhash_bits() -> str:
@@ -931,6 +939,99 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def simhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading face of the SimHash substrate — the hamming-side
+    twin of :func:`minhash_calibration_report` (VERDICT r8 task 9):
+    for every byte-band candidate pair within ``SIMHASH_MAX_HAMMING``,
+    the TRUE shingle-set Jaccard is computed and bucketed by hamming
+    distance — (hamming, n_pairs, mean_exact, min_exact, max_exact).
+    This is the readout that tells you whether the 32-bit fingerprint
+    and the hamming-6 cut are calibrated for your corpus: a low-hamming
+    bucket whose ``mean_exact`` is small means SimHash is promoting
+    pairs that barely overlap (fingerprint too coarse); a
+    ``max_exact`` near 1.0 in the top bucket means the cut is about to
+    start missing true dups.
+
+    Scale shape: identical to the MinHash report — the corpus is
+    shingle-hashed exactly ONCE (the (doc_id, sh) frame is eagerly
+    localCheckpoint'ed; fingerprints derive from it with the shared
+    JVM bit-vote expression, and the SAME materialized frame feeds the
+    exact-Jaccard joins), candidate pairs come from the capped byte
+    banding (never all-pairs), and the exact Jaccard is two equi-joins
+    of per-doc shingle arrays onto the bounded pair frame with a
+    row-local ``array_intersect``. Means accumulate as DECIMAL sums of
+    pre-rounded terms (summation-order independent — both engines
+    agree bit-for-bit); min/max are order-free by definition. Output
+    is ≤ SIMHASH_MAX_HAMMING+1 rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingled_docs(docs).localCheckpoint(eager=True)
+    sigs = sh.select("doc_id", _simhash_expr().alias("simhash"))
+    pairs = _bucket_pairs(simhash_bands_for(sigs), "simhash")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = (
+        pairs.filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    j = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    exact = inter / (F.size("sha") + F.size("shb") - inter)
+    ex = j.select(
+        "hamming", F.round(exact, 8).cast("decimal(30,10)").alias("x")
+    )
+    agg = ex.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("__sx"),
+        F.min("x").alias("__mn"),
+        F.max("x").alias("__mx"),
+    )
+    return agg.select(
+        "hamming",
+        "n_pairs",
+        F.round(F.col("__sx").cast("double") / F.col("n_pairs"), 6).alias(
+            "mean_exact"
+        ),
+        F.round(F.col("__mn").cast("double"), 6).alias("min_exact"),
+        F.round(F.col("__mx").cast("double"), 6).alias("max_exact"),
+    )
+
+
+ORACLE_SIMHASH_CALIBRATION_REPORT = f"""
+WITH p AS ({ORACLE_SIMHASH_NEAR_DUP_PAIRS}),
+docs AS ({_ORACLE_SHINGLES}),
+ex AS (
+  SELECT p.hamming,
+         CAST(ROUND(
+           len(list_intersect(da.sh, db.sh)) * 1.0
+           / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+           8) AS DECIMAL(30,10)) AS x
+  FROM p
+  JOIN docs da ON p.doc_a = da.doc_id
+  JOIN docs db ON p.doc_b = db.doc_id
+),
+agg AS (
+  SELECT hamming, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, MIN(x) AS mn, MAX(x) AS mx
+  FROM ex GROUP BY hamming
+)
+SELECT hamming, n_pairs,
+       ROUND(CAST(sx AS DOUBLE) / n_pairs, 6) AS mean_exact,
+       ROUND(CAST(mn AS DOUBLE), 6) AS min_exact,
+       ROUND(CAST(mx AS DOUBLE), 6) AS max_exact
+FROM agg
 """
 
 

@@ -166,6 +166,12 @@ register(
     _dedup.minhash_calibration_report,
     _dedup.ORACLE_MINHASH_CALIBRATION_REPORT,
 )
+# NEW (round 9): SimHash-side calibration readout (VERDICT r8 task 9)
+register(
+    "simhash_calibration_report",
+    _dedup.simhash_calibration_report,
+    _dedup.ORACLE_SIMHASH_CALIBRATION_REPORT,
+)
 register("ngram_novelty", _dedup.ngram_novelty, _dedup.ORACLE_NGRAM_NOVELTY)
 register(
     "tokenizer_fertility",
@@ -764,7 +770,7 @@ _ROUND6_WINDOW = _ROUND6_NEEDS_VERDICT + _ROUND6_STALE_REVERIFY[
 # DRIVER WINDOW (round 8) — round 7 was a null round (no builder commits,
 # driver re-verified the round-6 window verbatim), so the whole r1/r2
 # stale backlog — 44 queries whose newest driver verdict is 6–7 rounds
-# old (VERDICT r7 task 1) — now fits in one window alongside 6 round-3
+# old (VERDICT r7 task 1) — now fits in one window alongside 5 round-3
 # fillers. Staleness derived by unioning CORRECTNESS_r{1..7}.json.
 # ==========================================================================
 
@@ -869,9 +875,119 @@ for _q in _ROUND9_ROTATION_CANDIDATES:
             "displace a round-8 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND8_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND8_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 9) — the round-8 window cleared the r1/r2
+# backlog, leaving the 8 remaining round-3 greens and the 39 round-4
+# greens as the stalest verdicts (VERDICT r8 task 2; staleness derived
+# by unioning CORRECTNESS_r{1..8}.json). All 47 fit alongside the two
+# round-9 needs-verdict entries + 1 round-5 filler.
+# ==========================================================================
+
+#: Queries whose implementation changed (or that are NEW) in round 9
+#: and therefore need a fresh driver verdict (rotation contract):
+#: - simhash_calibration_report: NEW — hamming-side calibration
+#:   readout (VERDICT r8 task 9).
+#: - daily_type_anomaly: scoring half extracted into
+#:   score_daily_counts (shared with the new streaming monitor face) —
+#:   result-identical by design, but the driver should prove it.
+_ROUND9_NEEDS_VERDICT = (
+    "simhash_calibration_report",
+    "daily_type_anomaly",
+)
+
+#: The 47 stale queries: the 8 r3-era greens first (stalest), then the
+#: 39 r4-era greens, alphabetical within each cohort.
+_ROUND9_STALE_BACKLOG = (
+    # last driver verdict: round 3 (8)
+    "exact_dedup",
+    "media_byte_stats",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "pricing_summary",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    # last driver verdict: round 4 (39)
+    "corr_panel",
+    "cosine_scores_pandas",
+    "decayed_user_score",
+    "embedding_centroids",
+    "embedding_quantize",
+    "frame_sample_stats",
+    "funnel_conversion",
+    "hash_split",
+    "hourly_event_rollup",
+    "interval_count_join",
+    "iqr_outliers",
+    "kmeans_assign",
+    "language_id",
+    "media_feature_pipeline",
+    "media_resize_stats",
+    "near_dup_components",
+    "ngram_contamination",
+    "passage_dedup",
+    "passage_source_matrix",
+    "perplexity_score",
+    "pii_scrub",
+    "price_histogram",
+    "quality_score",
+    "redis_envelope_decode",
+    "repetition_score",
+    "risk_join",
+    "rolling_avg_24h",
+    "salted_supplier_rollup",
+    "scd2_history",
+    "sessionize",
+    "simhash_fingerprints_pandas",
+    "source_mixture_weights",
+    "stratified_sample",
+    "substring_dedup",
+    "tfidf_top_terms",
+    "timestamp_convert",
+    "token_stats",
+    "weekly_retention",
+    "word_entropy",
+)
+
+#: Window filler — the stalest round-5 green (alphabetical; the other
+#: 49 r5 queries head the round-10 reverify queue).
+_ROUND9_R5_FILLERS = ("ann_recall_report",)
+
+_ROUND9_WINDOW = (
+    _ROUND9_NEEDS_VERDICT + _ROUND9_STALE_BACKLOG + _ROUND9_R5_FILLERS
+)
+
+#: Queries added AFTER the round-9 window filled. Round 10 MUST rotate
+#: these to the window front before re-verifying anything else — build
+#: the round-10 guard from this list, not hand-collected.
+_ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = ()
+
+# --- Import-time guards (contract checks, not debug asserts: must
+# --- survive python -O) ----------------------------------------------------
+if len(_ROUND9_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-9 window holds {len(_ROUND9_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND9_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-9 window")
+for _q in _ROUND9_WINDOW + _ROUND10_ROTATION_CANDIDATES:
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND9_NEEDS_VERDICT + _ROUND9_STALE_BACKLOG:
+    if _q not in _ROUND9_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND10_ROTATION_CANDIDATES:
+    if _q in _ROUND9_WINDOW:
+        raise RuntimeError(
+            f"round-9 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-9 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND9_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND9_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND8_WINDOW)
+    if name not in set(_ROUND9_WINDOW)
 }

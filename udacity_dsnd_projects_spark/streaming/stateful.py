@@ -208,7 +208,14 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
     micro-batches (the watermark-ordered replay the file/Kafka sources
     provide); an event older than the state frontier is counted into
     the frontier hour's stats rather than rewriting emitted history —
-    the same no-time-travel rule every LOCF stream has.
+    the same no-time-travel rule every LOCF stream has. Contract
+    violations are DETECTED, not silently trusted: every row landing
+    in an hour BEFORE the frontier hour increments the per-key
+    ``late_count`` state field (cumulative, checkpoint-persisted)
+    while being folded, so an upstream that starts violating the
+    ordering shows up as a growing counter rather than quietly skewed
+    hourly stats. (A late row within the frontier hour itself is NOT a
+    distortion — the hourly argmax handles it exactly.)
 
     Scale: state is O(distinct users × one row); silent-hour emission
     is bounded per batch by the real gap length, and each batch
@@ -226,7 +233,7 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
         ]
     )
     # (frontier hour epoch-us, best ts-us, best event_id, best value,
-    #  events-in-frontier-hour)
+    #  events-in-frontier-hour, cross-hour late rows folded so far)
     state_schema = T.StructType(
         [
             T.StructField("hr_us", T.LongType()),
@@ -234,6 +241,7 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
             T.StructField("best_eid", T.LongType()),
             T.StructField("best_val", T.DoubleType()),
             T.StructField("n_ev", T.LongType()),
+            T.StructField("late_count", T.LongType()),
         ]
     )
 
@@ -265,17 +273,22 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
             batch = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
-            ts_us = batch["ts"].astype("int64") // 1000
+            # unit-safe epoch-us: Arrow may hand pandas datetime64[ns]
+            # OR [us] depending on version — normalize before the
+            # integer view instead of assuming nanoseconds
+            ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
             for t_us, eid, val in zip(
                 ts_us, batch["event_id"], batch["value"]
             ):
                 hr_us = (t_us // _HOUR_US) * _HOUR_US
                 if st is None:
-                    st = [hr_us, t_us, int(eid), float(val), 1]
+                    st = [hr_us, t_us, int(eid), float(val), 1, 0]
                     continue
                 if hr_us < st[0]:
-                    # no-time-travel: fold into the frontier hour
+                    # no-time-travel: fold into the frontier hour, but
+                    # COUNT the contract violation (detect, don't trust)
                     hr_us = st[0]
+                    st[5] += 1
                 if hr_us == st[0]:
                     st[4] += 1
                     if (t_us, int(eid)) > (st[1], st[2]):
@@ -288,7 +301,7 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
                     while h < hr_us:
                         emit(h, carry, 0, 0)
                         h += _HOUR_US
-                    st = [hr_us, t_us, int(eid), float(val), 1]
+                    st = [hr_us, t_us, int(eid), float(val), 1, st[5]]
         if st is not None:
             state.update(tuple(st))
             emit(st[0], st[3], st[4], 1)  # current (possibly partial) hour
@@ -323,7 +336,15 @@ def transition_stateful(events: DataFrame) -> DataFrame:
 
     Contract: per-user event time must be non-decreasing ACROSS
     micro-batches (the watermark-ordered replay the file/Kafka sources
-    provide) — the same rule as :func:`gap_fill_stateful`.
+    provide) — the same rule as :func:`gap_fill_stateful`. Unlike the
+    LOCF face (where a late row can be folded into the frontier hour
+    without breaking emitted history), a late row HERE would fabricate
+    transitions that never happened in event time — (frontier → old)
+    then (old → next) — so contract violations are DROPPED, not
+    trusted: any row with event time strictly before the stored
+    frontier is discarded and counted into the per-key ``late_count``
+    state field (cumulative, checkpoint-persisted). Rows that tie the
+    frontier timestamp are in-contract and processed normally.
 
     Scale: state is O(distinct users × one row); each batch touches
     only the users present in it, and the Python hop is one sorted
@@ -338,11 +359,13 @@ def transition_stateful(events: DataFrame) -> DataFrame:
             T.StructField("next_type", T.StringType()),
         ]
     )
+    # frontier event time (epoch-us, LIVE: the late-row gate), its
+    # type, and the cumulative count of dropped contract violations
     state_schema = T.StructType(
         [
             T.StructField("last_ts", T.LongType()),
-            T.StructField("last_eid", T.LongType()),
             T.StructField("last_type", T.StringType()),
+            T.StructField("late_count", T.LongType()),
         ]
     )
 
@@ -358,13 +381,17 @@ def transition_stateful(events: DataFrame) -> DataFrame:
             batch = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
-            ts_us = batch["ts"].astype("int64") // 1000
-            for t_us, eid, etype in zip(
-                ts_us, batch["event_id"], batch["event_type"]
-            ):
+            # unit-safe epoch-us (Arrow may deliver [ns] or [us])
+            ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+            for t_us, etype in zip(ts_us, batch["event_type"]):
+                if st is not None and t_us < st[0]:
+                    st[2] += 1  # late row: drop, never mis-emit
+                    continue
                 if st is not None:
-                    rows.append([key[0], st[2], etype])
-                st = [int(t_us), int(eid), etype]
+                    rows.append([key[0], st[1], etype])
+                    st = [int(t_us), etype, st[2]]
+                else:
+                    st = [int(t_us), etype, 0]
         if st is not None:
             state.update(tuple(st))
         if rows:
