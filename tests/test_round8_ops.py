@@ -19,16 +19,19 @@ def _count_window_nodes(plan: str) -> int:
     return len(re.findall(r"(?m)^[\s+:*!-]*(?:\(\d+\) )?Window \[", plan))
 
 
-def test_customer_rfm_rank_passes_materialized_once(spark, sf_dir):
-    """The three exact_group_rank passes are checkpointed between each
-    other: the final physical plan must contain exactly ONE Window node
-    (the monetary pass) — the recency/frequency passes collapse to
-    ExistingRDD scans of their localCheckpoint materializations instead
-    of re-executing ~3x inside the downstream passes' sketch/count/rank
-    scans."""
+def test_customer_rfm_rank_passes_share_one_scan(spark, sf_dir):
+    """The r8 shape checkpointed between three exact_group_rank passes
+    (one Window surviving per materialized pass); round 9 fused them
+    into exact_multi_rank — the final physical plan must now contain
+    exactly THREE Window nodes (one per rank column, composed in one
+    plan) chained over exactly ONE ExistingRDD scan of the
+    single checkpointed per-customer frame: nothing upstream
+    re-executes, and the offset lookups are literal maps (no extra
+    joins — any Scan count > 1 means a regression re-introduced a
+    re-scan or a join-back)."""
     from udacity_dsnd_projects_spark.operators import analytics as a
 
     df = a.customer_rfm(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert _count_window_nodes(plan) == 1, plan[:2000]
-    assert "Scan ExistingRDD" in plan
+    assert _count_window_nodes(plan) == 3, plan[:2000]
+    assert plan.count("Scan ExistingRDD") == 1, plan[:2000]

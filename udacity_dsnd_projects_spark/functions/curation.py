@@ -278,7 +278,7 @@ def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     language strata would funnel the whole corpus through a handful of
     sort tasks, three times. Each of the three rankings (length, TTR,
     blend) instead uses
-    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_multi_rank`
     — approxQuantile range buckets → strata × buckets parallel window
     partitions → broadcast offsets — which reproduces
     ``percent_rank``/``row_number`` bit-for-bit (doc_id tie-breaks make
@@ -290,8 +290,14 @@ def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     blended scores are eagerly checkpointed — one materialization each
     instead of ~9 recomputations of the split/array_distinct chain (on
     a cluster this is persist-to-storage; locally ``localCheckpoint``,
-    measured ~30% faster at sf0.1)."""
-    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+    measured ~30% faster at sf0.1). The length and TTR passes share
+    the first materialization through the FUSED primitive (one sketch
+    scan, one grouping-sets count scan, two windows in one plan); only
+    the blend pass — which depends on both — ranks separately."""
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_rank,
+        exact_multi_rank,
+    )
 
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -301,10 +307,17 @@ def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tok"),
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
     ).filter(F.col("n_tok") >= 1).localCheckpoint(eager=True)
-    r1 = exact_group_rank(
-        d, ["lang"], "n_tok", ["doc_id"], rank_col="rk_len", count_col="n_lang"
+    # both rank passes fused over the single materialization (one
+    # sketch scan + one grouping-sets count scan + two windows in one
+    # plan) — the former chained exact_group_rank calls re-executed
+    # pass 1's window ~3x inside pass 2's scans
+    r2 = exact_multi_rank(
+        d,
+        [("n_tok", False, "rk_len"), ("ttr", False, "rk_ttr")],
+        ["doc_id"],
+        group_cols=["lang"],
+        count_col="n_lang",
     )
-    r2 = exact_group_rank(r1, ["lang"], "ttr", ["doc_id"], rank_col="rk_ttr")
     # percent_rank = (rank - 1) / (n - 1); 0.0 for single-row strata
     denom = F.col("n_lang") - 1
     pr = lambda rk: F.when(  # noqa: E731

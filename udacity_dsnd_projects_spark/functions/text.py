@@ -530,7 +530,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = exact_group_rank(
         counts, [], "cnt", ["token"], descending=True, rank_col="rk"
-    )
+        # the cumsum pass scans its input 3x (sketch, partials, final
+        # window) — materialize so the rank window runs once, not 3x;
+        # distinct-token-sized at any scale
+    ).localCheckpoint(eager=True)
     # ascending neg_cnt == descending cnt: same total order for the sum
     summed = exact_group_cumsum(
         ranked, [], "neg_cnt", ["token"], "cnt", cumsum_col="cum_cnt"

@@ -153,7 +153,10 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_rank(F.col("__rk"), F.col("__cnt"), CURRICULUM_PHASES)
         .cast("int")
         .alias("phase"),
-    )
+        # the position pass scans its input 3x (sketch, counts, final
+        # window) — materialize so the length-rank window above runs
+        # once, not 3x; one slim row per document at any scale
+    ).localCheckpoint(eager=True)
     return exact_group_rank(
         phased,
         ["phase"],

@@ -1154,21 +1154,22 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: orders reduce map-side to one row per customer (the
     only data-sized shuffle); each quartile is NTILE(4) reconstructed
-    from the distributed exact-rank primitive
-    (:func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    from the fused distributed exact-rank primitive
+    (:func:`~udacity_dsnd_projects_spark.operators.ranks.exact_multi_rank`
     + ``ntile_from_rank`` — range-bucketed total order, never a
     single-task global window), with the customer key breaking ties to
-    a total order so both engines assign identical tiles. The
-    customer frame is checkpointed once and the three rank passes run
-    over the materialization, not three re-aggregations of orders;
-    each rank pass is ALSO checkpointed before the next — every
-    ``exact_group_rank`` call scans its input three times (sketch,
-    counts, final window), so an un-materialized pass-1 plan would
-    re-execute ~3× inside pass 2 and passes 1+2 again inside pass 3.
-    All checkpointed frames stay one-row-per-customer slim at any
-    scale."""
+    a total order so both engines assign identical tiles. The customer
+    frame is checkpointed once; the fused primitive then ranks all
+    three columns off that single materialization — ONE multi-column
+    quantile sketch, ONE grouping-sets count scan, and three parallel
+    windows composed in one plan with literal-map offset lookups
+    (r8 shipped this as three ``exact_group_rank`` passes with a
+    checkpoint between each; the fusion deletes two sketch scans, two
+    count scans and two materializations while producing bit-identical
+    ranks). Everything past the orders rollup is one-row-per-customer
+    slim at any scale."""
     from udacity_dsnd_projects_spark.operators.ranks import (
-        exact_group_rank,
+        exact_multi_rank,
         ntile_from_rank,
     )
 
@@ -1190,14 +1191,15 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    r = exact_group_rank(
-        per, [], "recency_days", ["custkey"], rank_col="__rrk", count_col="__n_all"
-    ).localCheckpoint(eager=True)
-    f = exact_group_rank(
-        r, [], "n_orders", ["custkey"], descending=True, rank_col="__frk"
-    ).localCheckpoint(eager=True)
-    m = exact_group_rank(
-        f, [], "monetary_d", ["custkey"], descending=True, rank_col="__mrk"
+    m = exact_multi_rank(
+        per,
+        [
+            ("recency_days", False, "__rrk"),
+            ("n_orders", True, "__frk"),
+            ("monetary_d", True, "__mrk"),
+        ],
+        ["custkey"],
+        count_col="__n_all",
     )
     n = F.col("__n_all")
     r_score = 5 - ntile_from_rank(F.col("__rrk"), n, 4)

@@ -890,9 +890,14 @@ for _q in _ROUND9_ROTATION_CANDIDATES:
 #: - daily_type_anomaly: scoring half extracted into
 #:   score_daily_counts (shared with the new streaming monitor face) —
 #:   result-identical by design, but the driver should prove it.
+#: - customer_rfm: the three exact_group_rank passes fused into one
+#:   exact_multi_rank (one sketch scan, one grouping-sets count scan,
+#:   three windows in one plan) — bit-identical ranks by design,
+#:   ~40% faster measured; the driver should prove the identity.
 _ROUND9_NEEDS_VERDICT = (
     "simhash_calibration_report",
     "daily_type_anomaly",
+    "customer_rfm",
 )
 
 #: The 47 stale queries: the 8 r3-era greens first (stalest), then the
@@ -949,18 +954,32 @@ _ROUND9_STALE_BACKLOG = (
     "word_entropy",
 )
 
-#: Window filler — the stalest round-5 green (alphabetical; the other
-#: 49 r5 queries head the round-10 reverify queue).
-_ROUND9_R5_FILLERS = ("ann_recall_report",)
+#: No round-5 fillers: 3 needs-verdict + 47 stale saturate the window
+#: exactly; the 50 r5 greens head the round-10 reverify queue.
+_ROUND9_R5_FILLERS: tuple[str, ...] = ()
 
 _ROUND9_WINDOW = (
     _ROUND9_NEEDS_VERDICT + _ROUND9_STALE_BACKLOG + _ROUND9_R5_FILLERS
 )
 
-#: Queries added AFTER the round-9 window filled. Round 10 MUST rotate
-#: these to the window front before re-verifying anything else — build
-#: the round-10 guard from this list, not hand-collected.
-_ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = ()
+#: Queries added or CHANGED after the round-9 window saturated (3
+#: needs-verdict + 47 stale = 50 exactly). Round 10 MUST rotate these
+#: to the window front before re-verifying anything else — build the
+#: round-10 guard from this list, not hand-collected. All three are
+#: result-identical plan improvements (local oracle replica green at
+#: sf0.01 AND sf0.1) awaiting their driver verdict:
+#: - quality_topk_filter: length+TTR rank passes fused into one
+#:   exact_multi_rank (grouped) — pass-1 window no longer re-executes
+#:   ~3x inside pass 2's scans.
+#: - curriculum_order: phase frame materialized before the position
+#:   pass (same 3x re-execution fix).
+#: - vocab_coverage: rank frame materialized before the cumsum pass
+#:   (same fix).
+_ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "quality_topk_filter",
+    "curriculum_order",
+    "vocab_coverage",
+)
 
 # --- Import-time guards (contract checks, not debug asserts: must
 # --- survive python -O) ----------------------------------------------------
