@@ -179,6 +179,52 @@ def test_exact_multi_rank_grouped_matches_window_functions(spark):
         ), n_buckets
 
 
+# --- boilerplate_strip semantics -------------------------------------------
+
+
+def test_boilerplate_strip_semantics(spark):
+    """The within-source doc-frequency rule, end to end: a chunk shared
+    by two docs of the SAME source is stripped from both; the same
+    chunk appearing in another SOURCE is kept there (per-site
+    boilerplate, not global); a chunk repeated twice inside ONE doc is
+    repetition, not boilerplate (distinct-doc frequency = 1); and the
+    cleaned reconstruction hashes to exactly the kept windows."""
+    import hashlib
+
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        CHUNK_W,
+        boilerplate_strip_for,
+    )
+
+    header = " ".join(f"h{i}" for i in range(CHUNK_W))  # shared chunk
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(CHUNK_W))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, "sA", f"{header} {uniq('a')}"),  # header boiler in sA
+            (2, "sA", f"{header} {uniq('b')}"),
+            (3, "sB", f"{header} {uniq('c')}"),  # same chunk, other src
+            (4, "sB", f"{uniq('r')} {uniq('r')}"),  # in-doc repetition
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"],
+            r["n_boiler_chunks"],
+            r["clean_n_toks"],
+            r["clean_md5"],
+        )
+        for r in boilerplate_strip_for(docs).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (2, 1, CHUNK_W, md5(uniq("a")))
+    assert got[2] == (2, 1, CHUNK_W, md5(uniq("b")))
+    # sB sees the header once -> kept whole
+    assert got[3] == (2, 0, 2 * CHUNK_W, md5(f"{header} {uniq('c')}"))
+    # repetition inside one doc: df=1 -> kept whole
+    assert got[4] == (2, 0, 2 * CHUNK_W, md5(f"{uniq('r')} {uniq('r')}"))
+
+
 # --- task 3: stateful late-row contract ------------------------------------
 
 EVENT_SCHEMA = T.StructType(

@@ -140,6 +140,122 @@ FROM w GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Boilerplate stripping (round-9 addition)
+# --------------------------------------------------------------------------
+#: A passage chunk is BOILERPLATE when it appears in at least this many
+#: DISTINCT documents of the SAME source — navigation chrome, license
+#: headers and templates repeat per-site, which is why C4/CCNet count
+#: document frequency within a source rather than global multiplicity.
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate REMOVAL — the action
+    :func:`passage_dedup` only diagnoses: chunks whose within-source
+    document frequency reaches :data:`BOILER_MIN_DOCS` are stripped
+    from each document, and the cleaned document is reconstructed —
+    (doc_id, n_chunks, n_boiler_chunks, boiler_ratio, clean_n_toks,
+    clean_md5). Distinct from ``passage_dedup`` on both axes: the
+    signal is per-(source, chunk) DISTINCT-doc frequency (a chunk
+    repeated 10× inside ONE doc is repetition, not boilerplate), and
+    the output is the retained text (as token count + md5 of the
+    reconstruction, so the oracle can verify the rebuild exactly).
+
+    Scale shape: chunks are md5-hashed row-locally BEFORE any
+    exchange, so the two hash-keyed shuffles (the doc-frequency count
+    and the flag join-back, co-partitioned on (source, h)) carry
+    32-byte keys + integer positions, never text. The per-doc rollup
+    reduces to (doc_id, counts, kept-position array) — positions are
+    ints, boilerplate is re-derived per partition from the join, and
+    the boilerplate set itself is NEVER collected or broadcast (it
+    grows with the corpus). Reconstruction is one doc_id-keyed join
+    of the slim position arrays back onto the token arrays, sliced
+    row-locally; ``sort_array`` fixes ``collect_list``'s
+    nondeterministic order so the rebuild is bit-stable."""
+    return boilerplate_strip_for(load_table(spark, "documents", sf_dir))
+
+
+def boilerplate_strip_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`boilerplate_strip` over any (doc_id, source,
+    text) frame — split out so tests can drive synthetic corpora
+    through the exact production path."""
+    d = docs.select("doc_id", "source", _toks().alias("t")).filter(
+        F.size("t") >= 1
+    )
+    pos_chunks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode_outer(_chunks(F.col("t"))).alias("pos", "h"),
+    )
+    boiler = (
+        pos_chunks.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= BOILER_MIN_DOCS)
+        .select("source", "h", F.lit(1).alias("__b"))
+    )
+    kept = (
+        pos_chunks.join(boiler, ["source", "h"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("__b", F.lit(0))).alias("n_boiler_chunks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__b").isNull(), F.col("pos")))
+            ).alias("__keep"),
+        )
+    )
+    clean = F.flatten(
+        F.transform(
+            F.col("__keep"), lambda p: F.slice(F.col("t"), p * CHUNK_W + 1, CHUNK_W)
+        )
+    )
+    return d.join(kept, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "n_boiler_chunks",
+        F.round(F.col("n_boiler_chunks") / F.col("n_chunks"), 5).alias(
+            "boiler_ratio"
+        ),
+        F.size(clean).alias("clean_n_toks"),
+        F.md5(F.concat_ws(" ", clean)).alias("clean_md5"),
+    )
+
+
+ORACLE_BOILERPLATE_STRIP = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_ORACLE_TOKS} AS toks FROM documents
+  WHERE len({_ORACLE_TOKS}) >= 1
+), c AS (
+  SELECT doc_id, source, pos,
+         md5(array_to_string(list_slice(toks, pos*{CHUNK_W}+1,
+                                        (pos+1)*{CHUNK_W}), ' ')) AS h
+  FROM d, UNNEST(range(0, CAST(ceil(len(toks) / {CHUNK_W}.0) AS BIGINT)))
+       AS u(pos)
+), boiler AS (
+  SELECT source, h FROM c GROUP BY source, h
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+), kept AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_chunks,
+         CAST(COUNT(*) FILTER (WHERE b.h IS NOT NULL) AS BIGINT)
+           AS n_boiler_chunks,
+         list_sort(list(c.pos) FILTER (WHERE b.h IS NULL)) AS keep_pos
+  FROM c LEFT JOIN boiler b ON c.source = b.source AND c.h = b.h
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id, n_chunks, n_boiler_chunks,
+       ROUND(n_boiler_chunks * 1.0 / n_chunks, 5) AS boiler_ratio,
+       len(flatten(list_transform(keep_pos,
+           p -> list_slice(toks, p*{CHUNK_W}+1, (p+1)*{CHUNK_W}))))
+         AS clean_n_toks,
+       md5(array_to_string(flatten(list_transform(keep_pos,
+           p -> list_slice(toks, p*{CHUNK_W}+1, (p+1)*{CHUNK_W}))), ' '))
+         AS clean_md5
+FROM d JOIN kept ON d.doc_id = kept.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Source-overlap matrix
 # --------------------------------------------------------------------------
 def passage_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -504,6 +504,14 @@ register(
     "media_resize_stats", _mm.media_resize_stats, _mm.ORACLE_MEDIA_RESIZE_STATS
 )
 register("passage_dedup", _corp.passage_dedup, _corp.ORACLE_PASSAGE_DEDUP)
+# NEW (round 9): CCNet/C4-style within-source boilerplate REMOVAL with
+# verified cleaned-text reconstruction (the action passage_dedup only
+# diagnoses)
+register(
+    "boilerplate_strip",
+    _corp.boilerplate_strip,
+    _corp.ORACLE_BOILERPLATE_STRIP,
+)
 register(
     "passage_source_matrix",
     _corp.passage_source_matrix,
@@ -975,10 +983,13 @@ _ROUND9_WINDOW = (
 #:   pass (same 3x re-execution fix).
 #: - vocab_coverage: rank frame materialized before the cumsum pass
 #:   (same fix).
+#: - boilerplate_strip: NEW — CCNet/C4-style within-source boilerplate
+#:   removal with verified cleaned-text reconstruction.
 _ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_topk_filter",
     "curriculum_order",
     "vocab_coverage",
+    "boilerplate_strip",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
