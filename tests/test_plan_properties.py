@@ -102,6 +102,34 @@ def test_token_bigram_pmi_single_corpus_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_simhash_calibration_hashes_corpus_once(spark, sf_dir):
+    # the shingle frame is checkpointed ONCE and feeds fingerprints,
+    # banding, and both exact-Jaccard join sides: the final plan reads
+    # NO parquet (the one corpus scan happened at checkpoint build) —
+    # a re-appearing FileScan means a path re-derived shingles from
+    # text (the 3x-hashing regression the minhash twin fixed in r6)
+    plan = _plan(spark, sf_dir, "simhash_calibration_report")
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_boilerplate_strip_shuffles_hashes_not_text(spark, sf_dir):
+    # chunks are md5-hashed row-locally BEFORE the doc-frequency and
+    # flag-join exchanges: no shuffle input may carry the token array
+    # or raw text — only 32-byte hashes, ids and positions. The token
+    # array is allowed back only AFTER the last exchange (the slim
+    # doc_id join that rebuilds the cleaned text row-locally).
+    import re
+
+    plan = _plan(spark, sf_dir, "boilerplate_strip")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+    # the rollup's shuffle carries positions/flags, never 't' (tokens)
+    for frag in plan.split("Exchange")[1:]:
+        header = frag.splitlines()[0]
+        assert "text#" not in header
+
+
 def test_topk_windows_ride_window_group_limit(spark, sf_dir):
     # the per-query rank<=k filters must keep Catalyst's
     # WindowGroupLimit pushdown (map-side pre-limit before the
