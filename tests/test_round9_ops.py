@@ -130,6 +130,19 @@ def test_exact_multi_rank_matches_window_functions(spark):
         ), n_buckets
 
 
+def test_exact_multi_rank_rejects_duplicate_specs(spark):
+    """Duplicate order columns (double-registering with Bucketizer) or
+    duplicate rank names (silent overwrite) must fail loudly."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_multi_rank
+
+    df = spark.createDataFrame([(1.0, 1)], "a double, id long")
+    with pytest.raises(ValueError, match="duplicate order_col"):
+        exact_multi_rank(df, [("a", False, "r1"), ("a", True, "r2")], ["id"])
+    df2 = spark.createDataFrame([(1.0, 2.0, 1)], "a double, b double, id long")
+    with pytest.raises(ValueError, match="duplicate rank_col"):
+        exact_multi_rank(df2, [("a", False, "r"), ("b", True, "r")], ["id"])
+
+
 def test_exact_multi_rank_grouped_matches_window_functions(spark):
     """The grouped form must reproduce partitioned row_number() on
     every spec simultaneously — NULL group keys included (the offset

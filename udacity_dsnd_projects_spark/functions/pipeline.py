@@ -314,6 +314,74 @@ FROM d
 """
 
 
+#: k-anonymity alarm threshold: rows in quasi-identifier groups smaller
+#: than this are flagged as re-identifiable in the release audit.
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit — the structured-data privacy gate
+    next to :func:`pii_scrub`'s text redaction: before a corpus with
+    user-derived fields ships, count how many rows sit in
+    quasi-identifier groups small enough to re-identify. QI here is
+    (nation, market segment, account-balance band) over the customer
+    table; the report is one row — (n_rows, n_groups, k_min, rows_k1,
+    rows_k_lt{K}, pct_k1, pct_k_lt{K}) — where ``k_min`` is the
+    worst-case anonymity of the release and ``rows_k1`` the uniquely
+    identifiable rows that must be suppressed or generalized.
+
+    Scale shape: a two-level aggregation — the QI groupBy reduces
+    map-side to one row per group (the only data-sized shuffle), and
+    the audit itself aggregates that metadata-sized group frame to a
+    single row. Integer counts throughout; no window, no collect."""
+    cust = load_table(spark, "customer", sf_dir)
+    k = F.col("k")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    agg = g.agg(
+        F.sum("k").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("k").alias("k_min"),
+        F.sum(F.when(k == 1, k).otherwise(0)).alias("rows_k1"),
+        F.sum(F.when(k < K_ANON_THRESHOLD, k).otherwise(0)).alias(
+            "rows_k_lt5"
+        ),
+    )
+    return agg.select(
+        "n_rows",
+        "n_groups",
+        "k_min",
+        "rows_k1",
+        "rows_k_lt5",
+        F.round(F.col("rows_k1") / F.col("n_rows"), 6).alias("pct_k1"),
+        F.round(F.col("rows_k_lt5") / F.col("n_rows"), 6).alias("pct_k_lt5"),
+    )
+
+
+ORACLE_K_ANONYMITY_REPORT = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       MIN(k) AS k_min,
+       CAST(SUM(CASE WHEN k = 1 THEN k ELSE 0 END) AS BIGINT) AS rows_k1,
+       CAST(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END)
+            AS BIGINT) AS rows_k_lt5,
+       ROUND(SUM(CASE WHEN k = 1 THEN k ELSE 0 END) * 1.0 / SUM(k), 6)
+         AS pct_k1,
+       ROUND(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) * 1.0
+             / SUM(k), 6) AS pct_k_lt5
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # k-means over the embedding column
 # --------------------------------------------------------------------------

@@ -218,6 +218,16 @@ def exact_multi_rank(
         raise ValueError(
             f"count_col may not use reserved internal names {reserved}"
         )
+    # contract checks, not debug asserts: a duplicated order column
+    # would double-register with Bucketizer, and a duplicated rank_col
+    # would silently overwrite a prior spec's output
+    if len({c for c, _, _ in specs}) != len(specs):
+        raise ValueError(
+            "duplicate order_col across specs — rank the column once and "
+            "derive the reversed rank as (group count + 1 - rank)"
+        )
+    if len({rc for _, _, rc in specs}) != len(specs):
+        raise ValueError("duplicate rank_col across specs")
 
     from pyspark.ml.feature import Bucketizer
 

@@ -490,6 +490,13 @@ register(
     "stratified_sample", _pipe.stratified_sample, _pipe.ORACLE_STRATIFIED_SAMPLE
 )
 register("pii_scrub", _pipe.pii_scrub, _pipe.ORACLE_PII_SCRUB)
+# NEW (round 9): structured-data privacy gate next to pii_scrub's text
+# redaction
+register(
+    "k_anonymity_report",
+    _pipe.k_anonymity_report,
+    _pipe.ORACLE_K_ANONYMITY_REPORT,
+)
 register("kmeans_assign", _pipe.kmeans_assign, _pipe.ORACLE_KMEANS_ASSIGN)
 register(
     "near_dup_components",
@@ -985,11 +992,14 @@ _ROUND9_WINDOW = (
 #:   (same fix).
 #: - boilerplate_strip: NEW — CCNet/C4-style within-source boilerplate
 #:   removal with verified cleaned-text reconstruction.
+#: - k_anonymity_report: NEW — QI group-size release audit (the
+#:   structured-data privacy gate next to pii_scrub).
 _ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_topk_filter",
     "curriculum_order",
     "vocab_coverage",
     "boilerplate_strip",
+    "k_anonymity_report",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
