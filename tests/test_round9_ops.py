@@ -192,6 +192,75 @@ def test_exact_multi_rank_grouped_matches_window_functions(spark):
         ), n_buckets
 
 
+# --- observe-based quality metrics -----------------------------------------
+
+
+def test_observed_batch_metrics_ride_the_action(spark, sf_dir):
+    """The guard metrics must measure during the caller's own action
+    (no second scan) and agree with a direct aggregation."""
+    from udacity_dsnd_projects_spark.metrics import observed
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    df, obs = observed(
+        ev,
+        ["value", "props"],
+        {"nonpos_value": F.col("value") <= 0, "null_user": F.col("user_id").isNull()},
+    )
+    n = df.count()  # the "real job"
+    m = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value").isNull()).alias("nv"),
+        F.count_if(F.col("props").isNull()).alias("np"),
+        F.count_if(F.col("value") <= 0).alias("bad"),
+        F.count_if(F.col("user_id").isNull()).alias("nu"),
+    ).collect()[0]
+    assert m["n_rows"] == n == direct["n"]
+    assert m["null_value"] == direct["nv"]
+    assert m["null_props"] == direct["np"]
+    assert m["bad_nonpos_value"] == direct["bad"]
+    assert m["bad_null_user"] == direct["nu"]
+
+
+@pytest.mark.slow
+def test_observed_stream_metrics_per_micro_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming face surfaces the same metrics per micro-batch in
+    the query progress — batch sums must equal the corpus totals."""
+    from bench import _ts_chunk_edges, _write_chunks
+    from udacity_dsnd_projects_spark.metrics import observed_stream
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.sources import file_stream
+
+    root = tmp_path_factory.mktemp("observe")
+    src = str(root / "events")
+    ev = load_table(spark, "events", sf_dir)
+    _write_chunks(ev, _ts_chunk_edges(ev, 3), src)
+
+    stream = observed_stream(
+        file_stream(spark, src, ev.schema),
+        ["value"],
+        {"nonpos_value": F.col("value") <= 0},
+    )
+    q = stream.writeStream.format("noop").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+    per_batch = [
+        p["observedMetrics"]["quality"]
+        for p in progresses
+        if p["observedMetrics"]
+    ]
+    assert len(per_batch) == 3  # one per chunk file
+    total = ev.count()
+    bad = ev.filter(F.col("value") <= 0).count()
+    assert sum(m["n_rows"] for m in per_batch) == total
+    assert sum(m["bad_nonpos_value"] for m in per_batch) == bad
+    assert all(m["n_rows"] > 0 for m in per_batch)
+
+
 # --- boilerplate_strip semantics -------------------------------------------
 
 
