@@ -307,6 +307,58 @@ def test_boilerplate_strip_semantics(spark):
     assert got[4] == (2, 0, 2 * CHUNK_W, md5(f"{uniq('r')} {uniq('r')}"))
 
 
+@pytest.mark.slow
+def test_strip_against_index_stream_equals_batch(spark, tmp_path_factory):
+    """The incremental face: a 2-micro-batch replay of new docs,
+    each batch stripped against the PUBLISHED index via foreachBatch,
+    accumulates exactly the batch answer over the same rows — and the
+    index derived from history governs (a chunk boilerplate in history
+    is stripped from a NEW doc even on its first appearance there)."""
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        CHUNK_W,
+        boilerplate_index_for,
+        strip_against_index,
+    )
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_foreach_batch,
+    )
+
+    header = " ".join(f"h{i}" for i in range(CHUNK_W))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(CHUNK_W))  # noqa: E731
+    schema = "doc_id long, source string, text string"
+    hist = spark.createDataFrame(
+        [(1, "sA", f"{header} {uniq('a')}"), (2, "sA", f"{header} {uniq('b')}")],
+        schema,
+    )
+    index = boilerplate_index_for(hist).localCheckpoint(eager=True)
+    assert index.count() == 1  # the header, in sA only
+
+    root = tmp_path_factory.mktemp("strip_stream")
+    src, sink = str(root / "docs"), str(root / "out")
+    new1 = [(10, "sA", f"{header} {uniq('x')}")]  # header stripped
+    new2 = [(11, "sB", f"{header} {uniq('y')}")]  # other source: kept
+    for b in (new1, new2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    new_docs = spark.read.schema(hist.schema).parquet(src)
+    run_foreach_batch(
+        file_stream(spark, src, hist.schema),
+        lambda b, _: strip_against_index(b, index)
+        .write.mode("append")
+        .parquet(sink),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(map(tuple, strip_against_index(new_docs, index).collect()))
+    assert got == want and len(got) == 2
+    by_id = {r[0]: r for r in got}
+    assert by_id[10][1:4] == (2, 1, 0.5)  # header stripped in sA
+    assert by_id[11][1:4] == (2, 0, 0.0)  # kept whole in sB
+
+
 # --- task 3: stateful late-row contract ------------------------------------
 
 EVENT_SCHEMA = T.StructType(

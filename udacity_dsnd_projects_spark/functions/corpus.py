@@ -178,7 +178,8 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_strip_for(docs: DataFrame) -> DataFrame:
     """Core of :func:`boilerplate_strip` over any (doc_id, source,
     text) frame — split out so tests can drive synthetic corpora
-    through the exact production path."""
+    through the exact production path. Derives the boilerplate index
+    from the corpus itself, then strips against it."""
     d = docs.select("doc_id", "source", _toks().alias("t")).filter(
         F.size("t") >= 1
     )
@@ -191,10 +192,64 @@ def boilerplate_strip_for(docs: DataFrame) -> DataFrame:
         pos_chunks.groupBy("source", "h")
         .agg(F.countDistinct("doc_id").alias("__df"))
         .filter(F.col("__df") >= BOILER_MIN_DOCS)
-        .select("source", "h", F.lit(1).alias("__b"))
+        .select("source", "h")
     )
+    return _strip_against(d, pos_chunks, boiler)
+
+
+def boilerplate_index_for(docs: DataFrame) -> DataFrame:
+    """The publishable (source, h) boilerplate index of a corpus — what
+    :func:`strip_against_index` (and its streaming composition)
+    filters new documents against. At scale this is the table a
+    curation run materializes (bucketed on (source, h)) so crawl
+    batches prune against it without re-deriving chunk frequencies."""
+    d = docs.select("doc_id", "source", _toks().alias("t")).filter(
+        F.size("t") >= 1
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.explode_outer(_chunks(F.col("t"))).alias("h")
+        )
+        .groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= BOILER_MIN_DOCS)
+        .select("source", "h")
+    )
+
+
+def strip_against_index(docs: DataFrame, boiler_index: DataFrame) -> DataFrame:
+    """Strip NEW documents against a PUBLISHED (source, h) boilerplate
+    index — the incremental face of :func:`boilerplate_strip` (same
+    split as exact dedup's ``incremental_dedup``: the corpus-derived
+    index is static; each crawl batch probes it). Composes with
+    Structured Streaming via ``foreachBatch`` — each arriving document
+    is whole within its micro-batch, so the per-doc rollup here is
+    exact per batch with no streaming-aggregation state:
+
+        stream.writeStream.foreachBatch(
+            lambda b, _: sink(strip_against_index(b, index))).start()
+
+    Output columns are identical to :func:`boilerplate_strip`."""
+    d = docs.select("doc_id", "source", _toks().alias("t")).filter(
+        F.size("t") >= 1
+    )
+    pos_chunks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode_outer(_chunks(F.col("t"))).alias("pos", "h"),
+    )
+    return _strip_against(d, pos_chunks, boiler_index.select("source", "h"))
+
+
+def _strip_against(
+    d: DataFrame, pos_chunks: DataFrame, boiler: DataFrame
+) -> DataFrame:
+    """Shared strip-and-rebuild: flag ``pos_chunks`` rows against the
+    (source, h) ``boiler`` set, roll up kept positions per doc, and
+    reconstruct the cleaned text row-locally from the token arrays in
+    ``d``. Only hashes/ids/positions cross the exchanges."""
     kept = (
-        pos_chunks.join(boiler, ["source", "h"], "left")
+        pos_chunks.join(boiler.withColumn("__b", F.lit(1)), ["source", "h"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
