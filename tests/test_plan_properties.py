@@ -113,6 +113,19 @@ def test_simhash_calibration_hashes_corpus_once(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
 
 
+def test_boilerplate_strip_scans_corpus_twice_total(spark, sf_dir):
+    # pos_chunks is checkpointed ONCE (that checkpoint build is the
+    # first corpus scan — tokenize + hash), so the final plan's boiler
+    # aggregate and flag join both read ExistingRDD; the ONLY parquet
+    # scan left is the slim reconstruction join that rebuilds cleaned
+    # text from token arrays. A second FileScan means a consumer
+    # re-derived chunks from text (the ~3x re-tokenize regression the
+    # round-9 checkpoint removed).
+    plan = _plan(spark, sf_dir, "boilerplate_strip")
+    assert plan.count("FileScan") == 1
+    assert "Scan ExistingRDD" in plan
+
+
 def test_boilerplate_strip_shuffles_hashes_not_text(spark, sf_dir):
     # chunks are md5-hashed row-locally BEFORE the doc-frequency and
     # flag-join exchanges: no shuffle input may carry the token array

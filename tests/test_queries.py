@@ -49,8 +49,8 @@ def test_registry_consistency():
 def test_driver_window_holds_driver_unverified_queries():
     """The driver's CORRECTNESS report truncates at the first 50
     entries of queries() (observed rounds 1-5), so dict order is a
-    contract. Round-9 rotation: the round-9 needs-verdict entries (1
-    new + 1 refactored query) and the full r3/r4 stale backlog (47
+    contract. Round-9 rotation: the 3 round-9 needs-verdict entries (1
+    new + 2 refactored queries) and the full r3/r4 stale backlog (47
     queries) must sit INSIDE the window, and every in-window query
     must be oracle-backed (the no-oracle estimators live behind the
     window under tolerance tests)."""

@@ -175,11 +175,12 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_strip_for(load_table(spark, "documents", sf_dir))
 
 
-def boilerplate_strip_for(docs: DataFrame) -> DataFrame:
-    """Core of :func:`boilerplate_strip` over any (doc_id, source,
-    text) frame — split out so tests can drive synthetic corpora
-    through the exact production path. Derives the boilerplate index
-    from the corpus itself, then strips against it."""
+def _doc_chunks(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared tokenize-and-chunk preamble of every boilerplate
+    face: (d, pos_chunks) where ``d`` keeps the token arrays for
+    reconstruction and ``pos_chunks`` is one slim (doc_id, source,
+    pos, h) row per chunk. One definition so the batch, index, and
+    incremental faces can never fork the chunking semantics."""
     d = docs.select("doc_id", "source", _toks().alias("t")).filter(
         F.size("t") >= 1
     )
@@ -188,6 +189,26 @@ def boilerplate_strip_for(docs: DataFrame) -> DataFrame:
         "source",
         F.posexplode_outer(_chunks(F.col("t"))).alias("pos", "h"),
     )
+    return d, pos_chunks
+
+
+def boilerplate_strip_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`boilerplate_strip` over any (doc_id, source,
+    text) frame — split out so tests can drive synthetic corpora
+    through the exact production path. Derives the boilerplate index
+    from the corpus itself, then strips against it.
+
+    ``pos_chunks`` is localCheckpoint'ed before use: the boiler
+    aggregate is joined back onto the same frame, and the
+    lambda-bearing chunk expression defeats ReuseExchange, so the
+    un-materialized plan re-tokenizes and re-hashes the corpus once
+    per consumer (~3 scans). The checkpointed rows are slim (ids,
+    int position, 32-byte hash) — far cheaper to persist than the
+    text is to re-chunk — leaving exactly one scan of ``docs`` (the
+    reconstruction join in :func:`_strip_against`);
+    ``tests/test_plan_properties.py`` pins that count."""
+    d, pos_chunks = _doc_chunks(docs)
+    pos_chunks = pos_chunks.localCheckpoint(eager=True)
     boiler = (
         pos_chunks.groupBy("source", "h")
         .agg(F.countDistinct("doc_id").alias("__df"))
@@ -203,14 +224,9 @@ def boilerplate_index_for(docs: DataFrame) -> DataFrame:
     filters new documents against. At scale this is the table a
     curation run materializes (bucketed on (source, h)) so crawl
     batches prune against it without re-deriving chunk frequencies."""
-    d = docs.select("doc_id", "source", _toks().alias("t")).filter(
-        F.size("t") >= 1
-    )
+    _, pos_chunks = _doc_chunks(docs)
     return (
-        d.select(
-            "doc_id", "source", F.explode_outer(_chunks(F.col("t"))).alias("h")
-        )
-        .groupBy("source", "h")
+        pos_chunks.groupBy("source", "h")
         .agg(F.countDistinct("doc_id").alias("__df"))
         .filter(F.col("__df") >= BOILER_MIN_DOCS)
         .select("source", "h")
@@ -229,16 +245,24 @@ def strip_against_index(docs: DataFrame, boiler_index: DataFrame) -> DataFrame:
         stream.writeStream.foreachBatch(
             lambda b, _: sink(strip_against_index(b, index))).start()
 
+    The index is ``distinct``-ed before the flag join: a PUBLISHED
+    table can legitimately carry duplicate (source, h) rows (appended
+    curation runs, a union of index versions), and a plain left join
+    against duplicates would multiply matching chunk rows — silently
+    inflating n_chunks / n_boiler_chunks / boiler_ratio while
+    clean_md5 stayed right. (:func:`boilerplate_strip_for` skips the
+    dedup: its index is a groupBy output, distinct by construction.)
+
+    No checkpoint here: with the index supplied there is no
+    self-join back onto ``pos_chunks``-derived aggregates, and each
+    micro-batch is small — the two scans of a batch cost less than
+    an eager materialization per trigger.
+
     Output columns are identical to :func:`boilerplate_strip`."""
-    d = docs.select("doc_id", "source", _toks().alias("t")).filter(
-        F.size("t") >= 1
+    d, pos_chunks = _doc_chunks(docs)
+    return _strip_against(
+        d, pos_chunks, boiler_index.select("source", "h").distinct()
     )
-    pos_chunks = d.select(
-        "doc_id",
-        "source",
-        F.posexplode_outer(_chunks(F.col("t"))).alias("pos", "h"),
-    )
-    return _strip_against(d, pos_chunks, boiler_index.select("source", "h"))
 
 
 def _strip_against(

@@ -208,15 +208,25 @@ def exact_multi_rank(
     times total (sketch, counts, final) instead of 3N.
     """
     group_cols = list(group_cols or [])
-    reserved = {"__n", "__off", _BKT}
+
+    # The scratch columns THIS function creates are __n/__off and the
+    # per-spec bucket columns f"{_BKT}{i}" — guard the actual names
+    # (prefix-matched, so any spec count is covered): a colliding
+    # rank_col would overwrite its own bucket column and then be
+    # dropped with the scratch, silently yielding no rank at all.
+    def _reserved(name: str) -> bool:
+        return name in ("__n", "__off") or name.startswith(_BKT)
+
     for _, _, rc in specs:
-        if rc in reserved:
+        if _reserved(rc):
             raise ValueError(
-                f"rank_col may not use reserved internal names {reserved}"
+                f"rank_col {rc!r} collides with reserved internal names "
+                f"(__n, __off, {_BKT}*)"
             )
-    if count_col is not None and count_col in reserved:
+    if count_col is not None and _reserved(count_col):
         raise ValueError(
-            f"count_col may not use reserved internal names {reserved}"
+            f"count_col {count_col!r} collides with reserved internal names "
+            f"(__n, __off, {_BKT}*)"
         )
     # contract checks, not debug asserts: a duplicated order column
     # would double-register with Bucketizer, and a duplicated rank_col

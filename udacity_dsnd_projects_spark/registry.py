@@ -980,9 +980,10 @@ _ROUND9_WINDOW = (
 #: Queries added or CHANGED after the round-9 window saturated (3
 #: needs-verdict + 47 stale = 50 exactly). Round 10 MUST rotate these
 #: to the window front before re-verifying anything else — build the
-#: round-10 guard from this list, not hand-collected. All three are
-#: result-identical plan improvements (local oracle replica green at
-#: sf0.01 AND sf0.1) awaiting their driver verdict:
+#: round-10 guard from this list, not hand-collected. The first three
+#: are result-identical plan improvements (local oracle replica green
+#: at sf0.01 AND sf0.1) awaiting their driver verdict; the last two
+#: are NEW operators needing a first verdict, not an identity check:
 #: - quality_topk_filter: length+TTR rank passes fused into one
 #:   exact_multi_rank (grouped) — pass-1 window no longer re-executes
 #:   ~3x inside pass 2's scans.

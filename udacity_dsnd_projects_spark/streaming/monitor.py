@@ -46,14 +46,30 @@ def daily_type_counts_stream(
     ``delay`` bounds state AND defines the late-row contract: an event
     arriving more than ``delay`` after the max seen event time is
     dropped by the engine (visible in the query progress's
-    ``numRowsDroppedByWatermark``), never re-opening a closed day."""
+    ``numRowsDroppedByWatermark``), never re-opening a closed day.
+
+    Day bucketing is ``date_trunc('day', ts)`` — SESSION-TIMEZONE
+    aligned, exactly like the batch face's ``to_date(ts)`` — NOT
+    ``F.window(ts, '1 day')``, whose buckets are epoch-aligned (UTC
+    midnights) regardless of session timezone: on any session not
+    pinned to UTC the two faces would shift events near midnight onto
+    different days and the advertised stream-equals-batch identity
+    would silently break. Grouping directly on the watermarked
+    truncated column keeps state eviction intact (closed days are
+    dropped once the watermark passes them); because the watermark is
+    tracked on the truncated time, the effective lateness horizon is
+    ``delay`` measured from the START of the newest seen day — a
+    strictly more permissive drop rule, never a re-opened day."""
     return (
-        events.withWatermark("ts", delay)
-        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        events.select(
+            "event_type", F.date_trunc("day", "ts").alias("ts_day")
+        )
+        .withWatermark("ts_day", delay)
+        .groupBy("event_type", "ts_day")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "event_type",
-            F.to_date("w.start").alias("d"),
+            F.to_date("ts_day").alias("d"),
             "n_events",
         )
     )
