@@ -10,6 +10,8 @@ import os
 
 import pytest
 
+from hypothesis import given, settings, strategies as st
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -305,6 +307,123 @@ def test_boilerplate_strip_semantics(spark):
     assert got[3] == (2, 0, 2 * CHUNK_W, md5(f"{header} {uniq('c')}"))
     # repetition inside one doc: df=1 -> kept whole
     assert got[4] == (2, 0, 2 * CHUNK_W, md5(f"{uniq('r')} {uniq('r')}"))
+
+
+def _boiler_model(docs):
+    """Pure-python model of the boilerplate spec: within-source
+    DISTINCT-doc chunk frequency >= BOILER_MIN_DOCS strips the chunk;
+    the cleaned doc is the concatenation of kept windows in position
+    order. Returns doc_id -> (n_chunks, n_boiler, clean_n_toks,
+    clean_md5) for comparison against the Spark operator."""
+    import hashlib
+    from collections import defaultdict
+
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        BOILER_MIN_DOCS,
+        CHUNK_W,
+    )
+
+    def chunks(toks):
+        return [
+            toks[i * CHUNK_W : (i + 1) * CHUNK_W]
+            for i in range((len(toks) + CHUNK_W - 1) // CHUNK_W)
+        ]
+
+    df = defaultdict(set)
+    for did, src, toks in docs:
+        for c in chunks(toks):
+            df[(src, " ".join(c))].add(did)
+    out = {}
+    for did, src, toks in docs:
+        cs = chunks(toks)
+        flags = [len(df[(src, " ".join(c))]) >= BOILER_MIN_DOCS for c in cs]
+        clean = [t for c, b in zip(cs, flags) if not b for t in c]
+        out[did] = (
+            len(cs),
+            sum(flags),
+            len(clean),
+            hashlib.md5(" ".join(clean).encode()).hexdigest(),
+        )
+    return out
+
+
+@st.composite
+def _corpora(draw):
+    """Chunk-colliding corpora: each doc is 1-3 whole chunks drawn
+    from a 4-chunk pool (collisions guaranteed) plus an optional short
+    tail from a 2-tail pool (exercises the final sub-CHUNK_W window),
+    spread over two sources (frequency is per-source)."""
+    from udacity_dsnd_projects_spark.functions.corpus import CHUNK_W
+
+    pool = [[f"c{j}w{i}" for i in range(CHUNK_W)] for j in range(4)]
+    tails = [["t0a", "t0b", "t0c"], ["t1a"]]
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    docs = []
+    for did in range(n_docs):
+        src = draw(st.sampled_from(["sA", "sB"]))
+        body = draw(
+            st.lists(st.sampled_from(range(4)), min_size=1, max_size=3)
+        )
+        toks = [t for j in body for t in pool[j]]
+        tail = draw(st.sampled_from([None, 0, 1]))
+        if tail is not None:
+            toks = toks + tails[tail]
+        docs.append((did, src, toks))
+    return docs
+
+
+@given(_corpora())
+@settings(max_examples=8, deadline=None)
+def test_boilerplate_strip_property_matches_model(spark, docs):
+    """Property: on arbitrary chunk-colliding corpora the operator
+    equals the pure-python spec — per-source distinct-doc frequency,
+    position-ordered reconstruction, short-tail windows and all."""
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        boilerplate_strip_for,
+    )
+
+    frame = spark.createDataFrame(
+        [(did, src, " ".join(toks)) for did, src, toks in docs],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"],
+            r["n_boiler_chunks"],
+            r["clean_n_toks"],
+            r["clean_md5"],
+        )
+        for r in boilerplate_strip_for(frame).collect()
+    }
+    assert got == _boiler_model(docs)
+
+
+def test_strip_against_index_tolerates_duplicate_index_rows(spark):
+    """A PUBLISHED index table can carry duplicate (source, h) rows
+    (appended curation runs, unioned index versions); the flag join
+    must not multiply matching chunk rows — counts and ratios must be
+    identical to a run against the deduplicated index."""
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        CHUNK_W,
+        boilerplate_index_for,
+        strip_against_index,
+    )
+
+    header = " ".join(f"h{i}" for i in range(CHUNK_W))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(CHUNK_W))  # noqa: E731
+    schema = "doc_id long, source string, text string"
+    hist = spark.createDataFrame(
+        [(1, "sA", f"{header} {uniq('a')}"), (2, "sA", f"{header} {uniq('b')}")],
+        schema,
+    )
+    index = boilerplate_index_for(hist).localCheckpoint(eager=True)
+    dup_index = index.union(index).union(index)  # 3 copies of each row
+    new = spark.createDataFrame([(10, "sA", f"{header} {uniq('x')}")], schema)
+    want = sorted(map(tuple, strip_against_index(new, index).collect()))
+    got = sorted(map(tuple, strip_against_index(new, dup_index).collect()))
+    assert got == want
+    # the one header chunk is flagged ONCE: 2 chunks, 1 boiler, ratio .5
+    assert got[0][1:4] == (2, 1, 0.5)
 
 
 @pytest.mark.slow
