@@ -426,6 +426,51 @@ def test_strip_against_index_tolerates_duplicate_index_rows(spark):
     assert got[0][1:4] == (2, 1, 0.5)
 
 
+# --- decontaminate_corpus / l_diversity_report -----------------------------
+
+
+def test_decontaminate_corpus_accounting_is_consistent(spark, sf_dir):
+    """The retention rollup must balance (kept + dropped = universe),
+    the gate must actually fire on the synthetic corpus (benchmark
+    stand-in docs repeat, so flagged docs exist at every SF), and the
+    benchmark docs themselves must be outside the universe."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        BENCH_MOD,
+        decontaminate_corpus,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    rows = decontaminate_corpus(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_docs"] for r in rows)
+    assert sum(r["n_dropped"] for r in rows) >= 1
+    n_universe = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_universe
+
+
+def test_l_diversity_flags_at_most_k_anonymity_rows(spark, sf_dir):
+    """Internal consistency of the one-row audit: l_min >= 1, group and
+    row counts nest (rows in low-diversity groups <= all rows), and the
+    coarser (nation, segment) QI here has no MORE groups than
+    k-anonymity's finer 3-column QI."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        k_anonymity_report,
+        l_diversity_report,
+    )
+
+    l = l_diversity_report(spark, sf_dir).collect()[0]
+    k = k_anonymity_report(spark, sf_dir).collect()[0]
+    assert l["l_min"] >= 1
+    assert 0 <= l["groups_l_lt3"] <= l["n_groups"]
+    assert 0 <= l["rows_l_lt3"] <= l["n_rows"]
+    assert l["n_rows"] == k["n_rows"]  # same table, both total all rows
+    assert l["n_groups"] <= k["n_groups"]  # coarser QI -> fewer groups
+
+
 @pytest.mark.slow
 def test_strip_against_index_stream_equals_batch(spark, tmp_path_factory):
     """The incremental face: a 2-micro-batch replay of new docs,

@@ -178,6 +178,99 @@ GROUP BY e.doc_id
 """
 
 
+#: Contamination drop threshold: a doc whose (rounded) contaminated
+#: 5-gram share reaches this is removed from the training corpus.
+#: Calibrated to the synthetic corpus (median contamination ~0.016
+#: from incidental short-gram overlap) so the gate fires at every SF.
+CONTAM_DROP = 0.02
+
+
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the action
+    :func:`ngram_contamination` only diagnoses (the same report/action
+    split as ``passage_dedup`` → ``boilerplate_strip``): docs whose
+    contaminated n-gram share reaches :data:`CONTAM_DROP` are removed
+    from the training corpus, and the per-language retention rollup is
+    emitted — (lang, n_docs, n_dropped, n_kept, kept_tokens,
+    drop_rate) — the accounting a pipeline records before training so
+    eval-set leakage is provably gated, not hoped away.
+
+    The universe is every NON-benchmark doc (benchmark stand-ins are
+    the eval set itself, not training candidates); docs too short to
+    carry a single ``CONTAM_N``-gram can't be contaminated and are
+    kept. The flag filter applies to the ROUNDED contamination column
+    (5 dp) so the gate is the exact value both engines print —
+    borderline docs can't flip on last-ulp division noise.
+
+    Scale shape: the flagged frame is the contamination substrate
+    (one corpus n-gram scan, broadcast benchmark join, per-doc
+    rollup) reduced to slim doc_ids; the keep/drop accounting is one
+    doc_id-keyed left join back onto the corpus (AQE broadcasts it
+    when small; sort-merge co-partitioned on doc_id otherwise) and a
+    per-lang groupBy that reduces map-side to |langs| rows. Two scans
+    of documents total; nothing is collected."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    flagged = (
+        contamination_for(docs)
+        .filter(F.col("contamination") >= CONTAM_DROP)
+        .select("doc_id", F.lit(1).alias("__drop"))
+    )
+    joined = corpus.join(flagged, "doc_id", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__drop", F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("__drop").isNull(), F.size(_toks())).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_docs") - F.col("n_dropped")).alias("n_kept"),
+            "kept_tokens",
+            F.round(F.col("n_dropped") / F.col("n_docs"), 6).alias(
+                "drop_rate"
+            ),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE_CORPUS = f"""
+WITH d AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+  WHERE len({_ORACLE_TOKS}) >= {CONTAM_N}
+), g AS (
+  SELECT doc_id, list_distinct({_oracle_ngrams(CONTAM_N)}) AS sh FROM d
+), ex AS (
+  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM g
+), bench AS (
+  SELECT DISTINCT g FROM ex WHERE doc_id % {BENCH_MOD} = 0
+), flagged AS (
+  SELECT e.doc_id FROM ex e JOIN bench b ON e.g = b.g
+  WHERE e.doc_id % {BENCH_MOD} <> 0
+  GROUP BY e.doc_id
+  HAVING ROUND(COUNT(*) * 1.0 / ANY_VALUE(e.n_grams), 5) >= {CONTAM_DROP}
+)
+SELECT c.lang,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(f.doc_id) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL
+                THEN len({_ORACLE_TOKS.replace("text", "c.text")})
+                ELSE 0 END) AS BIGINT) AS kept_tokens,
+       ROUND(COUNT(f.doc_id) * 1.0 / COUNT(*), 6) AS drop_rate
+FROM documents c LEFT JOIN flagged f ON c.doc_id = f.doc_id
+WHERE c.doc_id % {BENCH_MOD} <> 0
+GROUP BY c.lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic train/test split
 # --------------------------------------------------------------------------
@@ -378,6 +471,77 @@ SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
          AS pct_k1,
        ROUND(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) * 1.0
              / SUM(k), 6) AS pct_k_lt5
+FROM g
+"""
+
+
+#: l-diversity alarm threshold: QI groups whose sensitive attribute
+#: takes fewer than this many distinct values are homogeneity-attack
+#: exposed even when the group is large enough to pass k-anonymity.
+L_DIVERSITY = 3
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit — the homogeneity-attack companion to
+    :func:`k_anonymity_report` (Machanavajjhala et al. 2007): a QI
+    group can be k-anonymous yet leak the sensitive attribute outright
+    when every member SHARES it, so the gate here is distinct sensitive
+    values per group, not group size. QI is (nation, market segment)
+    over the customer table with the account-balance band as the
+    sensitive attribute; the report is one row — (n_rows, n_groups,
+    l_min, groups_l_lt{L}, rows_l_lt{L}, pct_rows_l_lt{L}) — where
+    ``l_min`` is the worst-case diversity of the release and the
+    ``lt{L}`` columns size the exposure needing generalization.
+
+    Scale shape: identical to the k-anonymity gate — the QI groupBy is
+    the only data-sized shuffle (count + count-distinct reduce
+    map-side via partial aggregation), and the audit aggregates that
+    metadata-sized group frame to a single row. No window, no
+    collect."""
+    cust = load_table(spark, "customer", sf_dir)
+    lcol = F.col("l")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l"),
+    )
+    agg = g.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("l_min"),
+        F.sum((lcol < L_DIVERSITY).cast("long")).alias("groups_l_lt3"),
+        F.sum(F.when(lcol < L_DIVERSITY, F.col("n")).otherwise(0)).alias(
+            "rows_l_lt3"
+        ),
+    )
+    return agg.select(
+        "n_rows",
+        "n_groups",
+        "l_min",
+        "groups_l_lt3",
+        "rows_l_lt3",
+        F.round(F.col("rows_l_lt3") / F.col("n_rows"), 6).alias(
+            "pct_rows_l_lt3"
+        ),
+    )
+
+
+ORACLE_L_DIVERSITY_REPORT = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       MIN(l) AS l_min,
+       CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_l_lt3,
+       CAST(SUM(CASE WHEN l < {L_DIVERSITY} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_l_lt3,
+       ROUND(SUM(CASE WHEN l < {L_DIVERSITY} THEN n ELSE 0 END) * 1.0
+             / SUM(n), 6) AS pct_rows_l_lt3
 FROM g
 """
 

@@ -497,6 +497,20 @@ register(
     _pipe.k_anonymity_report,
     _pipe.ORACLE_K_ANONYMITY_REPORT,
 )
+# NEW (round 9): the homogeneity-attack companion gate — groups large
+# enough to pass k-anonymity can still share one sensitive value
+register(
+    "l_diversity_report",
+    _pipe.l_diversity_report,
+    _pipe.ORACLE_L_DIVERSITY_REPORT,
+)
+# NEW (round 9): the decontamination ACTION ngram_contamination only
+# diagnoses — drop flagged docs, emit the per-lang retention rollup
+register(
+    "decontaminate_corpus",
+    _pipe.decontaminate_corpus,
+    _pipe.ORACLE_DECONTAMINATE_CORPUS,
+)
 register("kmeans_assign", _pipe.kmeans_assign, _pipe.ORACLE_KMEANS_ASSIGN)
 register(
     "near_dup_components",
@@ -995,12 +1009,19 @@ _ROUND9_WINDOW = (
 #:   removal with verified cleaned-text reconstruction.
 #: - k_anonymity_report: NEW — QI group-size release audit (the
 #:   structured-data privacy gate next to pii_scrub).
+#: - l_diversity_report: NEW — the homogeneity-attack companion gate
+#:   (distinct sensitive values per QI group, not group size).
+#: - decontaminate_corpus: NEW — the decontamination action face
+#:   (drop docs flagged by the ngram_contamination signal, per-lang
+#:   retention rollup).
 _ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_topk_filter",
     "curriculum_order",
     "vocab_coverage",
     "boilerplate_strip",
     "k_anonymity_report",
+    "l_diversity_report",
+    "decontaminate_corpus",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
