@@ -110,7 +110,7 @@ FROM g
 # --------------------------------------------------------------------------
 def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination report: for every corpus document, the number
-    and fraction of its distinct word-5-grams that also appear in the
+    and fraction of its distinct word-``CONTAM_N``-grams appearing in the
     benchmark set (docs with ``doc_id % 97 == 0`` stand in for an eval
     suite). Only contaminated docs are emitted.
 
@@ -179,9 +179,12 @@ GROUP BY e.doc_id
 
 
 #: Contamination drop threshold: a doc whose (rounded) contaminated
-#: 5-gram share reaches this is removed from the training corpus.
-#: Calibrated to the synthetic corpus (median contamination ~0.016
-#: from incidental short-gram overlap) so the gate fires at every SF.
+#: ``CONTAM_N``-gram share reaches this is removed from the training
+#: corpus. A SPEC constant like BOILER_MIN_DOCS, not a test gate:
+#: calibrated once to the synthetic corpus (median contamination
+#: ~0.016 from incidental 4-gram overlap) so it fires at every SF;
+#: the accounting test checks internal consistency against the
+#: contamination report rather than assuming any fixed firing rate.
 CONTAM_DROP = 0.02
 
 
@@ -202,13 +205,20 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 dp) so the gate is the exact value both engines print —
     borderline docs can't flip on last-ulp division noise.
 
-    Scale shape: the flagged frame is the contamination substrate
-    (one corpus n-gram scan, broadcast benchmark join, per-doc
-    rollup) reduced to slim doc_ids; the keep/drop accounting is one
-    doc_id-keyed left join back onto the corpus (AQE broadcasts it
-    when small; sort-merge co-partitioned on doc_id otherwise) and a
-    per-lang groupBy that reduces map-side to |langs| rows. Two scans
-    of documents total; nothing is collected."""
+    Scale shape: THREE document scans, deliberately — (1) the corpus
+    n-gram scan feeding the broadcast-benchmark join and per-doc
+    rollup, (2) the benchmark-side n-gram derivation (its
+    ``doc_id % BENCH_MOD = 0`` filter is pushed into the scan and
+    selects ~1% of docs; in a production deployment the benchmark is
+    its own small table and this scan disappears), and (3) the slim
+    (doc_id, lang, token-count) scan the flagged ids left-join back
+    onto (AQE broadcasts the flag frame when small; sort-merge
+    co-partitioned on doc_id otherwise) before the per-lang groupBy
+    reduces map-side to |langs| rows. Unlike ``boilerplate_strip``
+    the shared gram frame is NOT checkpointed: its keys are raw
+    n-gram text (not 32-byte hashes), so materializing it costs more
+    than the one extra pruned scan it would save. Nothing is
+    collected."""
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "text"
     )
@@ -412,6 +422,17 @@ FROM d
 K_ANON_THRESHOLD = 5
 
 
+def _bal_band() -> Column:
+    """Account-balance band — the banded attribute BOTH privacy gates
+    share (k-anonymity's third QI column; l-diversity's sensitive
+    attribute). One definition so the two audits can never silently
+    band differently; :data:`_ORACLE_BAL_BAND` is its oracle twin."""
+    return F.floor(F.col("c_acctbal") / 1000).cast("long")
+
+
+_ORACLE_BAL_BAND = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
+
+
 def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release audit — the structured-data privacy gate
     next to :func:`pii_scrub`'s text redaction: before a corpus with
@@ -432,7 +453,7 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = cust.groupBy(
         "c_nationkey",
         "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        _bal_band().alias("bal_band"),
     ).agg(F.count(F.lit(1)).alias("k"))
     agg = g.agg(
         F.sum("k").alias("n_rows"),
@@ -457,7 +478,7 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_K_ANONYMITY_REPORT = f"""
 WITH g AS (
   SELECT c_nationkey, c_mktsegment,
-         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         {_ORACLE_BAL_BAND} AS bal_band,
          COUNT(*) AS k
   FROM customer GROUP BY 1, 2, 3
 )
@@ -502,9 +523,7 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lcol = F.col("l")
     g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(
-            F.floor(F.col("c_acctbal") / 1000).cast("long")
-        ).alias("l"),
+        F.countDistinct(_bal_band()).alias("l"),
     )
     agg = g.agg(
         F.sum("n").alias("n_rows"),
@@ -530,7 +549,7 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_L_DIVERSITY_REPORT = f"""
 WITH g AS (
   SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
-         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l
+         COUNT(DISTINCT {_ORACLE_BAL_BAND}) AS l
   FROM customer GROUP BY 1, 2
 )
 SELECT CAST(SUM(n) AS BIGINT) AS n_rows,

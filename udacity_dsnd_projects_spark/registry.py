@@ -996,7 +996,7 @@ _ROUND9_WINDOW = (
 #: to the window front before re-verifying anything else — build the
 #: round-10 guard from this list, not hand-collected. The first three
 #: are result-identical plan improvements (local oracle replica green
-#: at sf0.01 AND sf0.1) awaiting their driver verdict; the last two
+#: at sf0.01 AND sf0.1) awaiting their driver verdict; the last FOUR
 #: are NEW operators needing a first verdict, not an identity check:
 #: - quality_topk_filter: length+TTR rank passes fused into one
 #:   exact_multi_rank (grouped) — pass-1 window no longer re-executes
