@@ -481,6 +481,24 @@ def test_l_diversity_flags_at_most_k_anonymity_rows(spark, sf_dir):
     assert l["n_groups"] <= k["n_groups"]  # coarser QI -> fewer groups
 
 
+def test_t_closeness_is_a_bounded_distance(spark, sf_dir):
+    """Internal consistency of the EMD audit: normalized 1-D EMD lives
+    in [0, 1], the flagged groups/rows nest inside the totals, and the
+    report shares its universe with the sibling gates (same table,
+    same QI grid as l-diversity)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        l_diversity_report,
+        t_closeness_report,
+    )
+
+    t = t_closeness_report(spark, sf_dir).collect()[0]
+    l = l_diversity_report(spark, sf_dir).collect()[0]
+    assert 0.0 <= t["t_max"] <= 1.0
+    assert 0 <= t["groups_t_gt"] <= t["n_groups"]
+    assert 0 <= t["rows_t_gt"] <= t["n_rows"]
+    assert (t["n_rows"], t["n_groups"]) == (l["n_rows"], l["n_groups"])
+
+
 @pytest.mark.slow
 def test_strip_against_index_stream_equals_batch(spark, tmp_path_factory):
     """The incremental face: a 2-micro-batch replay of new docs,

@@ -565,6 +565,141 @@ FROM g
 """
 
 
+#: t-closeness alarm threshold: QI groups whose sensitive-value
+#: distribution sits further than this (normalized 1-D EMD) from the
+#: global distribution leak a skew attackers exploit even when the
+#: group is large (k) and varied (l). Spec constant, like the k/l
+#: gates; the tests check internal consistency, not a firing rate.
+T_CLOSENESS = 0.2
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit — the third classic privacy gate
+    (Li, Li & Venkatasubramanian 2007) after
+    :func:`k_anonymity_report` and :func:`l_diversity_report`: a group
+    can be large AND varied yet still reveal that its members skew
+    toward one end of the sensitive attribute, so the gate here is the
+    DISTANCE between each QI group's sensitive-value distribution and
+    the global one. Sensitive attribute is the ordered balance band
+    (:func:`_bal_band`), so the distance is the 1-D earth-mover's
+    distance — sum of |cumulative p − cumulative q| over the band
+    order, normalized by (m − 1) bands into [0, 1]. One row:
+    (n_rows, n_groups, t_max, groups_t_gt, rows_t_gt, pct_rows_t_gt).
+
+    Scale shape: the ONLY data-sized operation is the first
+    (QI, band) groupBy (map-side partial aggregation); everything
+    after runs on dimension-bounded frames — groups are
+    nation × segment and bands span the fixed balance domain, so the
+    group × band grid (built by cross join so zero-count cells exist,
+    then left-joined onto the cell counts) is a few thousand rows at
+    ANY corpus size. The cumulative sum is a window over that
+    metadata-sized grid, never over data. No collect."""
+    cust = load_table(spark, "customer", sf_dir)
+    cell = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", _bal_band().alias("band")
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("grp_n")
+    )
+    band = cell.groupBy("band").agg(F.sum("n").alias("band_n"))
+    glob = band.agg(
+        F.sum("band_n").alias("tot"),
+        F.count(F.lit(1)).alias("m"),
+        F.max("band").alias("band_max"),
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(band))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    diff = F.coalesce(F.col("n"), F.lit(0)) / F.col("grp_n") - F.col(
+        "band_n"
+    ) / F.col("tot")
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the final band's cumulative diff is 0 by construction — exclude
+    # it so float noise there can't leak into the sum
+    per_group = (
+        grid.withColumn("__cum", F.sum(diff).over(w))
+        .filter(F.col("band") < F.col("band_max"))
+        .groupBy("c_nationkey", "c_mktsegment", "grp_n", "m")
+        .agg(F.sum(F.abs(F.col("__cum"))).alias("__emd_raw"))
+        .select(
+            "grp_n",
+            F.round(F.col("__emd_raw") / (F.col("m") - 1), 6).alias("t"),
+        )
+    )
+    agg = per_group.agg(
+        F.sum("grp_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("t").alias("t_max"),
+        F.sum((F.col("t") > T_CLOSENESS).cast("long")).alias("groups_t_gt"),
+        F.sum(
+            F.when(F.col("t") > T_CLOSENESS, F.col("grp_n")).otherwise(0)
+        ).alias("rows_t_gt"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_groups",
+        "t_max",
+        "groups_t_gt",
+        "rows_t_gt",
+        F.round(F.col("rows_t_gt") / F.col("n_rows"), 6).alias(
+            "pct_rows_t_gt"
+        ),
+    )
+
+
+ORACLE_T_CLOSENESS_REPORT = f"""
+WITH cell AS (
+  SELECT c_nationkey, c_mktsegment, {_ORACLE_BAL_BAND} AS band,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), grp AS (
+  SELECT c_nationkey, c_mktsegment, SUM(n) AS grp_n
+  FROM cell GROUP BY 1, 2
+), band AS (
+  SELECT band, SUM(n) AS band_n FROM cell GROUP BY 1
+), totals AS (
+  SELECT SUM(band_n) AS tot, COUNT(*) AS m, MAX(band) AS band_max
+  FROM band
+), grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.grp_n, b.band, b.band_n,
+         gl.tot, gl.m, gl.band_max, COALESCE(c.n, 0) AS n
+  FROM grp g CROSS JOIN band b CROSS JOIN totals gl
+  LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+   AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, grp_n, m, band, band_max,
+         SUM(n * 1.0 / grp_n - band_n * 1.0 / tot) OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM grid
+), per_group AS (
+  SELECT grp_n, ROUND(SUM(ABS(c)) / (ANY_VALUE(m) - 1), 6) AS t
+  FROM cum WHERE band < band_max
+  GROUP BY c_nationkey, c_mktsegment, grp_n
+)
+SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       MAX(t) AS t_max,
+       CAST(SUM(CASE WHEN t > {T_CLOSENESS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_t_gt,
+       CAST(SUM(CASE WHEN t > {T_CLOSENESS} THEN grp_n ELSE 0 END)
+            AS BIGINT) AS rows_t_gt,
+       ROUND(SUM(CASE WHEN t > {T_CLOSENESS} THEN grp_n ELSE 0 END) * 1.0
+             / SUM(grp_n), 6) AS pct_rows_t_gt
+FROM per_group
+"""
+
+
 # --------------------------------------------------------------------------
 # k-means over the embedding column
 # --------------------------------------------------------------------------

@@ -504,6 +504,13 @@ register(
     _pipe.l_diversity_report,
     _pipe.ORACLE_L_DIVERSITY_REPORT,
 )
+# NEW (round 9): the third classic gate — distribution distance
+# (normalized 1-D EMD) of each QI group vs the global sensitive mix
+register(
+    "t_closeness_report",
+    _pipe.t_closeness_report,
+    _pipe.ORACLE_T_CLOSENESS_REPORT,
+)
 # NEW (round 9): the decontamination ACTION ngram_contamination only
 # diagnoses — drop flagged docs, emit the per-lang retention rollup
 register(
@@ -996,8 +1003,9 @@ _ROUND9_WINDOW = (
 #: to the window front before re-verifying anything else — build the
 #: round-10 guard from this list, not hand-collected. The first three
 #: are result-identical plan improvements (local oracle replica green
-#: at sf0.01 AND sf0.1) awaiting their driver verdict; the last FOUR
-#: are NEW operators needing a first verdict, not an identity check:
+#: at sf0.01 AND sf0.1) awaiting their driver verdict; every entry
+#: after them is a NEW operator needing a FIRST verdict, not an
+#: identity check:
 #: - quality_topk_filter: length+TTR rank passes fused into one
 #:   exact_multi_rank (grouped) — pass-1 window no longer re-executes
 #:   ~3x inside pass 2's scans.
@@ -1014,6 +1022,8 @@ _ROUND9_WINDOW = (
 #: - decontaminate_corpus: NEW — the decontamination action face
 #:   (drop docs flagged by the ngram_contamination signal, per-lang
 #:   retention rollup).
+#: - t_closeness_report: NEW — the third privacy gate (normalized
+#:   1-D EMD of each QI group's sensitive distribution vs global).
 _ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_topk_filter",
     "curriculum_order",
@@ -1022,6 +1032,7 @@ _ROUND10_ROTATION_CANDIDATES: tuple[str, ...] = (
     "k_anonymity_report",
     "l_diversity_report",
     "decontaminate_corpus",
+    "t_closeness_report",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
