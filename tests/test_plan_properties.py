@@ -143,6 +143,17 @@ def test_boilerplate_strip_shuffles_hashes_not_text(spark, sf_dir):
         assert "text#" not in header
 
 
+def test_t_closeness_scans_customer_once(spark, sf_dir):
+    # the (QI, band) cell frame is checkpointed ONCE (that build is
+    # the only customer scan + the only data-sized shuffle); group
+    # totals, band totals, the global roll, and the grid join-back
+    # all read the materialized metadata-sized frame — a FileScan in
+    # the final plan means a consumer re-executed the corpus groupBy
+    plan = _plan(spark, sf_dir, "t_closeness_report")
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+
+
 def test_topk_windows_ride_window_group_limit(spark, sf_dir):
     # the per-query rank<=k filters must keep Catalyst's
     # WindowGroupLimit pushdown (map-side pre-limit before the

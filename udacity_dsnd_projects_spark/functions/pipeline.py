@@ -593,7 +593,12 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     group × band grid (built by cross join so zero-count cells exist,
     then left-joined onto the cell counts) is a few thousand rows at
     ANY corpus size. The cumulative sum is a window over that
-    metadata-sized grid, never over data. No collect."""
+    metadata-sized grid, never over data. The cell frame is eagerly
+    checkpointed: FOUR consumers read it (group totals, band totals,
+    the global roll, the grid join-back) and without materialization
+    each re-executes the customer scan + data-sized groupBy —
+    measured 4 FileScans in the un-checkpointed plan; the
+    checkpointed rows are groups × bands at most. No collect."""
     cust = load_table(spark, "customer", sf_dir)
     cell = (
         cust.select(
@@ -601,6 +606,7 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_nationkey", "c_mktsegment", "band")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     grp = cell.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("n").alias("grp_n")
