@@ -573,6 +573,59 @@ GAP_SCHEMA = T.StructType(
 
 
 @pytest.mark.slow
+def test_daily_counts_stream_drops_watermark_late_rows(spark, tmp_path_factory):
+    """The engine-enforced late-row contract of the monitor stream
+    face: with a zero-delay watermark on the session-timezone day
+    bucket, an event for a day BEFORE the newest seen day-start is
+    dropped — the closed day's count is never re-opened — while a new
+    day in the same micro-batch still counts. Pins the contract the
+    docstring promises (and that the batch face intentionally does
+    NOT share: batch would count the late row)."""
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        daily_type_counts_stream,
+    )
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+
+    root = tmp_path_factory.mktemp("late_days")
+    path = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def t(d, h):
+        return dt.datetime(2024, 1, d, h)
+
+    b1 = [(t(1, 10), "e"), (t(2, 9), "e")]  # watermark -> day2 start
+    b2 = [(t(1, 23), "e"), (t(3, 1), "e")]  # day1 LATE; day3 counts
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    rows = run_to_memory(
+        daily_type_counts_stream(
+            file_stream(spark, path, schema), delay="0 seconds"
+        ),
+        "late_day_stream",
+        output_mode="update",
+    ).collect()
+    final = {}
+    for r in rows:  # update mode: last emission per (type, day) wins
+        final[(r["event_type"], str(r["d"]))] = r["n_events"]
+    assert final == {
+        ("e", "2024-01-01"): 1,  # late row dropped, day never re-opened
+        ("e", "2024-01-02"): 1,
+        ("e", "2024-01-03"): 1,
+    }
+
+
+@pytest.mark.slow
 def test_transition_stateful_drops_late_rows(spark, tmp_path_factory):
     """A row arriving with event time strictly BEFORE the stored
     frontier violates the documented non-decreasing contract; it must
