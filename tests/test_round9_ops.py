@@ -573,14 +573,18 @@ GAP_SCHEMA = T.StructType(
 
 
 @pytest.mark.slow
-def test_daily_counts_stream_drops_watermark_late_rows(spark, tmp_path_factory):
-    """The engine-enforced late-row contract of the monitor stream
-    face: with a zero-delay watermark on the session-timezone day
-    bucket, an event for a day BEFORE the newest seen day-start is
-    dropped — the closed day's count is never re-opened — while a new
-    day in the same micro-batch still counts. Pins the contract the
-    docstring promises (and that the batch face intentionally does
-    NOT share: batch would count the late row)."""
+def test_daily_counts_stream_merges_late_rows_into_live_state(
+    spark, tmp_path_factory
+):
+    """The late-row contract of the monitor stream face, as the engine
+    actually behaves: update-mode aggregation's watermark bounds STATE,
+    it is not an input gate. A late row whose day-state is still live
+    (eviction happens only at the end of the batch in which the
+    watermark advanced past the day) MERGES into the count and the day
+    re-emits — matching the batch face, which counts every row — while
+    a new day in the same micro-batch opens normally. Day 1's final
+    count must therefore be 2, the same answer the batch face gives on
+    the full event set."""
     from udacity_dsnd_projects_spark.streaming.monitor import (
         daily_type_counts_stream,
     )
@@ -602,7 +606,7 @@ def test_daily_counts_stream_drops_watermark_late_rows(spark, tmp_path_factory):
         return dt.datetime(2024, 1, d, h)
 
     b1 = [(t(1, 10), "e"), (t(2, 9), "e")]  # watermark -> day2 start
-    b2 = [(t(1, 23), "e"), (t(3, 1), "e")]  # day1 LATE; day3 counts
+    b2 = [(t(1, 23), "e"), (t(3, 1), "e")]  # day1 late-but-live; day3 opens
     for b in (b1, b2):
         spark.createDataFrame(b, schema).coalesce(1).write.mode(
             "append"
@@ -619,9 +623,51 @@ def test_daily_counts_stream_drops_watermark_late_rows(spark, tmp_path_factory):
     for r in rows:  # update mode: last emission per (type, day) wins
         final[(r["event_type"], str(r["d"]))] = r["n_events"]
     assert final == {
-        ("e", "2024-01-01"): 1,  # late row dropped, day never re-opened
+        ("e", "2024-01-01"): 2,  # late row merged into still-live day-1
         ("e", "2024-01-02"): 1,
         ("e", "2024-01-03"): 1,
+    }
+
+
+@pytest.mark.slow
+def test_daily_counts_rollup_suppresses_resurrected_counts(
+    spark, tmp_path_factory
+):
+    """The post-eviction half of the monitor's late-row contract: a row
+    arriving AFTER its day-state was evicted re-creates the key and
+    re-emits a LOW count (state starts over at 1). The compacted sink
+    keyed (event_type, d) with ``n_events`` as the last-write-wins
+    sequence must keep the previously published HIGHER count — counts
+    are monotone per key while live, so max_by suppresses the
+    resurrection and the rollup never regresses."""
+    from udacity_dsnd_projects_spark.streaming.sinks import (
+        compacted_table_upsert,
+    )
+
+    root = tmp_path_factory.mktemp("resurrect")
+    table = str(root / "rollup")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    upsert = compacted_table_upsert(table, ["event_type", "d"], "n_events")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    # epoch 0: day-1 closes at 2; epoch 1: a very-late day-1 row
+    # resurrects the key at n_events=1 alongside normal day-2 traffic
+    upsert(spark.createDataFrame([("e", d1, 2)], schema), 0)
+    upsert(
+        spark.createDataFrame([("e", d1, 1), ("e", d2, 3)], schema), 1
+    )
+    got = {
+        (r["event_type"], str(r["d"])): r["n_events"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {
+        ("e", "2024-01-01"): 2,  # resurrection suppressed
+        ("e", "2024-01-02"): 3,
     }
 
 

@@ -915,8 +915,9 @@ for _q in _ROUND9_ROTATION_CANDIDATES:
 # DRIVER WINDOW (round 9) — the round-8 window cleared the r1/r2
 # backlog, leaving the 8 remaining round-3 greens and the 39 round-4
 # greens as the stalest verdicts (VERDICT r8 task 2; staleness derived
-# by unioning CORRECTNESS_r{1..8}.json). All 47 fit alongside the two
-# round-9 needs-verdict entries + 1 round-5 filler.
+# by unioning CORRECTNESS_r{1..8}.json). 3 round-9 needs-verdict
+# entries + all 47 r3/r4 stales saturate the window exactly (no
+# fillers — see _ROUND9_R5_FILLERS).
 # ==========================================================================
 
 #: Queries whose implementation changed (or that are NEW) in round 9

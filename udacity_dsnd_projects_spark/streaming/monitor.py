@@ -8,15 +8,18 @@ each half where it belongs in Spark's model:
 
 - **Incremental half** — :func:`daily_type_counts_stream`: a
   watermarked tumbling-window count, the canonical Structured
-  Streaming aggregation. State is the set of open windows only
+  Streaming aggregation. State is the set of live day-buckets only
   (types × days inside the watermark horizon — tiny and bounded);
-  rows later than the watermark are dropped by the engine, the same
-  contract every windowed agg has. Update-mode emissions feed the
+  the watermark's job here is state EVICTION, not an input gate (see
+  the function's contract). Update-mode emissions feed the
   compacted-table sink
   (:func:`~udacity_dsnd_projects_spark.streaming.sinks.compacted_table_upsert`
-  keyed on (event_type, d)): counts are monotone per key, so
-  ``n_events`` doubles as the last-write-wins sequence and
-  at-least-once replays upsert idempotently (T7).
+  keyed on (event_type, d)): counts are monotone per key while a
+  day's state is live, so ``n_events`` doubles as the last-write-wins
+  sequence — at-least-once replays upsert idempotently (T7), and a
+  post-eviction resurrected LOW count loses the ``max_by`` merge
+  against the already-published higher count, so the rollup never
+  regresses.
 - **Full-history half** — z-scoring needs every day ever seen, which
   is exactly what a streaming agg should NOT hold in state. It stays
   a BATCH view (:func:`anomaly_monitor_view`) over the compacted
@@ -43,10 +46,23 @@ def daily_type_counts_stream(
     :func:`anomaly_monitor_view` scores. Run in update mode into
     ``compacted_table_upsert(path, ["event_type", "d"], "n_events")``.
 
-    ``delay`` bounds state AND defines the late-row contract: an event
-    arriving more than ``delay`` after the max seen event time is
-    dropped by the engine (visible in the query progress's
-    ``numRowsDroppedByWatermark``), never re-opening a closed day.
+    Late-row contract (what update-mode aggregation ACTUALLY
+    provides — pinned by
+    ``tests/test_round9_ops.py::test_daily_counts_stream_merges_late_rows_into_live_state``):
+    ``delay`` bounds STATE, it is not an input gate. A late row whose
+    day-state is still live MERGES into that day's count and the key
+    re-emits — which is exactly what the batch face does (batch counts
+    every row regardless of arrival order), so merging is what keeps
+    the stream==batch identity true. State for a day is evicted only
+    after the watermark (max seen ``ts_day`` minus ``delay``) passes
+    it, at the end of the micro-batch in which the watermark advanced;
+    until that point the day is by definition live. A row arriving
+    AFTER its day's state was evicted re-creates the key from scratch
+    and re-emits a LOW count — the one emission that must not reach
+    the dashboard — and the compacted sink suppresses it: counts are
+    monotone per key while live, so ``max_by(n_events)`` keeps the
+    previously published higher count (pinned by
+    ``test_daily_counts_rollup_suppresses_resurrected_counts``).
 
     Day bucketing is ``date_trunc('day', ts)`` — SESSION-TIMEZONE
     aligned, exactly like the batch face's ``to_date(ts)`` — NOT
@@ -55,11 +71,10 @@ def daily_type_counts_stream(
     pinned to UTC the two faces would shift events near midnight onto
     different days and the advertised stream-equals-batch identity
     would silently break. Grouping directly on the watermarked
-    truncated column keeps state eviction intact (closed days are
-    dropped once the watermark passes them); because the watermark is
-    tracked on the truncated time, the effective lateness horizon is
-    ``delay`` measured from the START of the newest seen day — a
-    strictly more permissive drop rule, never a re-opened day."""
+    truncated column keeps state eviction intact; because the
+    watermark is tracked on the truncated time, the eviction horizon
+    is ``delay`` measured from the START of the newest seen day — a
+    strictly longer live window per day, never a shorter one."""
     return (
         events.select(
             "event_type", F.date_trunc("day", "ts").alias("ts_day")

@@ -221,6 +221,12 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
     is bounded per batch by the real gap length, and each batch
     touches only the users present in it.
 
+    Checkpoint compatibility: the round-9 state schema change (the
+    cumulative ``late_count`` field appended) is NOT readable from
+    pre-change checkpoints — a restarted query would misdecode the
+    stored tuples. Discard existing streaming checkpoints when
+    upgrading across that change.
+
     Expects columns (user_id, ts, event_id, value).
     """
     out_schema = T.StructType(
@@ -324,8 +330,10 @@ def transition_stateful(events: DataFrame) -> DataFrame:
     """Streaming face of
     :func:`~udacity_dsnd_projects_spark.operators.analytics.event_transition_matrix`:
     per-user (prev_type → next_type) transitions as incremental state.
-    Per key the state is the user's LAST event (ts, event_id, type);
-    each micro-batch sorts its rows once by (ts, event_id), emits one
+    Per key the state is (last_ts, last_type, late_count) — the
+    frontier event time and type plus the cumulative dropped-late-row
+    counter; each micro-batch sorts its rows once by (ts, event_id),
+    emits one
     (user_id, prev_type, next_type) row per consecutive pair —
     including the pair that straddles the batch boundary via the
     stored state — and leaves the newest event in state. Downstream a
@@ -349,6 +357,12 @@ def transition_stateful(events: DataFrame) -> DataFrame:
     Scale: state is O(distinct users × one row); each batch touches
     only the users present in it, and the Python hop is one sorted
     pass per Arrow group.
+
+    Checkpoint compatibility: the round-9 state schema change
+    (``last_eid`` removed, ``late_count`` added) is NOT readable from
+    pre-change checkpoints — a restarted query would misdecode the
+    stored tuples. Discard existing streaming checkpoints when
+    upgrading across that change.
 
     Expects columns (user_id, ts, event_id, event_type).
     """
