@@ -632,14 +632,25 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the final band's cumulative diff is 0 by construction — exclude
     # it so float noise there can't leak into the sum
+    # cross-engine float rule: each |cumulative| term is rounded to
+    # 8 dp and summed as DECIMAL (exact, order-independent), so a
+    # different summation order in the other engine cannot flip a
+    # last-ulp value at the 6-dp rounding boundary — same convention
+    # as the MinHash/SimHash calibration reports
     per_group = (
         grid.withColumn("__cum", F.sum(diff).over(w))
         .filter(F.col("band") < F.col("band_max"))
         .groupBy("c_nationkey", "c_mktsegment", "grp_n", "m")
-        .agg(F.sum(F.abs(F.col("__cum"))).alias("__emd_raw"))
+        .agg(
+            F.sum(
+                F.round(F.abs(F.col("__cum")), 8).cast("decimal(30,10)")
+            ).alias("__emd_dec")
+        )
         .select(
             "grp_n",
-            F.round(F.col("__emd_raw") / (F.col("m") - 1), 6).alias("t"),
+            F.round(
+                F.col("__emd_dec").cast("double") / (F.col("m") - 1), 6
+            ).alias("t"),
         )
     )
     agg = per_group.agg(
@@ -689,7 +700,9 @@ WITH cell AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
   FROM grid
 ), per_group AS (
-  SELECT grp_n, ROUND(SUM(ABS(c)) / (ANY_VALUE(m) - 1), 6) AS t
+  SELECT grp_n,
+         ROUND(CAST(SUM(CAST(ROUND(ABS(c), 8) AS DECIMAL(30,10)))
+                    AS DOUBLE) / (ANY_VALUE(m) - 1), 6) AS t
   FROM cum WHERE band < band_max
   GROUP BY c_nationkey, c_mktsegment, grp_n
 )

@@ -1059,9 +1059,119 @@ for _q in _ROUND10_ROTATION_CANDIDATES:
             "displace a round-9 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND9_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND9_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 10) — the 8 _ROUND10_ROTATION_CANDIDATES lead
+# (3 result-identical perf changes + 5 NEW operators needing a FIRST
+# verdict; VERDICT r9 task 2), then the 42 stalest oracle-backed r5
+# greens (staleness derived by unioning CORRECTNESS_r{1..9}.json; the
+# r5 cohort is 48 candidates after quality_topk_filter/vocab_coverage
+# moved into the needs-verdict block, so 6 leftovers head round 11 —
+# see _ROUND11_R5_LEFTOVERS). The two r1-era estimators
+# (approx_count_distinct, quantile_sketch) stay OUT by design: every
+# in-window entry must be oracle-backed, and they are tolerance-tested
+# instead.
+# ==========================================================================
+
+#: t_closeness_report changed again IN round 10 (the EMD accumulation
+#: hardened to pre-rounded DECIMAL terms per the cross-engine float
+#: rule, VERDICT r9 task 3) — it was already a first-verdict rotation
+#: candidate, so it still needs exactly one verdict.
+_ROUND10_NEEDS_VERDICT = _ROUND10_ROTATION_CANDIDATES
+
+#: The 42 stalest oracle-backed queries: all r5-era greens,
+#: alphabetical (one flat cohort — every candidate shares the same
+#: last-verdict round).
+_ROUND10_STALE_BACKLOG = (
+    "ann_recall_report",
+    "bm25_search",
+    "ccnet_perplexity_bucket",
+    "cdc_merge",
+    "cluster_quality",
+    "corpus_curation",
+    "customer_order_distribution",
+    "decile_stats",
+    "dedup_priority",
+    "domain_quality_filter",
+    "domain_stats",
+    "dsir_importance_weights",
+    "fuzzy_name_pairs",
+    "gopher_quality_filter",
+    "hybrid_retrieval_fusion",
+    "idle_customer_balance",
+    "incremental_dedup",
+    "knn_graph",
+    "lang_zscore",
+    "lang_zscore_pandas",
+    "late_order_priorities",
+    "lone_late_supplier_orders",
+    "media_dedup",
+    "mixture_sample",
+    "mixture_sample_accounting",
+    "mixture_upsample",
+    "nation_trade_volume",
+    "near_dup_rate_by_source",
+    "nfc_normalize",
+    "pack_efficiency",
+    "quantized_cosine_topk",
+    "robust_scale",
+    "semantic_dedup",
+    "seq_pack_bins",
+    "seq_pack_concat",
+    "session_window_rollup",
+    "shard_assign",
+    "shingle_containment_pairs",
+    "small_quantity_revenue",
+    "snapshot_diff",
+    "timeseries_gap_fill",
+    "token_bigram_pmi",
+)
+
+#: The 6 r5 greens the 42 stale slots could not hold — they MUST head
+#: round 11's stale backlog (stalest remaining cohort).
+_ROUND11_R5_LEFTOVERS = (
+    "top_revenue_suppliers",
+    "trade_pagerank",
+    "url_dedup",
+    "url_normalize",
+    "vocab_oov_rate",
+    "weighted_reservoir_sample",
+)
+
+_ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
+
+#: Queries added or CHANGED after the round-10 window filled. Round 11
+#: MUST rotate these to the window front before re-verifying anything
+#: else — build the round-11 guard from this list, not hand-collected.
+_ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = ()
+
+# --- Import-time guards (contract checks, not debug asserts: must
+# --- survive python -O) ----------------------------------------------------
+if len(_ROUND10_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-10 window holds {len(_ROUND10_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND10_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-10 window")
+for _q in (
+    _ROUND10_WINDOW + _ROUND11_ROTATION_CANDIDATES + _ROUND11_R5_LEFTOVERS
+):
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG:
+    if _q not in _ROUND10_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND11_ROTATION_CANDIDATES + _ROUND11_R5_LEFTOVERS:
+    if _q in _ROUND10_WINDOW:
+        raise RuntimeError(
+            f"round-10 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-10 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND10_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND10_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND9_WINDOW)
+    if name not in set(_ROUND10_WINDOW)
 }
