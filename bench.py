@@ -261,6 +261,114 @@ def stream_state_bench(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _write_id_chunks(df, id_col: str, n: int, dest: str) -> None:
+    """Write ``df`` as ``n`` parquet files bucketed by ``id_col % n``,
+    with lexicographic names + explicit increasing mtimes (same
+    deterministic-replay rationale as :func:`_write_chunks`; the
+    documents table has no event-time column, so crawl batches are
+    id-bucketed instead of chronological)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    base = time.time() - 3600
+    for i in range(n):
+        tmp = f"{dest}__tmp"
+        df.filter(F.col(id_col) % n == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        final = f"{dest}/chunk_{i:03d}.parquet"
+        os.replace(f"{tmp}/{part}", final)
+        os.utime(final, (base + i, base + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: Crawl-loop replay shape: the "new crawl" half of the documents
+#: table arrives in this many micro-batches.
+CRAWL_CHUNKS = 5
+
+
+def crawl_loop_bench(spark) -> dict:
+    """Replay the incremental crawl-loop hot path (VERDICT r9 task 5):
+    the corpus is split into a HISTORY half (even doc_ids — the
+    snapshot a prior curation run published) and a NEW-CRAWL half (odd
+    doc_ids) replayed as a file stream in CRAWL_CHUNKS micro-batches.
+
+    1. ``strip_index`` — each micro-batch probes the PUBLISHED
+       boilerplate index via ``foreachBatch(strip_against_index)``,
+       exactly the composition the docstring prescribes; wall-clock
+       catches an index-probe plan regression (e.g. losing the
+       broadcast, or re-deriving chunk frequencies per batch).
+    2. ``dedup_stream`` — ``incremental_dedup_stream`` against the
+       snapshot hash table (stream-static left-anti join);
+       peak-state rows pin the within-stream dedup state (bounded by
+       the stream's distinct new hashes), output rows pin the
+       truly-new count.
+
+    Both static sides are read back from parquet, not reused as
+    in-memory frames — at scale they are stored tables, and reading
+    them back keeps the probe-side plan (pushdown, broadcast of the
+    slim index) honest."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        boilerplate_index_for,
+        strip_against_index,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.sources import file_stream
+    from udacity_dsnd_projects_spark.streaming.stateful import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        boilerplate_index_for(hist).write.parquet(f"{root}/index")
+        hist.select(
+            F.md5(F.col("text").cast("binary")).alias("content_md5")
+        ).distinct().write.parquet(f"{root}/hashes")
+        _write_id_chunks(new, "doc_id", CRAWL_CHUNKS, f"{root}/new")
+
+        index = spark.read.parquet(f"{root}/index")
+        hashes = spark.read.parquet(f"{root}/hashes")
+        out: dict = {}
+
+        t0 = time.perf_counter()
+        q = (
+            file_stream(spark, f"{root}/new", docs.schema)
+            .writeStream.foreachBatch(
+                lambda b, _: strip_against_index(b, index)
+                .selectExpr("sum(hash(*)) AS h")
+                .collect()
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out["strip_index_micro_batches"] = len(q.recentProgress)
+        finally:
+            q.stop()
+        out["strip_index_sec"] = round(time.perf_counter() - t0, 4)
+
+        deduped = incremental_dedup_stream(
+            file_stream(spark, f"{root}/new", docs.schema), hashes
+        )
+        progresses, elapsed = _run_stream(deduped)
+        out["dedup_stream_peak_state_rows"] = _peak_state(progresses)
+        out["dedup_stream_output_rows"] = int(
+            sum(p["sink"]["numOutputRows"] for p in progresses)
+        )
+        out["dedup_stream_sec"] = elapsed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from udacity_dsnd_projects_spark import registry
     from udacity_dsnd_projects_spark.session import get_spark
@@ -318,7 +426,10 @@ def main() -> None:
                 # bounded-state regression metrics for the streaming
                 # faces — not part of `value`, which stays the batch
                 # headline total
-                "stream": stream_state_bench(spark),
+                "stream": {
+                    **stream_state_bench(spark),
+                    **crawl_loop_bench(spark),
+                },
             }
         )
     )
