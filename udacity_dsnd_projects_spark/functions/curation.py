@@ -831,3 +831,137 @@ SELECT n_edges, n_wedges, n_triangles,
             THEN ROUND(3.0 * n_triangles / n_wedges, 6) END AS transitivity
 FROM ne CROSS JOIN w CROSS JOIN t
 """
+
+
+# --------------------------------------------------------------------------
+# Stratum-vs-global quality-distribution drift (EMD gate)
+# --------------------------------------------------------------------------
+
+#: Drift alarm threshold: a (lang, source) stratum whose quality-score
+#: distribution sits further than this (normalized 1-D EMD) from the
+#: global corpus distribution is mixing in systematically different
+#: material (a crawler regression, a spam burst, a template flood) even
+#: when its MEAN quality looks fine. Spec constant like the privacy
+#: gates' k/l/t; the tests check internal consistency, not a firing
+#: rate.
+QUALITY_DRIFT_T = 0.2
+
+
+def quality_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quality-distribution drift gate — the
+    corpus-curation twin of
+    :func:`~udacity_dsnd_projects_spark.functions.pipeline.t_closeness_report`:
+    the same normalized 1-D EMD machinery, pointed at the question a
+    training-data pipeline actually asks per ingest — *does this
+    stratum's quality mix still look like the corpus?* The ordered
+    dimension is the composite quality score
+    (:func:`~udacity_dsnd_projects_spark.functions.text.quality_score_expr`),
+    which lands on exact quarter steps, so ``score × 4`` is an exact
+    integer band in [0, 4]. One row per stratum:
+    (lang, source, n_docs, emd, drifted).
+
+    Scale shape (same as the t-closeness gate): the ONLY data-sized
+    operation is the first (lang, source, band) groupBy (map-side
+    partial aggregation); the group × band grid is langs × sources × 5
+    rows at ANY corpus size, built by cross join so zero-count cells
+    exist, cumulative-summed by a window over the metadata-sized
+    frame. Each |cumulative| term is rounded to 8 dp and summed as
+    DECIMAL (the order-independent cross-engine accumulation rule).
+    The cell frame is eagerly checkpointed: four consumers read it and
+    without materialization each re-runs the corpus scan + the
+    regex-heavy scoring. No collect."""
+    from udacity_dsnd_projects_spark.functions.text import quality_score_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    cell = (
+        docs.select(
+            "lang",
+            "source",
+            (quality_score_expr(F.col("text")) * 4).cast("int").alias("band"),
+        )
+        .groupBy("lang", "source", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    grp = cell.groupBy("lang", "source").agg(F.sum("n").alias("grp_n"))
+    band = cell.groupBy("band").agg(F.sum("n").alias("band_n"))
+    glob = band.agg(
+        F.sum("band_n").alias("tot"),
+        F.count(F.lit(1)).alias("m"),
+        F.max("band").alias("band_max"),
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(band))
+        .join(cell, ["lang", "source", "band"], "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    diff = F.coalesce(F.col("n"), F.lit(0)) / F.col("grp_n") - F.col(
+        "band_n"
+    ) / F.col("tot")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the final band's cumulative diff is 0 by construction — exclude
+    # it so float noise there can't leak into the sum
+    per_group = (
+        grid.withColumn("__cum", F.sum(diff).over(w))
+        .filter(F.col("band") < F.col("band_max"))
+        .groupBy("lang", "source", "grp_n", "m")
+        .agg(
+            F.sum(
+                F.round(F.abs(F.col("__cum")), 8).cast("decimal(30,10)")
+            ).alias("__emd_dec")
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("grp_n").alias("n_docs"),
+            F.round(
+                F.col("__emd_dec").cast("double") / (F.col("m") - 1), 6
+            ).alias("emd"),
+        )
+    )
+    return per_group.withColumn(
+        "drifted", (F.col("emd") > QUALITY_DRIFT_T).cast("int")
+    )
+
+
+ORACLE_QUALITY_DRIFT_REPORT = f"""
+WITH cell AS (
+  SELECT lang, source,
+         CAST({_ORACLE_QUALITY_EXPR} * 4 AS INTEGER) AS band,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2, 3
+), grp AS (
+  SELECT lang, source, SUM(n) AS grp_n FROM cell GROUP BY 1, 2
+), band AS (
+  SELECT band, SUM(n) AS band_n FROM cell GROUP BY 1
+), totals AS (
+  SELECT SUM(band_n) AS tot, COUNT(*) AS m, MAX(band) AS band_max
+  FROM band
+), grid AS (
+  SELECT g.lang, g.source, g.grp_n, b.band, b.band_n,
+         gl.tot, gl.m, gl.band_max, COALESCE(c.n, 0) AS n
+  FROM grp g CROSS JOIN band b CROSS JOIN totals gl
+  LEFT JOIN cell c ON c.lang = g.lang
+   AND c.source = g.source AND c.band = b.band
+), cum AS (
+  SELECT lang, source, grp_n, m, band, band_max,
+         SUM(n * 1.0 / grp_n - band_n * 1.0 / tot) OVER (
+           PARTITION BY lang, source ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM grid
+), per_group AS (
+  SELECT lang, source, CAST(grp_n AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(ROUND(ABS(c), 8) AS DECIMAL(30,10)))
+                    AS DOUBLE) / (ANY_VALUE(m) - 1), 6) AS emd
+  FROM cum WHERE band < band_max
+  GROUP BY lang, source, grp_n
+)
+SELECT lang, source, n_docs, emd,
+       CAST(CASE WHEN emd > {QUALITY_DRIFT_T} THEN 1 ELSE 0 END
+            AS INTEGER) AS drifted
+FROM per_group
+"""

@@ -70,3 +70,67 @@ def observed_stream(
     ``StreamingQueryProgress.observedMetrics[name]`` (an ``Observation``
     handle is batch-only; streams observe by name)."""
     return df.observe(name, *quality_metrics(cols, domain_checks))
+
+
+def guard_metrics_report(spark, sf_dir: str) -> DataFrame:
+    """Registry face of the observe-API guard metrics — driver-visible
+    proof that the zero-extra-scan counters measure what a direct
+    aggregation measures. Attaches the standard guards (row count,
+    per-column null counts, three domain checks) to a full corpus
+    scan, runs ONE action that plays the role of the real job (the
+    metrics accumulate during that action's own pass — `observe`
+    adds no scan of its own), then returns the observed values as a
+    one-row frame for the oracle to reproduce with plain SQL
+    aggregates.
+
+    The collect here is the observation handle's metadata (one row of
+    counters), never data; at 100 TB the pattern is identical — the
+    job's own write is the action, and the counters ride it."""
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    df, obs = observed(
+        docs,
+        ["text", "lang", "source"],
+        {
+            "empty_text": F.length("text") == 0,
+            "len_mismatch": F.length("text") != F.col("n_chars"),
+            "nonpos_chars": F.col("n_chars") <= 0,
+        },
+    )
+    # the "real job": a full-plan action the metrics ride along with
+    df.selectExpr("sum(hash(*)) AS h").collect()
+    v = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(v["n_rows"]),
+                int(v["null_text"]),
+                int(v["null_lang"]),
+                int(v["null_source"]),
+                int(v["bad_empty_text"]),
+                int(v["bad_len_mismatch"]),
+                int(v["bad_nonpos_chars"]),
+            )
+        ],
+        "n_rows long, null_text long, null_lang long, null_source long, "
+        "bad_empty_text long, bad_len_mismatch long, bad_nonpos_chars long",
+    )
+
+
+ORACLE_GUARD_METRICS_REPORT = """
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
+         AS null_text,
+       CAST(COUNT(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT)
+         AS null_lang,
+       CAST(COUNT(CASE WHEN source IS NULL THEN 1 END) AS BIGINT)
+         AS null_source,
+       CAST(COUNT(CASE WHEN length(text) = 0 THEN 1 END) AS BIGINT)
+         AS bad_empty_text,
+       CAST(COUNT(CASE WHEN length(text) <> n_chars THEN 1 END) AS BIGINT)
+         AS bad_len_mismatch,
+       CAST(COUNT(CASE WHEN n_chars <= 0 THEN 1 END) AS BIGINT)
+         AS bad_nonpos_chars
+FROM documents
+"""

@@ -28,6 +28,7 @@ from udacity_dsnd_projects_spark.functions import similarity as _sim
 from udacity_dsnd_projects_spark.functions import text as _text
 from udacity_dsnd_projects_spark.functions import training as _train
 from udacity_dsnd_projects_spark.functions import web as _web
+from udacity_dsnd_projects_spark import metrics as _metrics
 from udacity_dsnd_projects_spark.operators import aggregations as _agg
 from udacity_dsnd_projects_spark.operators import analytics as _an
 from udacity_dsnd_projects_spark.operators import envelope as _env
@@ -694,6 +695,23 @@ register(
     _agg.ORACLE_GROUPING_SETS_AGG,
 )
 
+# NEW (round 10): per-stratum quality-distribution drift — the
+# t-closeness EMD machinery pointed at the corpus-curation question
+# (does this lang × source stratum's quality mix still look like the
+# corpus?)
+register(
+    "quality_drift_report",
+    _cur.quality_drift_report,
+    _cur.ORACLE_QUALITY_DRIFT_REPORT,
+)
+# NEW (round 10): driver-visible face of the observe-API guard metrics
+# — proves the zero-extra-scan counters equal a direct aggregation
+register(
+    "guard_metrics_report",
+    _metrics.guard_metrics_report,
+    _metrics.ORACLE_GUARD_METRICS_REPORT,
+)
+
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
 # the first 50 entries of ``queries()``, so dict order is a contract.
@@ -1142,7 +1160,15 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #: Queries added or CHANGED after the round-10 window filled. Round 11
 #: MUST rotate these to the window front before re-verifying anything
 #: else — build the round-11 guard from this list, not hand-collected.
-_ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = ()
+#: Both are NEW round-10 operators needing a FIRST verdict:
+#: - quality_drift_report: per-(lang, source) quality-distribution EMD
+#:   gate (the t-closeness grid machinery over the document corpus).
+#: - guard_metrics_report: observe-API guard counters returned as a
+#:   one-row frame so the driver proves they equal direct aggregates.
+_ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "quality_drift_report",
+    "guard_metrics_report",
+)
 
 # --- Import-time guards (contract checks, not debug asserts: must
 # --- survive python -O) ----------------------------------------------------
