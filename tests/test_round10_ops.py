@@ -1,10 +1,14 @@
-"""Round-10 additions: the stratum quality-drift EMD gate and the
-driver-visible observe-metrics face."""
+"""Round-10 additions: the stratum quality-drift EMD gate, the
+driver-visible observe-metrics face, and the end-to-end monitor
+rollup contract."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # --- quality_drift_report ---------------------------------------------------
@@ -106,3 +110,71 @@ def test_guard_metrics_report_equals_direct_aggregation(spark, sf_dir):
     ).collect()[0].asDict()
     assert got == want
     assert got["n_rows"] > 0
+
+
+# --- monitor rollup end-to-end ----------------------------------------------
+
+
+@pytest.mark.slow
+def test_monitor_rollup_end_to_end_survives_post_eviction_late_row(
+    spark, tmp_path_factory
+):
+    """The full monitor pipeline — watermarked stream count, update-mode
+    emissions, compacted-table upsert — across a replay where a day's
+    state is genuinely EVICTED before a late row for it arrives:
+    batch 1 opens day-1 (2 events) and day-2, batch 2 opens day-3
+    (advancing the zero-delay watermark so days 1–2 evict at its end),
+    batch 3 delivers a day-1 straggler. Whatever the engine does with
+    that straggler (drop it, or resurrect fresh state and re-emit a
+    count of 1), the PUBLISHED rollup must keep day-1 at its closed
+    count of 2 — the monotone-n_events max_by guard — and the other
+    days must match the batch face exactly."""
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        daily_type_counts_stream,
+    )
+    from udacity_dsnd_projects_spark.streaming.sinks import (
+        compacted_table_upsert,
+    )
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_foreach_batch,
+    )
+
+    root = tmp_path_factory.mktemp("monitor_e2e")
+    src, table = str(root / "events"), str(root / "rollup")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def t(d, h):
+        return dt.datetime(2024, 1, d, h)
+
+    batches = [
+        [(t(1, 10), "e"), (t(1, 11), "e"), (t(2, 9), "e")],
+        [(t(3, 1), "e")],  # watermark -> day3; days 1-2 evict at batch end
+        [(t(1, 23), "e")],  # post-eviction straggler for day 1
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    run_foreach_batch(
+        daily_type_counts_stream(
+            file_stream(spark, src, schema), delay="0 seconds"
+        ),
+        compacted_table_upsert(table, ["event_type", "d"], "n_events"),
+        output_mode="update",
+    )
+    got = {
+        (r["event_type"], str(r["d"])): r["n_events"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {
+        ("e", "2024-01-01"): 2,  # closed count kept, straggler suppressed
+        ("e", "2024-01-02"): 1,
+        ("e", "2024-01-03"): 1,
+    }
