@@ -112,6 +112,33 @@ def test_guard_metrics_report_equals_direct_aggregation(spark, sf_dir):
     assert got["n_rows"] > 0
 
 
+# --- semantic_contamination -------------------------------------------------
+
+
+def test_semantic_contamination_flag_is_scale_relative(spark, sf_dir):
+    """The contamination flag must be exactly (top-1 cosine ≥ 2× the
+    corpus mean top-1 cosine) with the DECIMAL no-division compare, a
+    benchmark vector never appears on the corpus side, and the gate is
+    a real screen at test scale: some vectors fire, most don't."""
+    from decimal import Decimal
+
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        SEM_BENCH_MOD,
+        semantic_contamination,
+    )
+
+    rows = semantic_contamination(spark, sf_dir).collect()
+    assert all(r["vec_id"] % SEM_BENCH_MOD != 0 for r in rows)
+    assert all(r["bench_id"] % SEM_BENCH_MOD == 0 for r in rows)
+    tot = sum(Decimal(str(r["cosine"])) for r in rows)
+    n = len(rows)
+    for r in rows:
+        want = int(Decimal(str(r["cosine"])) * n >= 2 * tot)
+        assert r["contaminated"] == want, r
+    flagged = sum(r["contaminated"] for r in rows)
+    assert 0 < flagged < n / 2
+
+
 # --- monitor rollup end-to-end ----------------------------------------------
 
 

@@ -1515,3 +1515,120 @@ FROM b JOIN w ON b.label = w.label
 
 
 ORACLE_LABEL_SEPARATION_REPORT = _oracle_label_separation()
+
+
+# --------------------------------------------------------------------------
+# Semantic contamination (embedding-space eval-set leakage)
+# --------------------------------------------------------------------------
+
+#: Benchmark membership rule for the semantic gate — the same
+#: deterministic stand-in the n-gram gate uses
+#: (``pipeline.BENCH_MOD``): vectors with ``vec_id % 97 == 0`` play
+#: the eval suite.
+SEM_BENCH_MOD = 97
+
+
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination report — the semantic sibling of
+    :func:`~udacity_dsnd_projects_spark.functions.pipeline.ngram_contamination`:
+    n-gram overlap misses paraphrased eval leakage, so this gate scores
+    every corpus vector's nearest benchmark member by cosine. One row
+    per corpus vector: (vec_id, bench_id, cosine, contaminated) where
+    bench_id is the argmax benchmark vector (cosine rounded to 5 dp
+    BEFORE the argmax; ties to the smaller bench_id, deterministic in
+    both engines).
+
+    The flag is scale-relative, not absolute: a vector is flagged when
+    its top-1 cosine reaches 2× the corpus-wide MEAN top-1 cosine —
+    an absolute threshold tuned on one corpus mis-fires on another
+    embedding geometry, while "twice as close to the eval set as the
+    typical document" is the outlier screen a curation run triages
+    (the calibration-report pattern applies before choosing a hard
+    cut). The comparison runs in exact DECIMAL on both sides
+    (``cos × n ≥ 2 × Σcos`` — no division, no float boundary), per the
+    cross-engine float rule.
+
+    Scale shape: the benchmark set is an eval suite — tiny — so it
+    broadcasts against the corpus scan (zero corpus shuffle to score);
+    the per-vector argmax is a map-side-combinable groupBy of slim
+    (id, id, double) rows; the top-1 frame is localCheckpoint'ed
+    because two consumers read it (the global mean and the final
+    flag join), and re-deriving it would re-score the corpus."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bench = emb.filter(F.col("vec_id") % SEM_BENCH_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") % SEM_BENCH_MOD != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        F.round(
+            _dot(F.col("v"), F.col("bv"))
+            / (_norm(F.col("v")) * _norm(F.col("bv"))),
+            5,
+        ).alias("cosine"),
+    )
+    top1 = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max("cosine").alias("cosine"),
+            F.max_by(
+                F.col("bench_id"),
+                F.struct(F.col("cosine"), (-F.col("bench_id")).alias("nb")),
+            ).alias("bench_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    glob = top1.agg(
+        F.sum(F.col("cosine").cast("decimal(20,6)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return top1.crossJoin(F.broadcast(glob)).select(
+        "vec_id",
+        "bench_id",
+        "cosine",
+        (
+            F.col("cosine").cast("decimal(20,6)") * F.col("n")
+            >= F.lit(2) * F.col("tot")
+        )
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+ORACLE_SEMANTIC_CONTAMINATION = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id AS bench_id, v AS bv FROM e
+  WHERE vec_id % {SEM_BENCH_MOD} = 0
+), c AS (
+  SELECT vec_id, v FROM e WHERE vec_id % {SEM_BENCH_MOD} <> 0
+), scored AS (
+  SELECT c.vec_id, b.bench_id,
+         ROUND(
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(b.bv) + 1),
+                         i -> b.bv[i] * c.v[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(c.v, x -> x * x)),
+                               (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(b.bv, x -> x * x)),
+                                 (acc, x) -> acc + x))), 5) AS cosine
+  FROM c CROSS JOIN b
+), top1 AS (
+  SELECT vec_id, bench_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, bench_id) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), g AS (
+  SELECT SUM(CAST(cosine AS DECIMAL(20,6))) AS tot, COUNT(*) AS n
+  FROM top1
+)
+SELECT vec_id, bench_id, cosine,
+       CAST(CASE WHEN CAST(cosine AS DECIMAL(20,6)) * n >= 2 * tot
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM top1 CROSS JOIN g
+"""

@@ -711,6 +711,13 @@ register(
     _metrics.guard_metrics_report,
     _metrics.ORACLE_GUARD_METRICS_REPORT,
 )
+# NEW (round 10): embedding-space eval-leakage gate — the semantic
+# sibling of ngram_contamination (paraphrase leakage n-grams miss)
+register(
+    "semantic_contamination",
+    _sim.semantic_contamination,
+    _sim.ORACLE_SEMANTIC_CONTAMINATION,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1165,9 +1172,12 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #:   gate (the t-closeness grid machinery over the document corpus).
 #: - guard_metrics_report: observe-API guard counters returned as a
 #:   one-row frame so the driver proves they equal direct aggregates.
+#: - semantic_contamination: embedding-space eval-leakage gate (top-1
+#:   cosine vs a broadcast benchmark set, scale-relative DECIMAL flag).
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
+    "semantic_contamination",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
