@@ -112,6 +112,50 @@ def test_guard_metrics_report_equals_direct_aggregation(spark, sf_dir):
     assert got["n_rows"] > 0
 
 
+# --- winnowing_fingerprints -------------------------------------------------
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The two properties that make winnowing THE substring
+    fingerprint (Schleimer et al. 2003): (1) detection — two documents
+    sharing a token run of at least window + k - 1 tokens share at
+    least one fingerprint, even when the run sits at different
+    positions inside otherwise-disjoint text; (2) sparsity — a
+    document keeps far fewer fingerprints than its gram count (the
+    expected density is 2/(w+1)). Also pins that sub-window docs emit
+    nothing."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        WINNOW_WINDOW,
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = 3 + w - 1 tokens
+    doc_a = "one two three four five " + shared + " six seven eight nine"
+    doc_b = "red orange yellow green blue " + shared + " indigo violet pink"
+    rows = [
+        (0, doc_a, "en", "s", len(doc_a)),
+        (1, doc_b, "en", "s", len(doc_b)),
+        (2, "too short here", "en", "s", 14),  # < one window: no output
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = winnowing_fingerprints(spark, d).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 2 not in by_doc
+    assert by_doc[0] & by_doc[1], "shared >= w+k-1 run must share a fingerprint"
+    for doc, text in ((0, doc_a), (1, doc_b)):
+        n_grams = len(text.split()) - 2
+        assert len(by_doc[doc]) < n_grams  # winnowed, not the full set
+        assert len(by_doc[doc]) >= n_grams // (WINNOW_WINDOW + 1)
+
+
 # --- semantic_contamination -------------------------------------------------
 
 

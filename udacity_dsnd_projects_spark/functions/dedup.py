@@ -1349,3 +1349,101 @@ SELECT n_minhash, n_simhash, n_both,
          AS simhash_only_share
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+#: Winnowing window: each window of WINNOW_WINDOW consecutive shingle
+#: hashes contributes its minimum as a fingerprint (Schleimer, Wilkerson
+#: & Aiken 2003, "Winnowing: Local Algorithms for Document
+#: Fingerprinting" — the MOSS fingerprint). Guarantee: any shared token
+#: run of at least WINNOW_WINDOW + 3 - 1 tokens yields at least one
+#: SHARED fingerprint (the window that covers it picks the same
+#: minimum), while expected density is only 2/(WINNOW_WINDOW + 1) of
+#: the grams — position-robust substring matching at a fraction of the
+#: full fingerprint size, the property neither MinHash (whole-doc
+#: similarity) nor the full rolling hash (exact-doc identity) gives.
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document: (doc_id, fp) rows where
+    ``fp`` ranges over the distinct window-minima of the POSITIONAL
+    word-3-gram hash sequence (the same token/shingle hash scheme as
+    :func:`_shingled_docs`, kept positional — winnowing needs the gram
+    ORDER, not the distinct set). Docs shorter than one window
+    (``3 + WINNOW_WINDOW - 1`` tokens) have no fingerprint and are
+    dropped.
+
+    Tie handling: a window with duplicate minima contributes the VALUE
+    once — the emitted set is tie-order independent, which is what
+    makes the operator exactly reproducible in the oracle without
+    pinning an intra-window tie rule.
+
+    Scale shape: identical to the shingle substrate — per-row array
+    math in codegen, one explode, no shuffle at all until a consumer
+    aggregates (the output is the inverted-index feed for a
+    MOSS-style overlap join, which then buckets on ``fp`` exactly like
+    the LSH band join, cap and all)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3 + WINNOW_WINDOW - 1)
+    )
+    d = d.select("doc_id", F.transform("toks", _token_hash).alias("th"))
+    th = F.col("th")
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("th") - 2),
+        lambda j: (
+            (F.element_at(th, j) * SHINGLE_P + F.element_at(th, j + 1))
+            % HASH_MOD
+            * SHINGLE_P
+            + F.element_at(th, j + 2)
+        )
+        % HASH_MOD,
+    )
+    d = d.select("doc_id", g.alias("g"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("g") - WINNOW_WINDOW + 1),
+        lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_WINDOW)),
+    )
+    # explode_outer, not explode: plain explode lets Catalyst infer a
+    # size(...) > 0 filter that re-evaluates the window expression
+    # twice per row (see contamination_for); the token-count filter
+    # above guarantees >= 1 window, so outer semantics are equal.
+    return d.select(
+        "doc_id", F.explode_outer(F.array_distinct(wins)).alias("fp")
+    )
+
+
+ORACLE_WINNOWING_FINGERPRINTS = rf"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - 1),
+           j -> ((th[j] * {SHINGLE_P} + th[j+1]) % {HASH_MOD} * {SHINGLE_P}
+                 + th[j+2]) % {HASH_MOD}) AS g
+  FROM (SELECT doc_id,
+               list_transform(toks,
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(string_split(t, ''),
+                                                    ch -> CAST(ascii(ch) AS BIGINT))),
+                        (acc, x) -> (acc * 31 + x) % {HASH_MOD})) AS th
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= {3 + WINNOW_WINDOW - 1})
+), fps AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(g) - {WINNOW_WINDOW} + 2),
+             i -> list_min(list_slice(g, i, i + {WINNOW_WINDOW - 1})))) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM fps
+"""

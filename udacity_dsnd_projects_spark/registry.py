@@ -718,6 +718,14 @@ register(
     _sim.semantic_contamination,
     _sim.ORACLE_SEMANTIC_CONTAMINATION,
 )
+# NEW (round 10): MOSS winnowing — position-robust substring
+# fingerprints (the guarantee neither MinHash nor the full rolling
+# hash provides)
+register(
+    "winnowing_fingerprints",
+    _dedup.winnowing_fingerprints,
+    _dedup.ORACLE_WINNOWING_FINGERPRINTS,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1174,10 +1182,13 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #:   one-row frame so the driver proves they equal direct aggregates.
 #: - semantic_contamination: embedding-space eval-leakage gate (top-1
 #:   cosine vs a broadcast benchmark set, scale-relative DECIMAL flag).
+#: - winnowing_fingerprints: MOSS winnowing fingerprint set — the
+#:   position-robust substring-matching fingerprint.
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
     "semantic_contamination",
+    "winnowing_fingerprints",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
