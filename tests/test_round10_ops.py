@@ -156,6 +156,39 @@ def test_winnowing_guarantee_and_density(spark):
         assert len(by_doc[doc]) >= n_grams // (WINNOW_WINDOW + 1)
 
 
+def test_winnowing_overlap_catches_full_containment(spark):
+    """The wrap case the match stage exists for: when one document's
+    token stream is a contiguous subsequence of another's, every
+    window of the smaller is a window of the larger, so every
+    fingerprint of the smaller appears in the larger — overlap
+    (containment of the smaller set) is exactly 1.0. An unrelated
+    document must pair with neither."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrapped = "intro words here " + inner + " and outro words here"
+    other = "completely different content about weather patterns in small towns"
+    rows = [
+        (0, inner, "en", "s", len(inner)),
+        (1, wrapped, "en", "s", len(wrapped)),
+        (2, other, "en", "s", len(other)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["overlap"]
+            for r in winnowing_overlap_pairs(spark, d).collect()
+        }
+    assert got == {(0, 1): 1.0}
+
+
 # --- semantic_contamination -------------------------------------------------
 
 

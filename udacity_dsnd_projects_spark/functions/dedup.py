@@ -1368,26 +1368,11 @@ FROM agg
 WINNOW_WINDOW = 4
 
 
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint set per document: (doc_id, fp) rows where
-    ``fp`` ranges over the distinct window-minima of the POSITIONAL
-    word-3-gram hash sequence (the same token/shingle hash scheme as
-    :func:`_shingled_docs`, kept positional — winnowing needs the gram
-    ORDER, not the distinct set). Docs shorter than one window
-    (``3 + WINNOW_WINDOW - 1`` tokens) have no fingerprint and are
-    dropped.
-
-    Tie handling: a window with duplicate minima contributes the VALUE
-    once — the emitted set is tie-order independent, which is what
-    makes the operator exactly reproducible in the oracle without
-    pinning an intra-window tie rule.
-
-    Scale shape: identical to the shingle substrate — per-row array
-    math in codegen, one explode, no shuffle at all until a consumer
-    aggregates (the output is the inverted-index feed for a
-    MOSS-style overlap join, which then buckets on ``fp`` exactly like
-    the LSH band join, cap and all)."""
-    docs = load_table(spark, "documents", sf_dir)
+def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+    """Shared winnowing substrate over an arbitrary (doc_id, text)
+    frame — (doc_id, fp) rows; see :func:`winnowing_fingerprints`.
+    Factored so the fingerprint face and the overlap-pairs face can
+    never drift on the hash/window/tie rules."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
@@ -1422,28 +1407,137 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_WINNOWING_FINGERPRINTS = rf"""
-WITH g AS (
-  SELECT doc_id,
-         list_transform(range(1, len(th) - 1),
-           j -> ((th[j] * {SHINGLE_P} + th[j+1]) % {HASH_MOD} * {SHINGLE_P}
-                 + th[j+2]) % {HASH_MOD}) AS g
-  FROM (SELECT doc_id,
-               list_transform(toks,
-                 t -> list_reduce(
-                        list_prepend(CAST(0 AS BIGINT),
-                                     list_transform(string_split(t, ''),
-                                                    ch -> CAST(ascii(ch) AS BIGINT))),
-                        (acc, x) -> (acc * 31 + x) % {HASH_MOD})) AS th
-        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-              FROM documents)
-        WHERE len(toks) >= {3 + WINNOW_WINDOW - 1})
-), fps AS (
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document: (doc_id, fp) rows where
+    ``fp`` ranges over the distinct window-minima of the POSITIONAL
+    word-3-gram hash sequence (the same token/shingle hash scheme as
+    :func:`_shingled_docs`, kept positional — winnowing needs the gram
+    ORDER, not the distinct set). Docs shorter than one window
+    (``3 + WINNOW_WINDOW - 1`` tokens) have no fingerprint and are
+    dropped.
+
+    Tie handling: a window with duplicate minima contributes the VALUE
+    once — the emitted set is tie-order independent, which is what
+    makes the operator exactly reproducible in the oracle without
+    pinning an intra-window tie rule.
+
+    Scale shape: identical to the shingle substrate — per-row array
+    math in codegen, one explode, no shuffle at all until a consumer
+    aggregates (the output is the inverted-index feed for
+    :func:`winnowing_overlap_pairs`, which buckets on ``fp`` exactly
+    like the LSH band join, cap and all)."""
+    return _winnow_fp_rows(load_table(spark, "documents", sf_dir))
+
+
+
+
+#: Overlap threshold for the winnowing match stage: fraction of the
+#: SMALLER document's fingerprints shared (containment form — the
+#: plagiarism/wrap relation MOSS reports). 0.5 = "half the smaller
+#: doc's fingerprinted content appears in the other".
+WINNOW_OVERLAP_T = 0.5
+
+
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match stage over :func:`winnowing_fingerprints`:
+    inverted-index self-join on fingerprint, count shared fingerprints
+    per pair, score overlap = common / min(|A|, |B|) (containment of
+    the smaller fingerprint set — the winnowing guarantee makes this a
+    position-robust shared-SUBSTRING signal, not whole-doc
+    similarity), keep pairs at or above :data:`WINNOW_OVERLAP_T`.
+    Output: (doc_a, doc_b, common, overlap).
+
+    Scale shape: the same capped inverted-index join as
+    :func:`shingle_pair_counts` — hyper-common fingerprints (site
+    boilerplate minima, the stop-shingle analog) are dropped at
+    :data:`SHINGLE_DF_CAP` before the self-join, the merge hint reuses
+    one exchange for both sides — but over an index winnowing already
+    thinned to ~2/(WINNOW_WINDOW+1) of the gram mass, so the candidate
+    mass per bucket shrinks quadratically vs the full shingle index.
+    That thinning is why MOSS scales: the guarantee survives, the
+    index doesn't carry every gram."""
+    from pyspark.sql import Window
+
+    ex = _winnow_fp_rows(load_table(spark, "documents", sf_dir))
+    kept = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "fp")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("common"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    ov = F.col("common") / F.least("na", "nb")
+    return pairs.filter(ov >= WINNOW_OVERLAP_T).select(
+        "doc_a", "doc_b", "common", F.round(ov, 5).alias("overlap")
+    )
+
+
+_ORACLE_WINNOW_FPS = rf"""
   SELECT doc_id,
          list_distinct(
            list_transform(range(1, len(g) - {WINNOW_WINDOW} + 2),
              i -> list_min(list_slice(g, i, i + {WINNOW_WINDOW - 1})))) AS fps
-  FROM g
-)
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(th) - 1),
+             j -> ((th[j] * {SHINGLE_P} + th[j+1]) % {HASH_MOD} * {SHINGLE_P}
+                   + th[j+2]) % {HASH_MOD}) AS g
+    FROM (SELECT doc_id,
+                 list_transform(toks,
+                   t -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                                       list_transform(string_split(t, ''),
+                                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                          (acc, x) -> (acc * 31 + x) % {HASH_MOD})) AS th
+          FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= {3 + WINNOW_WINDOW - 1}))
+"""
+
+
+ORACLE_WINNOWING_FINGERPRINTS = f"""
+WITH fps AS ({_ORACLE_WINNOW_FPS})
 SELECT doc_id, unnest(fps) AS fp FROM fps
+"""
+
+
+ORACLE_WINNOWING_OVERLAP_PAIRS = f"""
+WITH fps AS ({_ORACLE_WINNOW_FPS}),
+ex_all AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+ex AS (
+  SELECT doc_id, fp FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.common,
+       ROUND(p.common * 1.0 / LEAST(sa.n, sb.n), 5) AS overlap
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.common * 1.0 / LEAST(sa.n, sb.n) >= {WINNOW_OVERLAP_T}
 """

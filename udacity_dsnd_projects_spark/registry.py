@@ -726,6 +726,13 @@ register(
     _dedup.winnowing_fingerprints,
     _dedup.ORACLE_WINNOWING_FINGERPRINTS,
 )
+# NEW (round 10): the MOSS match stage over the winnowed index —
+# capped inverted-index self-join, containment-of-the-smaller score
+register(
+    "winnowing_overlap_pairs",
+    _dedup.winnowing_overlap_pairs,
+    _dedup.ORACLE_WINNOWING_OVERLAP_PAIRS,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1184,11 +1191,13 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #:   cosine vs a broadcast benchmark set, scale-relative DECIMAL flag).
 #: - winnowing_fingerprints: MOSS winnowing fingerprint set — the
 #:   position-robust substring-matching fingerprint.
+#: - winnowing_overlap_pairs: the MOSS match stage over that index.
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
     "semantic_contamination",
     "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
