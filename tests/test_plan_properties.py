@@ -161,3 +161,15 @@ def test_topk_windows_ride_window_group_limit(spark, sf_dir):
     # bounded-query-set top-k scale despite partitioning by query_id
     for name in ("quantized_cosine_topk", "cosine_topk_bruteforce"):
         assert "WindowGroupLimit" in _plan(spark, sf_dir, name), name
+
+
+def test_winnowing_pairs_reuses_hash_exchange(spark, sf_dir):
+    # the match stage's two join sides and the sizes rollup all derive
+    # from the same winnowed-fingerprint frame: at AQE runtime the
+    # identical exchange subtrees collapse to ReusedExchange (3 of
+    # them), so the corpus is tokenized+hashed ONCE per execution —
+    # the same reuse contract as the shingle pair substrate
+    df = registry.queries()["winnowing_overlap_pairs"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3
