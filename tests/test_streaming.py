@@ -1105,3 +1105,69 @@ def test_transition_stream_equals_batch(spark, tmp_path_factory):
     assert got == want
     # each user contributes exactly n-1 transitions
     assert sum(got.values()) == 4 * 8
+
+
+def test_substring_match_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming winnowing probe: new docs stream against a static
+    winnowing index; a document that WRAPS a history document (the
+    quote/template case exact and MinHash probes miss at low overall
+    similarity) is flagged with the same pairs + scores the identical
+    pipeline computes statically, and unrelated text passes clean."""
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        winnowing_index_for,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.stateful import (
+        substring_match_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    hist = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    index = winnowing_index_for(hist).localCheckpoint(eager=True)
+
+    base = {
+        r["doc_id"]: r["text"]
+        for r in hist.filter(F.col("doc_id") < 6).collect()
+    }
+    root = tmp_path_factory.mktemp("substr_stream")
+    path = str(root / "rows")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # b1: an exact re-crawl (overlap 1.0 vs its source) + gibberish;
+    # b2: a new doc QUOTING doc 5 between fresh prose — the substring
+    # case
+    quoted = "breaking report today " + base[5] + " officials did not comment"
+    b1 = [(9000001, base[3]), (9000002, "zz qq vv kk jj ww uu pp yy tt")]
+    b2 = [(9000003, quoted)]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    got_rows = run_to_memory(
+        substring_match_stream(file_stream(spark, path, schema), index),
+        "substring_match_stream",
+    ).collect()
+    got = {
+        (r["doc_id"], r["hist_doc_id"], r["shared"], r["overlap"])
+        for r in got_rows
+    }
+    # batch reference: identical pipeline over the same static rows
+    want = {
+        (r["doc_id"], r["hist_doc_id"], r["shared"], r["overlap"])
+        for r in substring_match_stream(
+            spark.read.schema(schema).parquet(path), index
+        ).collect()
+    }
+    assert got == want
+    assert (9000001, 3) in {(d, h) for d, h, _, _ in got}
+    by_pair = {(d, h): ov for d, h, _, ov in got}
+    assert by_pair[(9000001, 3)] == 1.0  # exact re-crawl: full containment
+    # the quoting doc is flagged against its quoted source
+    assert any(d == 9000003 and h == 5 for d, h in by_pair)
+    # gibberish stays clean
+    assert not any(d == 9000002 for d, h in by_pair)

@@ -1368,11 +1368,13 @@ FROM agg
 WINNOW_WINDOW = 4
 
 
-def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+def _winnow_fp_arrays(docs: DataFrame) -> DataFrame:
     """Shared winnowing substrate over an arbitrary (doc_id, text)
-    frame — (doc_id, fp) rows; see :func:`winnowing_fingerprints`.
-    Factored so the fingerprint face and the overlap-pairs face can
-    never drift on the hash/window/tie rules."""
+    frame — (doc_id, fps array<long>) of distinct window-minima; see
+    :func:`winnowing_fingerprints`. Factored so the fingerprint face,
+    the overlap-pairs face, and the streaming probe can never drift on
+    the hash/window/tie rules. Streaming-safe: per-row array math
+    only, no aggregation."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
@@ -1398,12 +1400,18 @@ def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.size("g") - WINNOW_WINDOW + 1),
         lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_WINDOW)),
     )
+    return d.select("doc_id", F.array_distinct(wins).alias("fps"))
+
+
+def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+    """Exploded (doc_id, fp) rows of :func:`_winnow_fp_arrays`."""
     # explode_outer, not explode: plain explode lets Catalyst infer a
     # size(...) > 0 filter that re-evaluates the window expression
     # twice per row (see contamination_for); the token-count filter
-    # above guarantees >= 1 window, so outer semantics are equal.
-    return d.select(
-        "doc_id", F.explode_outer(F.array_distinct(wins)).alias("fp")
+    # in the substrate guarantees >= 1 window, so outer semantics are
+    # equal.
+    return _winnow_fp_arrays(docs).select(
+        "doc_id", F.explode_outer("fps").alias("fp")
     )
 
 
@@ -1541,3 +1549,32 @@ JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
 WHERE p.common * 1.0 / LEAST(sa.n, sb.n) >= {WINNOW_OVERLAP_T}
 """
+
+
+def winnowing_index_for(docs: DataFrame) -> DataFrame:
+    """The publishable winnowing index a curation run materializes —
+    what :func:`~udacity_dsnd_projects_spark.streaming.stateful.substring_match_stream`
+    probes with newly-crawled documents: one (fp, hist_doc_id,
+    hist_fps) row per KEPT fingerprint per document, carrying the
+    document's full kept-fingerprint array so a colliding probe scores
+    the pair row-locally (``array_intersect``) with no aggregation —
+    the same carry-the-signature trick as ``minhash_bands_for``. The
+    :data:`SHINGLE_DF_CAP` applies at PUBLISH time: hyper-common
+    fingerprints (site-boilerplate minima) are dropped from both the
+    probe keys and the carried arrays, exactly as the batch match
+    stage drops them before its self-join. At scale this is a bucketed
+    table keyed on ``fp`` so the stream-side probe prunes."""
+    from pyspark.sql import Window
+
+    ex = _winnow_fp_rows(docs)
+    kept = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .select("doc_id", "fp")
+    )
+    arrs = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("fp")).alias("hist_fps")
+    )
+    return kept.join(arrs, "doc_id").select(
+        "fp", F.col("doc_id").alias("hist_doc_id"), "hist_fps"
+    )

@@ -420,3 +420,56 @@ def transition_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def substring_match_stream(
+    new_docs: DataFrame,
+    fp_index: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming SUBSTRING-level screen against a static winnowing
+    index — the third crawl-loop probe next to
+    :func:`incremental_dedup_stream` (exact) and
+    :func:`near_dup_stream` (whole-doc similarity): winnowing's
+    guarantee makes a fingerprint collision a position-robust shared
+    token RUN, so this face catches the quote/wrap/template case the
+    other two miss. Each arriving document is fingerprinted with the
+    SAME JVM expressions as the batch faces
+    (:func:`~udacity_dsnd_projects_spark.functions.dedup._winnow_fp_arrays`
+    — streaming-safe, no aggregation), its fingerprints probe the
+    index stream-static, and each colliding (new doc, hist doc) pair
+    is scored row-locally: ``shared = |fps ∩ hist_fps|``, ``overlap =
+    shared / |fps|`` — containment of the NEW document ("how much of
+    this crawl is already-known substring content"), the exact crawl
+    triage question, with the denominator entirely stream-side so the
+    score needs nothing but the collided row. Pairs at or above
+    ``threshold`` flow downstream as
+    (doc_id, hist_doc_id, shared, overlap).
+
+    ``fp_index`` is ``winnowing_index_for(history)`` materialized —
+    at scale a bucketed table keyed on ``fp`` (the publish-time DF cap
+    already dropped boilerplate mega-buckets). Multi-fingerprint
+    collisions produce duplicate candidate rows across micro-batches;
+    ``dropDuplicates`` keeps the first (compat unbounded state —
+    compose with a watermark column for the bounded form, as in
+    :func:`dedup_stream`)."""
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        WINNOW_OVERLAP_T,
+        _winnow_fp_arrays,
+    )
+    from pyspark.sql import functions as F
+
+    if threshold is None:
+        threshold = WINNOW_OVERLAP_T
+    probe = _winnow_fp_arrays(new_docs).select(
+        "doc_id", "fps", F.explode_outer("fps").alias("fp")
+    )
+    shared = F.size(F.array_intersect("fps", "hist_fps"))
+    return (
+        probe.join(fp_index, "fp")
+        .withColumn("shared", shared)
+        .withColumn("overlap", F.round(shared / F.size("fps"), 5))
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_id", "hist_doc_id", "shared", "overlap")
+        .dropDuplicates(["doc_id", "hist_doc_id"])
+    )
