@@ -83,10 +83,23 @@ ROUND9_ADDITIONS: tuple[str, ...] = (
     "market_basket_pairs",
 )
 
+#: Round-10 additions: the heavy new operator families — the MOSS
+#: winnowing match stage (capped inverted-index self-join over the
+#: winnowed fingerprint index), the per-stratum quality-distribution
+#: EMD gate (regex-heavy scoring scan + grid machinery), and the
+#: embedding-space contamination gate (broadcast benchmark cross
+#: score + per-vector argmax). Counted in ``value``, NOT in
+#: ``legacy17_sec``.
+ROUND10_ADDITIONS: tuple[str, ...] = (
+    "winnowing_overlap_pairs",
+    "quality_drift_report",
+    "semantic_contamination",
+)
+
 #: Queries timed by the bench. Grows as the registry grows; keep this
 #: the set of headline operators rather than every micro-query, so the
 #: number stays interpretable.
-HEADLINE: tuple[str, ...] = LEGACY17 + ROUND9_ADDITIONS
+HEADLINE: tuple[str, ...] = LEGACY17 + ROUND9_ADDITIONS + ROUND10_ADDITIONS
 
 
 def _sf_from_dir(d: str) -> float:
@@ -304,8 +317,11 @@ def crawl_loop_bench(spark) -> dict:
        peak-state rows pin the within-stream dedup state (bounded by
        the stream's distinct new hashes), output rows pin the
        truly-new count.
+    3. ``substring_stream`` — ``substring_match_stream`` against the
+       published winnowing index (stream-static probe, row-local
+       containment scoring); output rows pin the flagged-pair count.
 
-    Both static sides are read back from parquet, not reused as
+    All static sides are read back from parquet, not reused as
     in-memory frames — at scale they are stored tables, and reading
     them back keeps the probe-side plan (pushdown, broadcast of the
     slim index) honest."""
@@ -317,10 +333,14 @@ def crawl_loop_bench(spark) -> dict:
         boilerplate_index_for,
         strip_against_index,
     )
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        winnowing_index_for,
+    )
     from udacity_dsnd_projects_spark.sources.catalog import load_table
     from udacity_dsnd_projects_spark.streaming.sources import file_stream
     from udacity_dsnd_projects_spark.streaming.stateful import (
         incremental_dedup_stream,
+        substring_match_stream,
     )
 
     docs = load_table(spark, "documents", SF_DIR)
@@ -332,10 +352,12 @@ def crawl_loop_bench(spark) -> dict:
         hist.select(
             F.md5(F.col("text").cast("binary")).alias("content_md5")
         ).distinct().write.parquet(f"{root}/hashes")
+        winnowing_index_for(hist).write.parquet(f"{root}/winnow")
         _write_id_chunks(new, "doc_id", CRAWL_CHUNKS, f"{root}/new")
 
         index = spark.read.parquet(f"{root}/index")
         hashes = spark.read.parquet(f"{root}/hashes")
+        winnow = spark.read.parquet(f"{root}/winnow")
         out: dict = {}
 
         t0 = time.perf_counter()
@@ -364,6 +386,15 @@ def crawl_loop_bench(spark) -> dict:
             sum(p["sink"]["numOutputRows"] for p in progresses)
         )
         out["dedup_stream_sec"] = elapsed
+
+        matched = substring_match_stream(
+            file_stream(spark, f"{root}/new", docs.schema), winnow
+        )
+        progresses, elapsed = _run_stream(matched)
+        out["substring_stream_output_rows"] = int(
+            sum(p["sink"]["numOutputRows"] for p in progresses)
+        )
+        out["substring_stream_sec"] = elapsed
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
