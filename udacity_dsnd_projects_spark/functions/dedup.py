@@ -1400,7 +1400,11 @@ def _winnow_fp_arrays(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.size("g") - WINNOW_WINDOW + 1),
         lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_WINDOW)),
     )
-    return d.select("doc_id", F.array_distinct(wins).alias("fps"))
+    return d.select(
+        "doc_id",
+        F.size("g").alias("n_grams"),
+        F.array_distinct(wins).alias("fps"),
+    )
 
 
 def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
@@ -1501,7 +1505,7 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_WINNOW_FPS = rf"""
-  SELECT doc_id,
+  SELECT doc_id, len(g) AS n_grams,
          list_distinct(
            list_transform(range(1, len(g) - {WINNOW_WINDOW} + 2),
              i -> list_min(list_slice(g, i, i + {WINNOW_WINDOW - 1})))) AS fps
@@ -1578,3 +1582,62 @@ def winnowing_index_for(docs: DataFrame) -> DataFrame:
     return kept.join(arrs, "doc_id").select(
         "fp", F.col("doc_id").alias("hist_doc_id"), "hist_fps"
     )
+
+
+def winnowing_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing's self-grading readout — the fingerprint-family twin
+    of :func:`minhash_calibration_report` / the SimHash report: per
+    source, how many distinct fingerprints the corpus actually keeps
+    per gram, against the theoretical expected density 2/(w+1) for
+    random hash sequences (Schleimer et al. 2003 §3). A density far
+    BELOW expectation means repeated minima — heavy within-source
+    repetition (boilerplate) collapsing the fingerprint space, so the
+    match stage under-discriminates; a density near 1 means the
+    window is too small for the corpus (nearly every gram survives and
+    the index stops being a winnowed index). One row per source:
+    (source, n_docs, n_grams, n_fps, density, expected_density).
+
+    Scale shape: the per-doc (n_grams, |fps|) pair comes from the
+    shared substrate's one hashing scan; the source join moves only
+    (doc_id, source) and the rollup is map-side combinable — nothing
+    text-sized crosses an exchange."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = _winnow_fp_arrays(docs).select(
+        "doc_id", "n_grams", F.size("fps").alias("n_fps")
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        per.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_fps").alias("n_fps"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_fps",
+            F.round(F.col("n_fps") / F.col("n_grams"), 6).alias("density"),
+            F.round(F.lit(2.0 / (WINNOW_WINDOW + 1)), 6).alias(
+                "expected_density"
+            ),
+        )
+    )
+
+
+ORACLE_WINNOWING_DENSITY_REPORT = f"""
+WITH fps AS ({_ORACLE_WINNOW_FPS}),
+per AS (
+  SELECT f.doc_id, d.source, f.n_grams, len(f.fps) AS n_fps
+  FROM fps f JOIN documents d ON f.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_fps) AS BIGINT) AS n_fps,
+       ROUND(SUM(n_fps) * 1.0 / SUM(n_grams), 6) AS density,
+       ROUND(2.0 / {WINNOW_WINDOW + 1}, 6) AS expected_density
+FROM per GROUP BY source
+"""

@@ -733,6 +733,13 @@ register(
     _dedup.winnowing_overlap_pairs,
     _dedup.ORACLE_WINNOWING_OVERLAP_PAIRS,
 )
+# NEW (round 10): winnowing's self-grading readout — per-source
+# fingerprint density vs the theoretical 2/(w+1)
+register(
+    "winnowing_density_report",
+    _dedup.winnowing_density_report,
+    _dedup.ORACLE_WINNOWING_DENSITY_REPORT,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1192,12 +1199,15 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #: - winnowing_fingerprints: MOSS winnowing fingerprint set — the
 #:   position-robust substring-matching fingerprint.
 #: - winnowing_overlap_pairs: the MOSS match stage over that index.
+#: - winnowing_density_report: the family's calibration readout
+#:   (observed fingerprint density vs the theoretical 2/(w+1)).
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
     "semantic_contamination",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "winnowing_density_report",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
