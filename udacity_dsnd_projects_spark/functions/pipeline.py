@@ -1576,3 +1576,135 @@ SELECT cluster, COUNT(*) AS n_vecs,
          AS total_dist
 FROM assigned GROUP BY cluster
 """
+
+
+def contamination_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-method validation of the two decontamination gates in one
+    row — the :func:`~udacity_dsnd_projects_spark.functions.dedup.dedup_method_agreement`
+    pattern applied to eval-leakage detection: the n-gram gate
+    (:func:`ngram_contamination` at the :data:`CONTAM_DROP` action
+    threshold) and the embedding gate
+    (:func:`~udacity_dsnd_projects_spark.functions.similarity.semantic_contamination`)
+    flag overlapping-but-different doc sets by construction — n-grams
+    catch verbatim leakage, embeddings catch paraphrase — so their
+    overlap statistics are the regression signal: a tokenizer change
+    that silently breaks the n-gram gate, or an embedding refresh that
+    shifts the cosine geometry, craters the agreement before any
+    downstream eval moves. Universe = non-benchmark docs carrying BOTH
+    signals (an embedding row exists — the established
+    ``vec_id == doc_id`` convention); output:
+    (n_docs, n_ngram, n_semantic, n_both, agreement_jaccard,
+    ngram_only_share, semantic_only_share).
+
+    Scale shape: both gates' outputs are doc-id-sized; the comparison
+    is two id equi-joins onto the id universe and a one-row rollup.
+    Exact-count ratios divide in double, identically in both
+    engines."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        SEM_BENCH_MOD,
+        semantic_contamination,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    emb_ids = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    universe = docs.join(emb_ids, "doc_id").filter(
+        F.col("doc_id") % SEM_BENCH_MOD != 0
+    )
+    ng = (
+        contamination_for(load_table(spark, "documents", sf_dir))
+        .filter(F.col("contamination") >= CONTAM_DROP)
+        .select("doc_id", F.lit(1).alias("__n"))
+    )
+    sem = (
+        semantic_contamination(spark, sf_dir)
+        .filter(F.col("contaminated") == 1)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("__s"))
+    )
+    j = universe.join(ng, "doc_id", "left").join(sem, "doc_id", "left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("__n"), F.lit(0))).alias("n_ngram"),
+        F.sum(F.coalesce(F.col("__s"), F.lit(0))).alias("n_semantic"),
+        F.sum(
+            F.when(
+                F.col("__n").isNotNull() & F.col("__s").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when(
+                F.col("__n").isNotNull() | F.col("__s").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("__n_either"),
+    )
+    either = F.col("__n_either")
+    return agg.select(
+        "n_docs",
+        "n_ngram",
+        "n_semantic",
+        "n_both",
+        F.when(
+            either > 0,
+            F.round(F.col("n_both").cast("double") / either, 6),
+        ).alias("agreement_jaccard"),
+        F.when(
+            either > 0,
+            F.round((F.col("n_ngram") - F.col("n_both")).cast("double") / either, 6),
+        ).alias("ngram_only_share"),
+        F.when(
+            either > 0,
+            F.round(
+                (F.col("n_semantic") - F.col("n_both")).cast("double") / either, 6
+            ),
+        ).alias("semantic_only_share"),
+    )
+
+
+def _oracle_contamination_agreement() -> str:
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        ORACLE_SEMANTIC_CONTAMINATION,
+        SEM_BENCH_MOD,
+    )
+
+    return f"""
+WITH ng AS (
+  SELECT doc_id FROM ({ORACLE_NGRAM_CONTAMINATION})
+  WHERE contamination >= {CONTAM_DROP}
+), sem AS (
+  SELECT vec_id AS doc_id FROM ({ORACLE_SEMANTIC_CONTAMINATION})
+  WHERE contaminated = 1
+), u AS (
+  SELECT d.doc_id FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id % {SEM_BENCH_MOD} <> 0
+), j AS (
+  SELECT u.doc_id,
+         CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ng,
+         CASE WHEN sem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_sem
+  FROM u LEFT JOIN ng ON u.doc_id = ng.doc_id
+         LEFT JOIN sem ON u.doc_id = sem.doc_id
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(f_ng) AS BIGINT) AS n_ngram,
+       CAST(SUM(f_sem) AS BIGINT) AS n_semantic,
+       CAST(SUM(f_ng * f_sem) AS BIGINT) AS n_both,
+       CASE WHEN SUM(CASE WHEN f_ng + f_sem > 0 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(SUM(f_ng * f_sem) * 1.0
+                       / SUM(CASE WHEN f_ng + f_sem > 0 THEN 1 ELSE 0 END), 6)
+       END AS agreement_jaccard,
+       CASE WHEN SUM(CASE WHEN f_ng + f_sem > 0 THEN 1 ELSE 0 END) > 0
+            THEN ROUND((SUM(f_ng) - SUM(f_ng * f_sem)) * 1.0
+                       / SUM(CASE WHEN f_ng + f_sem > 0 THEN 1 ELSE 0 END), 6)
+       END AS ngram_only_share,
+       CASE WHEN SUM(CASE WHEN f_ng + f_sem > 0 THEN 1 ELSE 0 END) > 0
+            THEN ROUND((SUM(f_sem) - SUM(f_ng * f_sem)) * 1.0
+                       / SUM(CASE WHEN f_ng + f_sem > 0 THEN 1 ELSE 0 END), 6)
+       END AS semantic_only_share
+FROM j
+"""
+
+
+ORACLE_CONTAMINATION_METHOD_AGREEMENT = _oracle_contamination_agreement()

@@ -740,6 +740,14 @@ register(
     _dedup.winnowing_density_report,
     _dedup.ORACLE_WINNOWING_DENSITY_REPORT,
 )
+# NEW (round 10): cross-method validation of the two decontamination
+# gates (verbatim n-gram vs paraphrase embedding), the
+# dedup_method_agreement pattern
+register(
+    "contamination_method_agreement",
+    _pipe.contamination_method_agreement,
+    _pipe.ORACLE_CONTAMINATION_METHOD_AGREEMENT,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1201,6 +1209,8 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #: - winnowing_overlap_pairs: the MOSS match stage over that index.
 #: - winnowing_density_report: the family's calibration readout
 #:   (observed fingerprint density vs the theoretical 2/(w+1)).
+#: - contamination_method_agreement: n-gram vs embedding gate overlap
+#:   statistics (the dedup_method_agreement pattern).
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
@@ -1208,6 +1218,7 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "winnowing_density_report",
+    "contamination_method_agreement",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
