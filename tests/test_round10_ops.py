@@ -282,3 +282,61 @@ def test_monitor_rollup_end_to_end_survives_post_eviction_late_row(
         ("e", "2024-01-02"): 1,
         ("e", "2024-01-03"): 1,
     }
+
+
+@pytest.mark.slow
+def test_daily_counts_closed_stream_emits_each_day_once(
+    spark, tmp_path_factory
+):
+    """The append face's closed-day contract, by construction: a day
+    emits exactly once, when the watermark reaches its day-start
+    (inclusive — with a zero delay the newest seen day closes in the
+    same run, so ALL three days emit here), carrying its final count
+    including the still-live late merge from batch 2; the post-close
+    day-1 straggler in batch 3 produces NO second emission — in append
+    mode the watermark gates input, so the day-1 count can never
+    regress or duplicate."""
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        daily_type_counts_closed_stream,
+    )
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+
+    root = tmp_path_factory.mktemp("closed_days")
+    src = str(root / "events")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def t(d, h):
+        return dt.datetime(2024, 1, d, h)
+
+    batches = [
+        [(t(1, 10), "e"), (t(2, 9), "e")],
+        [(t(1, 23), "e"), (t(3, 1), "e")],  # live day-1 merge; day 3 opens
+        [(t(1, 22), "e")],  # post-close straggler
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    rows = run_to_memory(
+        daily_type_counts_closed_stream(
+            file_stream(spark, src, schema), delay="0 seconds"
+        ),
+        "closed_day_stream",
+        output_mode="append",
+    ).collect()
+    emitted = [((r["event_type"], str(r["d"])), r["n_events"]) for r in rows]
+    # exactly one emission per day, final counts, straggler invisible
+    assert sorted(emitted) == [
+        (("e", "2024-01-01"), 2),
+        (("e", "2024-01-02"), 1),
+        (("e", "2024-01-03"), 1),
+    ]

@@ -19,7 +19,10 @@ each half where it belongs in Spark's model:
   sequence — at-least-once replays upsert idempotently (T7), and a
   post-eviction resurrected LOW count loses the ``max_by`` merge
   against the already-published higher count, so the rollup never
-  regresses.
+  regresses. :func:`daily_type_counts_closed_stream` is the same plan
+  run in APPEND mode — the hard closed-day contract (each day emitted
+  exactly once, stragglers gated by the engine) for sinks without
+  upsert semantics.
 - **Full-history half** — z-scoring needs every day ever seen, which
   is exactly what a streaming agg should NOT hold in state. It stays
   a BATCH view (:func:`anomaly_monitor_view`) over the compacted
@@ -88,6 +91,33 @@ def daily_type_counts_stream(
             "n_events",
         )
     )
+
+
+def daily_type_counts_closed_stream(
+    events: DataFrame, delay: str = "1 day"
+) -> DataFrame:
+    """APPEND-mode face of :func:`daily_type_counts_stream` — the hard
+    closed-day contract, by construction: a (event_type, day) row is
+    emitted exactly ONCE, at the end of the micro-batch in which the
+    watermark reached its day-start (inclusive; emission IS eviction
+    in append mode), and append mode's watermark also GATES input —
+    a row arriving after its day closed is dropped by the engine, so a
+    re-opened, regressed or duplicated day is impossible and the sink
+    needs no last-write-wins guard: a plain append table works. The
+    price is latency and completeness: a day's count is invisible
+    until the watermark closes it (``delay`` past the newest seen
+    day-start), and post-close stragglers are LOST from the rollup
+    rather than merged — the update face + compacted sink is the
+    lower-latency, more-batch-consistent default; this face is for
+    sinks without upsert semantics. Same session-timezone day
+    bucketing, same schema, same downstream
+    :func:`anomaly_monitor_view`.
+
+    The LOGICAL plan is the update face's — the closed-day contract is
+    a property of append-mode execution, not of the plan — so this
+    delegates and the caller runs it with ``outputMode("append")``
+    (pinned by ``test_daily_counts_closed_stream_emits_each_day_once``)."""
+    return daily_type_counts_stream(events, delay)
 
 
 def anomaly_monitor_view(spark: SparkSession, rollup_path: str) -> DataFrame:
