@@ -38,8 +38,15 @@ def test_bench_headline_decomposes_into_legacy17_plus_additions():
         "customer_rfm",
         "market_basket_pairs",
     }
-    assert not set(bench.LEGACY17) & set(bench.ROUND9_ADDITIONS)
-    assert bench.HEADLINE == bench.LEGACY17 + bench.ROUND9_ADDITIONS
+    assert set(bench.ROUND10_ADDITIONS) == {
+        "winnowing_overlap_pairs",
+        "quality_drift_report",
+        "semantic_contamination",
+    }
+    adds = bench.ROUND9_ADDITIONS + bench.ROUND10_ADDITIONS
+    assert not set(bench.LEGACY17) & set(adds)
+    assert len(set(adds)) == len(adds)
+    assert bench.HEADLINE == bench.LEGACY17 + adds
     qs = registry.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"headline queries absent from registry: {missing}"
