@@ -340,3 +340,69 @@ def test_daily_counts_closed_stream_emits_each_day_once(
         (("e", "2024-01-02"), 1),
         (("e", "2024-01-03"), 1),
     ]
+
+
+def test_embedding_health_report_counts_injected_defects(spark):
+    """The synthetic corpus is clean, so the driver-facing query only
+    proves the zero-defect face; this pins the defect paths on an
+    injected frame: a NULL embedding, a NaN component, an Inf
+    component, a zero vector, and a ragged (3-dim among 2-dim) vector —
+    each counted in exactly one bucket, norm stats excluding exactly
+    the rows whose norm is undefined/contagious, and ``healthy`` False
+    everywhere it should be."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        health_rollup,
+    )
+
+    rows = [
+        (0, [3.0, 4.0]),        # clean, norm 5
+        (0, [0.6, 0.8]),        # clean, norm 1
+        (0, None),              # null
+        (1, [float("nan"), 1.0]),   # non-finite
+        (1, [float("inf"), 1.0]),   # non-finite
+        (1, [0.0, 0.0]),        # zero norm
+        (2, [1.0, 0.0, 0.0]),   # ragged dim (3 vs 2) but clean norm
+        (2, [1.0, 0.0]),        # clean
+    ]
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {
+        r["scope"]: r.asDict() for r in health_rollup(emb).collect()
+    }
+    assert set(out) == {"0", "1", "2", "ALL"}
+
+    r0 = out["0"]
+    assert (r0["n_vectors"], r0["n_null"], r0["n_nonfinite"]) == (3, 1, 0)
+    assert (r0["norm_min"], r0["norm_avg"], r0["norm_max"]) == (1.0, 3.0, 5.0)
+    assert r0["n_dims"] == 1 and not r0["healthy"]  # the null breaks it
+
+    r1 = out["1"]
+    assert (r1["n_nonfinite"], r1["n_zero_norm"]) == (2, 1)
+    # non-finite vectors are excluded from norm stats (contagious NaN)
+    # but their length still counts toward dim consistency — dims are
+    # measured on all non-null rows
+    assert (r1["norm_min"], r1["norm_max"]) == (0.0, 0.0)
+    assert r1["n_dims"] == 1 and not r1["healthy"]
+
+    r2 = out["2"]
+    assert (r2["n_dims"], r2["dim_min"], r2["dim_max"]) == (2, 2, 3)
+    assert not r2["healthy"]  # ragged dimension alone fails the gate
+    assert (r2["n_null"], r2["n_nonfinite"], r2["n_zero_norm"]) == (0, 0, 0)
+
+    tot = out["ALL"]
+    assert tot["n_vectors"] == 8
+    assert (tot["n_null"], tot["n_nonfinite"], tot["n_zero_norm"]) == (1, 2, 1)
+    assert (tot["n_dims"], tot["dim_min"], tot["dim_max"]) == (2, 2, 3)
+    assert not tot["healthy"]
+
+
+def test_embedding_health_report_scans_corpus_once(spark, sf_dir):
+    """rollup() derives the ALL row from the same map-side partials as
+    the per-label rows — the plan must contain exactly ONE parquet scan
+    of embeddings and Expand-based grouping, not a self-union."""
+    from udacity_dsnd_projects_spark import registry
+
+    plan = registry.queries()["embedding_health_report"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan

@@ -1707,4 +1707,20 @@ FROM j
 """
 
 
-ORACLE_CONTAMINATION_METHOD_AGREEMENT = _oracle_contamination_agreement()
+def __getattr__(name: str):
+    """PEP 562 lazy attribute: ORACLE_CONTAMINATION_METHOD_AGREEMENT
+    embeds similarity's ORACLE_SEMANTIC_CONTAMINATION, and similarity's
+    own init imports THIS module (KMEANS_K, ORACLE_KMEANS_ASSIGN for
+    its semantic-dedup/IVF oracles) — composing the string at module
+    init would make import ORDER load-bearing (`import similarity`
+    first failed while `import pipeline` first worked). Deferring the
+    composition to first attribute access (registry registration time,
+    when both modules are complete) breaks the init-time cycle in both
+    orders."""
+    if name == "ORACLE_CONTAMINATION_METHOD_AGREEMENT":
+        value = _oracle_contamination_agreement()
+        globals()[name] = value  # compose once, then behave static
+        return value
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

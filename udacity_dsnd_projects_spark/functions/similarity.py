@@ -1632,3 +1632,149 @@ SELECT vec_id, bench_id, cosine,
                  THEN 1 ELSE 0 END AS INTEGER) AS contaminated
 FROM top1 CROSS JOIN g
 """
+
+
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-index vector-sanity gate: per-label health rollup plus an
+    ALL row — (scope, n_vectors, n_null, n_nonfinite, n_zero_norm,
+    n_dims, dim_min, dim_max, norm_min, norm_avg, norm_max, healthy).
+    The validation scan every vector pipeline runs BEFORE building an
+    index: a NaN component poisons every dot product it touches, a
+    zero-norm vector turns cosine into 0/0, and a ragged dimension
+    crashes the index build — all three are cheapest to catch at
+    ingest, in one pass, not inside a failing ANN job. ``healthy`` is
+    the ship/no-ship bit: zero defects and a single consistent
+    dimension.
+
+    Semantics per row: a NULL embedding counts in ``n_null`` only; a
+    vector with any NaN/±Inf component counts in ``n_nonfinite`` and is
+    excluded from the norm/dim-consistency stats (its norm is NaN by
+    contagion — including it would poison exactly the stats this gate
+    protects); ``n_zero_norm`` counts finite vectors whose L2 norm
+    rounds to 0 at 6 dp (norm < 5e-7 — degenerate for cosine).
+    ``n_dims`` is the number of DISTINCT dimensions among non-null
+    rows: 1 is the only healthy value.
+
+    Scale shape: ONE corpus scan; every per-row flag is a JVM array
+    expression (``exists`` / ``aggregate`` — no Python); ``rollup``
+    gives the per-label rows and the ALL row from the same map-side
+    partials, so the global face costs no second scan. The output is
+    labels+1 rows. Cross-engine float discipline: norms are computed
+    in double over float32-cast-once values and pre-rounded to 6 dp;
+    the mean accumulates those pre-rounded terms in DECIMAL (summation
+    -order independent), divides in double.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select("label", "embedding")
+    return health_rollup(emb)
+
+
+def health_rollup(emb: DataFrame) -> DataFrame:
+    """DataFrame face of :func:`embedding_health_report`: input is any
+    (label, embedding array<float|double>) frame — the defect paths
+    (null / NaN / Inf / zero-norm / ragged dimension) are exercised on
+    injected frames in ``tests/test_round10_ops.py`` since the synthetic
+    corpus is clean by construction."""
+    v = _as_double(F.col("embedding"))
+    is_null = F.col("embedding").isNull()
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    valid = (~is_null) & (~F.coalesce(nonfinite, F.lit(False)))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    rows = emb.select(
+        "label",
+        F.when(is_null, F.lit(1)).otherwise(F.lit(0)).alias("f_null"),
+        F.when(nonfinite, F.lit(1)).otherwise(F.lit(0)).alias("f_nonfinite"),
+        F.when(~is_null, F.size("embedding")).alias("dim"),
+        F.when(valid, F.round(norm, 6)).alias("norm_r"),
+    )
+    agg = rows.rollup("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("f_null").cast("bigint").alias("n_null"),
+        F.sum("f_nonfinite").cast("bigint").alias("n_nonfinite"),
+        F.sum(
+            F.when(F.col("norm_r") == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.countDistinct("dim").cast("bigint").alias("n_dims"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.min("norm_r").alias("norm_min"),
+        (
+            F.sum(F.col("norm_r").cast("decimal(18,6)")).cast("double")
+            / F.count("norm_r")
+        ).alias("__avg"),
+        F.max("norm_r").alias("norm_max"),
+        F.grouping("label").alias("__g"),
+    )
+    return agg.select(
+        F.when(F.col("__g") == 1, F.lit("ALL"))
+        .otherwise(F.col("label").cast("string"))
+        .alias("scope"),
+        "n_vectors",
+        "n_null",
+        "n_nonfinite",
+        "n_zero_norm",
+        "n_dims",
+        "dim_min",
+        "dim_max",
+        "norm_min",
+        F.round(F.col("__avg"), 6).alias("norm_avg"),
+        "norm_max",
+        (
+            (
+                F.col("n_null") + F.col("n_nonfinite") + F.col("n_zero_norm")
+                == 0
+            )
+            & (F.col("n_dims") <= 1)
+        ).alias("healthy"),
+    )
+
+
+ORACLE_EMBEDDING_HEALTH_REPORT = """
+WITH rows_ AS (
+  SELECT label,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS f_null,
+         CASE WHEN len(list_filter(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                x -> isnan(x) OR isinf(x))) > 0
+              THEN 1 ELSE 0 END AS f_nonfinite,
+         CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim,
+         CASE WHEN embedding IS NOT NULL
+               AND len(list_filter(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     x -> isnan(x) OR isinf(x))) = 0
+              THEN ROUND(sqrt(list_reduce(
+                     list_prepend(0.0, list_transform(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       x -> x * x)),
+                     (acc, x) -> acc + x)), 6) END AS norm_r
+  FROM embeddings
+)
+SELECT CASE WHEN GROUPING(label) = 1 THEN 'ALL'
+            ELSE CAST(label AS VARCHAR) END AS scope,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(f_null) AS BIGINT) AS n_null,
+       CAST(SUM(f_nonfinite) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN norm_r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+       MIN(dim) AS dim_min,
+       MAX(dim) AS dim_max,
+       MIN(norm_r) AS norm_min,
+       ROUND(CAST(SUM(CAST(norm_r AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(norm_r), 6) AS norm_avg,
+       MAX(norm_r) AS norm_max,
+       (SUM(f_null) + SUM(f_nonfinite)
+        + SUM(CASE WHEN norm_r = 0 THEN 1 ELSE 0 END) = 0
+        AND COUNT(DISTINCT dim) <= 1) AS healthy
+FROM rows_
+GROUP BY ROLLUP (label)
+"""

@@ -748,6 +748,13 @@ register(
     _pipe.contamination_method_agreement,
     _pipe.ORACLE_CONTAMINATION_METHOD_AGREEMENT,
 )
+# NEW (round 10): pre-index vector-sanity gate — null / non-finite /
+# zero-norm / ragged-dimension counts + norm stats per label, one scan
+register(
+    "embedding_health_report",
+    _sim.embedding_health_report,
+    _sim.ORACLE_EMBEDDING_HEALTH_REPORT,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1211,6 +1218,9 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #:   (observed fingerprint density vs the theoretical 2/(w+1)).
 #: - contamination_method_agreement: n-gram vs embedding gate overlap
 #:   statistics (the dedup_method_agreement pattern).
+#: - embedding_health_report: pre-index vector-sanity gate (null /
+#:   non-finite / zero-norm / ragged-dimension counts + norm stats,
+#:   per label via rollup — one scan, labels+1 rows).
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
@@ -1219,6 +1229,7 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "winnowing_overlap_pairs",
     "winnowing_density_report",
     "contamination_method_agreement",
+    "embedding_health_report",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
