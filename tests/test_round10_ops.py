@@ -406,3 +406,48 @@ def test_embedding_health_report_scans_corpus_once(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_shard_balance_report_is_consistent_with_shard_assign(spark, sf_dir):
+    """The report fuses the token payload into the same global-rank
+    scan shard_assign runs — the per-shard doc counts must therefore
+    equal a direct rollup of shard_assign's output, doc counts must be
+    balanced to ±1 (round-robin), token shares must sum to 1 and skew
+    ratios must average to 1 by construction."""
+    from udacity_dsnd_projects_spark import registry
+    from udacity_dsnd_projects_spark.functions.pipeline import shard_assign
+
+    rows = (
+        registry.queries()["shard_balance_report"](spark, sf_dir)
+        .orderBy("shard")
+        .collect()
+    )
+    direct = {
+        r["shard"]: r["n"]
+        for r in shard_assign(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["shard"]: r["n_docs"] for r in rows} == direct
+    n_docs = [r["n_docs"] for r in rows]
+    assert max(n_docs) - min(n_docs) <= 1
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    ratios = [r["token_skew_ratio"] for r in rows]
+    assert abs(sum(ratios) / len(ratios) - 1.0) < 1e-4
+    assert all(r["max_doc_tokens"] <= r["n_tokens"] for r in rows)
+
+
+def test_shard_balance_report_scans_documents_once(spark, sf_dir):
+    """The token/char payload rides the rank scan, and the N_SHARDS-row
+    per-shard frame is eagerly checkpointed before its two consumers
+    (the totals aggregate and the final select) — so the RETURNED
+    frame's plan re-reads only the checkpointed rollup and never the
+    documents parquet: zero FileScans, exactly like the
+    quality_drift_report cell frame."""
+    from udacity_dsnd_projects_spark import registry
+
+    plan = registry.queries()["shard_balance_report"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan

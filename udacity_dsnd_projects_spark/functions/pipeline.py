@@ -1104,6 +1104,102 @@ FROM r
 """
 
 
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler readout for :func:`shard_assign`: per shard, the doc /
+    whitespace-token / char mass plus the largest single document, and
+    each shard's token share and skew ratio (shard tokens over the
+    uniform per-shard expectation). Round-robin dealing balances DOC
+    counts by construction (±1), but training-step wall-clock follows
+    TOKEN mass — a shard that drew the long-document tail is the
+    epoch's straggler, and this is the gate that catches it before a
+    1000-GPU job does. The companion of :func:`pack_efficiency` (which
+    grades packing within a shard) and ``skew_profile`` (which grades
+    join keys).
+
+    Scale shape: ONE documents scan — the token/char payload rides the
+    same frame :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    range-buckets for the global shuffle rank (payload columns carry
+    through), so the report costs no second scan over text. The rollup
+    is N_SHARDS rows; the totals come from a 1-row aggregate over THAT,
+    broadcast back. Ratios divide exact integer counts in double —
+    engine-identical."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sort_key"),
+        F.size(_toks("text")).cast("bigint").alias("__toks"),
+        F.length("text").cast("bigint").alias("__chars"),
+    )
+    ranked = exact_group_rank(d, [], "sort_key", ["doc_id"], rank_col="rk")
+    per = (
+        ranked.select(
+            ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
+            "__toks",
+            "__chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__toks").alias("n_tokens"),
+            F.sum("__chars").alias("n_chars"),
+            F.max("__toks").alias("max_doc_tokens"),
+        )
+        # N_SHARDS rows; materialized because BOTH the totals aggregate
+        # and the final select consume it — without this the documents
+        # scan executes twice
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__t"), F.count(F.lit(1)).alias("__n")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "max_doc_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("__t"), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            (F.col("n_tokens") * F.col("__n")).cast("double") / F.col("__t"), 6
+        ).alias("token_skew_ratio"),
+    )
+
+
+#: The oracle reuses ORACLE_SHARD_ASSIGN's rank→shard mapping verbatim
+#: (join formulation; the Spark side fuses the payload into the rank
+#: scan — same mapping, so the rollups agree).
+ORACLE_SHARD_BALANCE_REPORT = rf"""
+WITH sa AS ({ORACLE_SHARD_ASSIGN}),
+d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_toks,
+         CAST(length(text) AS BIGINT) AS n_chars_doc
+  FROM documents
+), per AS (
+  SELECT sa.shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(d.n_chars_doc) AS BIGINT) AS n_chars,
+         MAX(d.n_toks) AS max_doc_tokens
+  FROM sa JOIN d USING (doc_id)
+  GROUP BY sa.shard
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS n FROM per
+)
+SELECT shard, n_docs, n_tokens, n_chars, max_doc_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+       ROUND(CAST(n_tokens * n AS DOUBLE) / t, 6) AS token_skew_ratio
+FROM per CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Source mixture weights (round-4 addition)
 # --------------------------------------------------------------------------

@@ -755,6 +755,13 @@ register(
     _sim.embedding_health_report,
     _sim.ORACLE_EMBEDDING_HEALTH_REPORT,
 )
+# NEW (round 10): per-shard token-mass straggler readout for
+# shard_assign — payload fused into the global-rank scan, no 2nd scan
+register(
+    "shard_balance_report",
+    _pipe.shard_balance_report,
+    _pipe.ORACLE_SHARD_BALANCE_REPORT,
+)
 
 # ==========================================================================
 # DRIVER WINDOW (round 6) — the driver's CORRECTNESS report truncates at
@@ -1221,6 +1228,9 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #: - embedding_health_report: pre-index vector-sanity gate (null /
 #:   non-finite / zero-norm / ragged-dimension counts + norm stats,
 #:   per label via rollup — one scan, labels+1 rows).
+#: - shard_balance_report: per-shard token-mass straggler readout for
+#:   shard_assign (docs are balanced by construction; token mass is
+#:   what stragglers follow) — payload fused into the rank scan.
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
@@ -1230,6 +1240,7 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "winnowing_density_report",
     "contamination_method_agreement",
     "embedding_health_report",
+    "shard_balance_report",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
