@@ -85,6 +85,64 @@ def test_quality_drift_skewed_stratum_fires(spark, sf_dir):
     assert got["spamB"]["drifted"] == 1 and got["webA"]["drifted"] == 1
 
 
+def test_quality_drift_single_band_corpus_keeps_every_stratum(spark):
+    """Degenerate-corpus contract: when EVERY document lands in one
+    quality band (m = 1), each stratum's distribution trivially equals
+    the global point mass — the report must still emit one row per
+    stratum with emd exactly 0 and the gate quiet, not vanish (the
+    band < band_max exclusion is a conditional inside the aggregate,
+    never a row filter that could empty the grid)."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark.functions.curation import (
+        quality_drift_report,
+    )
+
+    good = "the and is of a plain clean sentence with many common words"
+    rows = [(i, good, "en", "webA", len(good)) for i in range(5)]
+    rows += [(100 + i, good, "en", "webB", len(good)) for i in range(5)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["source"]: r for r in quality_drift_report(spark, d).collect()
+        }
+    assert set(got) == {"webA", "webB"}
+    for r in got.values():
+        assert r["n_docs"] == 5
+        assert r["emd"] == 0.0
+        assert r["drifted"] == 0
+
+
+def test_t_closeness_single_band_domain_keeps_every_group(spark):
+    """Same degenerate contract for the privacy-gate twin: a sensitive
+    domain that collapses to ONE balance band (m = 1) means every QI
+    group matches the global distribution exactly — the report must
+    count all rows and groups with t_max 0, not aggregate an empty
+    frame into NULLs."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        t_closeness_report,
+    )
+
+    # constant acctbal → a single band for the whole table
+    rows = [(i, i % 3, ["AUTO", "HOME"][i % 2], 1500.0) for i in range(12)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_nationkey long, c_mktsegment string, "
+            "c_acctbal double",
+        ).write.parquet(f"{d}/customer.parquet")
+        row = t_closeness_report(spark, d).collect()[0]
+    assert row["n_rows"] == 12
+    assert row["n_groups"] == 6
+    assert row["t_max"] == 0.0
+    assert row["groups_t_gt"] == 0 and row["rows_t_gt"] == 0
+    assert row["pct_rows_t_gt"] == 0.0
+
+
 # --- guard_metrics_report ---------------------------------------------------
 
 

@@ -905,22 +905,33 @@ def quality_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the final band's cumulative diff is 0 by construction — exclude
     # it so float noise there can't leak into the sum
+    # the exclusion is a CONDITIONAL inside the aggregate (not a row
+    # filter) so every stratum survives even a single-band corpus,
+    # where the grid holds only band_max rows; m == 1 means the global
+    # distribution has one point mass and every stratum trivially
+    # matches it — emd is 0 by definition (0/0 otherwise)
     per_group = (
         grid.withColumn("__cum", F.sum(diff).over(w))
-        .filter(F.col("band") < F.col("band_max"))
         .groupBy("lang", "source", "grp_n", "m")
         .agg(
             F.sum(
-                F.round(F.abs(F.col("__cum")), 8).cast("decimal(30,10)")
+                F.when(
+                    F.col("band") < F.col("band_max"),
+                    F.round(F.abs(F.col("__cum")), 8).cast("decimal(30,10)"),
+                )
             ).alias("__emd_dec")
         )
         .select(
             "lang",
             "source",
             F.col("grp_n").alias("n_docs"),
-            F.round(
-                F.col("__emd_dec").cast("double") / (F.col("m") - 1), 6
-            ).alias("emd"),
+            F.when(F.col("m") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("__emd_dec").cast("double") / (F.col("m") - 1), 6
+                )
+            )
+            .alias("emd"),
         )
     )
     return per_group.withColumn(
@@ -955,9 +966,11 @@ WITH cell AS (
   FROM grid
 ), per_group AS (
   SELECT lang, source, CAST(grp_n AS BIGINT) AS n_docs,
-         ROUND(CAST(SUM(CAST(ROUND(ABS(c), 8) AS DECIMAL(30,10)))
-                    AS DOUBLE) / (ANY_VALUE(m) - 1), 6) AS emd
-  FROM cum WHERE band < band_max
+         CASE WHEN ANY_VALUE(m) = 1 THEN 0.0
+              ELSE ROUND(CAST(SUM(CASE WHEN band < band_max THEN
+                           CAST(ROUND(ABS(c), 8) AS DECIMAL(30,10)) END)
+                         AS DOUBLE) / (ANY_VALUE(m) - 1), 6) END AS emd
+  FROM cum
   GROUP BY lang, source, grp_n
 )
 SELECT lang, source, n_docs, emd,

@@ -637,20 +637,31 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different summation order in the other engine cannot flip a
     # last-ulp value at the 6-dp rounding boundary — same convention
     # as the MinHash/SimHash calibration reports
+    # the exclusion is a CONDITIONAL inside the aggregate (not a row
+    # filter) so every group survives even a single-band sensitive
+    # domain, where the grid holds only band_max rows; m == 1 means
+    # the global distribution is one point mass and every group
+    # trivially matches it — t is 0 by definition (0/0 otherwise)
     per_group = (
         grid.withColumn("__cum", F.sum(diff).over(w))
-        .filter(F.col("band") < F.col("band_max"))
         .groupBy("c_nationkey", "c_mktsegment", "grp_n", "m")
         .agg(
             F.sum(
-                F.round(F.abs(F.col("__cum")), 8).cast("decimal(30,10)")
+                F.when(
+                    F.col("band") < F.col("band_max"),
+                    F.round(F.abs(F.col("__cum")), 8).cast("decimal(30,10)"),
+                )
             ).alias("__emd_dec")
         )
         .select(
             "grp_n",
-            F.round(
-                F.col("__emd_dec").cast("double") / (F.col("m") - 1), 6
-            ).alias("t"),
+            F.when(F.col("m") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("__emd_dec").cast("double") / (F.col("m") - 1), 6
+                )
+            )
+            .alias("t"),
         )
     )
     agg = per_group.agg(
@@ -701,9 +712,11 @@ WITH cell AS (
   FROM grid
 ), per_group AS (
   SELECT grp_n,
-         ROUND(CAST(SUM(CAST(ROUND(ABS(c), 8) AS DECIMAL(30,10)))
-                    AS DOUBLE) / (ANY_VALUE(m) - 1), 6) AS t
-  FROM cum WHERE band < band_max
+         CASE WHEN ANY_VALUE(m) = 1 THEN 0.0
+              ELSE ROUND(CAST(SUM(CASE WHEN band < band_max THEN
+                           CAST(ROUND(ABS(c), 8) AS DECIMAL(30,10)) END)
+                         AS DOUBLE) / (ANY_VALUE(m) - 1), 6) END AS t
+  FROM cum
   GROUP BY c_nationkey, c_mktsegment, grp_n
 )
 SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
