@@ -372,30 +372,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_for(load_table(spark, "documents", sf_dir))
 
 
-def shingle_pair_counts(docs: DataFrame) -> DataFrame:
-    """Shared candidate-pair substrate of the Jaccard AND containment
-    faces: (doc_a, doc_b, common, na, nb) for every doc pair sharing
-    ≥1 rare shingle — the stop-shingle-capped inverted-index self-join
-    described in :func:`ngram_jaccard_pairs`. Factored so the two
-    faces can never drift on the index/cap/join shape."""
+def _df_capped(ex: DataFrame, key: str) -> DataFrame:
+    """Stop-key guard shared by every inverted-index face: drop keys
+    whose document frequency exceeds :data:`SHINGLE_DF_CAP` from a
+    (doc_id, key) posting frame. The DF comes from a window count over
+    the same key the downstream self-join or publish shuffles on, so
+    the guard rides an exchange that stage needs anyway."""
     from pyspark.sql import Window
 
-    sh = _shingled_docs(docs)
-    # explode_outer, deliberately: plain explode makes Catalyst infer a
-    # `size(sh) > 0` filter and push it below the projections, inlining
-    # the whole shingle expression into the Filter — the hashing would
-    # run twice per row. _shingled_docs never yields an empty array, so
-    # outer semantics are identical here.
-    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
-    kept = (
-        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    return (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy(key)))
         .filter(F.col("__df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "s")
+        .select("doc_id", key)
     )
+
+
+def _capped_pair_counts(ex: DataFrame, key: str) -> DataFrame:
+    """Capped inverted-index self-join shared by the shingle faces
+    (Jaccard / containment) AND the winnowing match stage:
+    (doc_a, doc_b, common, na, nb) for every doc pair sharing ≥1 kept
+    key. ONE definition so a cap or join-shape change can never drift
+    between the families — only the posting key differs. The ``merge``
+    hint forces a sort-merge self-join: both sides then need the SAME
+    shuffle exchange on the key, which ReuseExchange computes once
+    (a broadcast self-join would re-evaluate the expensive posting
+    subtree to build the hash relation)."""
+    kept = _df_capped(ex, key)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
     return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -404,6 +414,22 @@ def shingle_pair_counts(docs: DataFrame) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     )
+
+
+def shingle_pair_counts(docs: DataFrame) -> DataFrame:
+    """Shared candidate-pair substrate of the Jaccard AND containment
+    faces: (doc_a, doc_b, common, na, nb) for every doc pair sharing
+    ≥1 rare shingle — the stop-shingle-capped inverted-index self-join
+    described in :func:`ngram_jaccard_pairs`, via
+    :func:`_capped_pair_counts`."""
+    sh = _shingled_docs(docs)
+    # explode_outer, deliberately: plain explode makes Catalyst infer a
+    # `size(sh) > 0` filter and push it below the projections, inlining
+    # the whole shingle expression into the Filter — the hashing would
+    # run twice per row. _shingled_docs never yields an empty array, so
+    # outer semantics are identical here.
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
+    return _capped_pair_counts(ex, "s")
 
 
 def jaccard_pairs_for(docs: DataFrame) -> DataFrame:
@@ -1468,35 +1494,8 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass per bucket shrinks quadratically vs the full shingle index.
     That thinning is why MOSS scales: the guarantee survives, the
     index doesn't carry every gram."""
-    from pyspark.sql import Window
-
-    ex = _winnow_fp_rows(load_table(spark, "documents", sf_dir))
-    kept = (
-        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .filter(F.col("__df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "fp")
-    )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("common"))
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
+    pairs = _capped_pair_counts(
+        _winnow_fp_rows(load_table(spark, "documents", sf_dir)), "fp"
     )
     ov = F.col("common") / F.least("na", "nb")
     return pairs.filter(ov >= WINNOW_OVERLAP_T).select(
@@ -1568,14 +1567,7 @@ def winnowing_index_for(docs: DataFrame) -> DataFrame:
     probe keys and the carried arrays, exactly as the batch match
     stage drops them before its self-join. At scale this is a bucketed
     table keyed on ``fp`` so the stream-side probe prunes."""
-    from pyspark.sql import Window
-
-    ex = _winnow_fp_rows(docs)
-    kept = (
-        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .filter(F.col("__df") <= SHINGLE_DF_CAP)
-        .select("doc_id", "fp")
-    )
+    kept = _df_capped(_winnow_fp_rows(docs), "fp")
     arrs = kept.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("fp")).alias("hist_fps")
     )

@@ -1067,13 +1067,13 @@ FROM c
 N_SHARDS = 16
 
 
-def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training shuffle: order documents by a
-    pseudo-random-but-reproducible sort key (the first 60 bits of
-    ``md5(doc_id)``), then deal them round-robin into ``N_SHARDS``
-    equal shards with a within-shard position — the
-    shuffle-then-shard step every epoch-based training pipeline runs,
-    with bit-identical output on every rerun (no RNG state).
+def _shard_ranked(docs: DataFrame, *payload: Column) -> DataFrame:
+    """Shared shuffle-key / global-rank / shard derivation — ONE
+    definition so :func:`shard_balance_report` can never grade a
+    different sharding than the one :func:`shard_assign` ships (the
+    oracles share ``ORACLE_SHARD_ASSIGN`` for the same reason).
+    Returns (doc_id, sort_key, rk, shard [+ payload columns], which
+    ride the rank's range-bucket shuffle — no second documents scan).
 
     The global rank comes from
     :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
@@ -1083,18 +1083,33 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     would pull the entire corpus through one task."""
     from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
 
-    docs = load_table(spark, "documents", sf_dir)
     d = docs.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("sort_key"),
+        *payload,
     )
     ranked = exact_group_rank(d, [], "sort_key", ["doc_id"], rank_col="rk")
-    return ranked.select(
+    return ranked.withColumn(
+        "shard", ((F.col("rk") - 1) % N_SHARDS).cast("long")
+    )
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: order documents by a
+    pseudo-random-but-reproducible sort key (the first 60 bits of
+    ``md5(doc_id)``), then deal them round-robin into ``N_SHARDS``
+    equal shards with a within-shard position — the
+    shuffle-then-shard step every epoch-based training pipeline runs,
+    with bit-identical output on every rerun (no RNG state). Rank and
+    shard derivation shared with the balance report via
+    :func:`_shard_ranked`."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _shard_ranked(docs).select(
         "doc_id",
         "sort_key",
-        ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
+        "shard",
         ((F.col("rk") - 1) / N_SHARDS).cast("long").alias("pos"),
     )
 
@@ -1130,30 +1145,20 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys).
 
     Scale shape: ONE documents scan — the token/char payload rides the
-    same frame :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
-    range-buckets for the global shuffle rank (payload columns carry
-    through), so the report costs no second scan over text. The rollup
-    is N_SHARDS rows; the totals come from a 1-row aggregate over THAT,
-    broadcast back. Ratios divide exact integer counts in double —
-    engine-identical."""
-    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
-
+    shared :func:`_shard_ranked` derivation (payload columns carry
+    through the rank's range-bucket shuffle), so the report costs no
+    second scan over text AND cannot drift from the sharding it
+    grades. The rollup is N_SHARDS rows; the totals come from a 1-row
+    aggregate over THAT, broadcast back. Ratios divide exact integer
+    counts in double — engine-identical."""
     docs = load_table(spark, "documents", sf_dir)
-    d = docs.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("sort_key"),
+    ranked = _shard_ranked(
+        docs,
         F.size(_toks("text")).cast("bigint").alias("__toks"),
         F.length("text").cast("bigint").alias("__chars"),
     )
-    ranked = exact_group_rank(d, [], "sort_key", ["doc_id"], rank_col="rk")
     per = (
-        ranked.select(
-            ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
-            "__toks",
-            "__chars",
-        )
+        ranked.select("shard", "__toks", "__chars")
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1521,11 +1521,22 @@ ORACLE_LABEL_SEPARATION_REPORT = _oracle_label_separation()
 # Semantic contamination (embedding-space eval-set leakage)
 # --------------------------------------------------------------------------
 
-#: Benchmark membership rule for the semantic gate — the same
-#: deterministic stand-in the n-gram gate uses
-#: (``pipeline.BENCH_MOD``): vectors with ``vec_id % 97 == 0`` play
-#: the eval suite.
-SEM_BENCH_MOD = 97
+def _bench_mod() -> int:
+    # function-level import per the module's cycle rule (see
+    # _oracle_semantic_dedup): pipeline never imports similarity at
+    # init, so this resolves in both import orders
+    from udacity_dsnd_projects_spark.functions.pipeline import BENCH_MOD
+
+    return BENCH_MOD
+
+
+#: Benchmark membership rule for the semantic gate — DERIVED from the
+#: n-gram gate's ``pipeline.BENCH_MOD`` (vectors with
+#: ``vec_id % BENCH_MOD == 0`` play the eval suite) so the two gates
+#: can never desynchronize their benchmark universes:
+#: contamination_method_agreement joins one gate's flags against the
+#: other's and its statistics are silently wrong if the rules differ.
+SEM_BENCH_MOD = _bench_mod()
 
 
 def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1648,12 +1659,15 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Semantics per row: a NULL embedding counts in ``n_null`` only; a
     vector with any NaN/±Inf component counts in ``n_nonfinite`` and is
-    excluded from the norm/dim-consistency stats (its norm is NaN by
-    contagion — including it would poison exactly the stats this gate
-    protects); ``n_zero_norm`` counts finite vectors whose L2 norm
-    rounds to 0 at 6 dp (norm < 5e-7 — degenerate for cosine).
-    ``n_dims`` is the number of DISTINCT dimensions among non-null
-    rows: 1 is the only healthy value.
+    excluded from the NORM stats (its norm is NaN by contagion —
+    including it would poison exactly the stats this gate protects),
+    but its LENGTH still counts toward the dim-consistency stats — a
+    ragged non-finite vector is two defects, and hiding the ragged one
+    behind the non-finite one would let it resurface after a NaN fix;
+    ``n_zero_norm`` counts finite vectors whose L2 norm rounds to 0 at
+    6 dp (norm < 5e-7 — degenerate for cosine). ``n_dims`` is the
+    number of DISTINCT dimensions among ALL non-null rows: 1 is the
+    only healthy value.
 
     Scale shape: ONE corpus scan; every per-row flag is a JVM array
     expression (``exists`` / ``aggregate`` — no Python); ``rollup``
