@@ -509,3 +509,63 @@ def test_shard_balance_report_scans_documents_once(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan, plan
+
+
+# --- exact rank primitive: property equivalence to window functions --------
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+_RANK_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from([0, 1, 2, None]),  # group key, incl. NULL group
+        st.integers(min_value=0, max_value=5),  # order value: heavy ties
+        st.integers(min_value=0, max_value=9),  # cumsum payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.slow
+@given(_RANK_ROWS, st.booleans())
+@settings(max_examples=8, deadline=None)
+def test_exact_rank_primitives_property_equal_windows(spark, rows, descending):
+    """Property: on arbitrary tie-heavy, skew-heavy, NULL-group inputs
+    the range-bucketed rank/cumsum primitives equal the plain window
+    functions they replace — the whole point of the bucket-and-offset
+    shape is that quantile skew can unbalance buckets but NEVER
+    reorder rows. n_buckets=4 on <=25 rows forces rows of one group to
+    straddle bucket boundaries, exercising the broadcast offset
+    join-back; the NULL group exercises the null-safe join path."""
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_cumsum,
+        exact_group_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v, p) for i, (g, v, p) in enumerate(rows)],
+        "id long, g long, v long, p long",
+    )
+    order = F.col("v").desc() if descending else F.col("v").asc()
+    w = Window.partitionBy("g").orderBy(order, F.col("id"))
+    want = df.withColumn("rk", F.row_number().over(w))
+    got = exact_group_rank(
+        df, ["g"], "v", ["id"], descending=descending, n_buckets=4
+    )
+    cols = ["id", "g", "v", "p", "rk"]
+    assert sorted(map(str, got.select(*cols).collect())) == sorted(
+        map(str, want.select(*cols).collect())
+    )
+
+    if not descending:  # cumsum has ascending-order semantics only
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        want_c = df.withColumn("cs", F.sum("p").over(wc))
+        got_c = exact_group_cumsum(
+            df, ["g"], "v", ["id"], "p", n_buckets=4, cumsum_col="cs"
+        )
+        cols_c = ["id", "g", "v", "p", "cs"]
+        assert sorted(
+            map(str, got_c.select(*cols_c).collect())
+        ) == sorted(map(str, want_c.select(*cols_c).collect()))
