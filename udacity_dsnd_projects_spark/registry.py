@@ -1231,6 +1231,12 @@ _ROUND10_WINDOW = _ROUND10_NEEDS_VERDICT + _ROUND10_STALE_BACKLOG
 #: - shard_balance_report: per-shard token-mass straggler readout for
 #:   shard_assign (docs are balanced by construction; token mass is
 #:   what stragglers follow) — payload fused into the rank scan.
+#: - ngram_jaccard_pairs: CHANGED late in round 10 (the capped
+#:   inverted-index self-join factored into the shared
+#:   _capped_pair_counts substrate — result-identical by design, but
+#:   its last verdict predates the refactor; the containment /
+#:   winnowing co-users of the substrate are already in the r10
+#:   window or above).
 _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "quality_drift_report",
     "guard_metrics_report",
@@ -1241,6 +1247,7 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "contamination_method_agreement",
     "embedding_health_report",
     "shard_balance_report",
+    "ngram_jaccard_pairs",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
