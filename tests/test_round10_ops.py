@@ -569,3 +569,81 @@ def test_exact_rank_primitives_property_equal_windows(spark, rows, descending):
         assert sorted(
             map(str, got_c.select(*cols_c).collect())
         ) == sorted(map(str, want_c.select(*cols_c).collect()))
+
+
+# --- pii_prevalence_report --------------------------------------------------
+
+
+def test_pii_prevalence_exact_plant_counts(spark):
+    """On a PII-free corpus the report must count exactly the planted
+    snippets: 21 docs in one stratum plant emails on doc_id % 3 (7),
+    URLs on % 5 (5), phones on % 7 (3); the union covers 12 docs."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        pii_prevalence_report,
+    )
+
+    text = "plain clean words with no contact details at all"
+    rows = [(i, text, "en", "webA", len(text)) for i in range(21)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        r = pii_prevalence_report(spark, d).collect()[0]
+    assert r["n_docs"] == 21
+    assert r["docs_email"] == 7 and r["n_emails"] == 7
+    assert r["docs_url"] == 5 and r["n_urls"] == 5
+    assert r["docs_phone"] == 3 and r["n_phones"] == 3
+    assert r["docs_any_pii"] == 12
+    assert r["pii_doc_share"] == pytest.approx(12 / 21, abs=1e-6)
+
+
+def test_pii_prevalence_internal_consistency(spark, sf_dir):
+    """Stratum-cover and ordering invariants on the real corpus: every
+    (lang, source) appears once, doc counts add back up, per-type doc
+    counts never exceed occurrence counts or the any-PII cover, and
+    the share is exactly the rounded ratio."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        pii_prevalence_report,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = pii_prevalence_report(spark, sf_dir).collect()
+    want = {
+        (r["lang"], r["source"])
+        for r in docs.select("lang", "source").distinct().collect()
+    }
+    assert {(r["lang"], r["source"]) for r in rows} == want
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        for t in ("email", "url", "phone"):
+            assert r[f"docs_{t}"] <= r[f"n_{t}s"]
+            assert r[f"docs_{t}"] <= r["docs_any_pii"]
+        assert r["docs_any_pii"] <= r["n_docs"]
+        assert r["pii_doc_share"] == pytest.approx(
+            round(r["docs_any_pii"] / r["n_docs"], 6), abs=1e-9
+        )
+
+
+def test_pii_prevalence_single_pruned_scan(spark, sf_dir):
+    """One documents scan, reading ONLY the four columns the report
+    needs (doc_id for the deterministic plants, text for the counts,
+    lang/source for the strata) — n_chars must be pruned away."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        pii_prevalence_report,
+    )
+
+    plan = (
+        pii_prevalence_report(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "n_chars" not in read_schema
+    for col in ("doc_id", "lang", "source", "text"):
+        assert col in read_schema

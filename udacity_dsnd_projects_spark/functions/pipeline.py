@@ -417,6 +417,115 @@ FROM d
 """
 
 
+def pii_prevalence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII prevalence readout — the triage gate BEFORE
+    :func:`pii_scrub` runs: per (lang, source) stratum, how many
+    documents contain each PII type (email / URL / phone, the same
+    :data:`RE_EMAIL`/:data:`RE_URL`/:data:`RE_PHONE` patterns the
+    scrubber redacts — shared constants, so the report can never count
+    a different PII definition than the action removes), total
+    occurrences per type, and the share of documents carrying ANY PII.
+    A source whose prevalence jumps between crawls changed its content
+    mix (a forum dump, a leaked-credential paste site) and needs
+    review, not just scrubbing. One row per stratum.
+
+    The synthetic corpus contains no PII, so the query PLANTS
+    deterministic per-type snippets on doc_id-modulus subsets
+    (email on ``% 3``, URL on ``% 5``, phone on ``% 7`` — same
+    construction in the oracle), giving every stratum a verifiable
+    non-trivial mix — the same plant-then-measure pattern as
+    :func:`pii_scrub`, but conditional, so prevalence VARIES.
+
+    Scale shape: pure regexp column expressions (Java/RE2-portable,
+    no lookaround) — one documents scan, per-doc counts folded by a
+    map-side-combinable (lang, source) groupBy into a strata-sized
+    frame. No shuffle of text, no UDF, no collect."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id").cast("string")
+    s = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("contact user"), did, F.lit("@example.com ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("see https://example.com/d/"), did, F.lit(" ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("tel +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    per = docs.select(
+        "lang",
+        "source",
+        F.regexp_count(s, F.lit(RE_EMAIL)).cast("long").alias("e"),
+        F.regexp_count(s, F.lit(RE_URL)).cast("long").alias("u"),
+        F.regexp_count(s, F.lit(RE_PHONE)).cast("long").alias("p"),
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("e") > 0).cast("long")).alias("docs_email"),
+            F.sum((F.col("u") > 0).cast("long")).alias("docs_url"),
+            F.sum((F.col("p") > 0).cast("long")).alias("docs_phone"),
+            F.sum("e").alias("n_emails"),
+            F.sum("u").alias("n_urls"),
+            F.sum("p").alias("n_phones"),
+            F.sum(
+                ((F.col("e") + F.col("u") + F.col("p")) > 0).cast("long")
+            ).alias("docs_any_pii"),
+        )
+        .withColumn(
+            "pii_doc_share",
+            F.round(F.col("docs_any_pii") / F.col("n_docs"), 6),
+        )
+    )
+
+
+ORACLE_PII_PREVALENCE_REPORT = f"""
+WITH d AS (
+  SELECT lang, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN 'see https://example.com/d/'
+                      || CAST(doc_id AS VARCHAR) || ' ' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN 'tel +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' ' ELSE '' END
+         || text AS s
+  FROM documents
+), per AS (
+  SELECT lang, source,
+         len(regexp_extract_all(s, '{RE_EMAIL}')) AS e,
+         len(regexp_extract_all(s, '{RE_URL}')) AS u,
+         len(regexp_extract_all(s, '{RE_PHONE}')) AS p
+  FROM d
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+       CAST(SUM(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_url,
+       CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+       CAST(SUM(e) AS BIGINT) AS n_emails,
+       CAST(SUM(u) AS BIGINT) AS n_urls,
+       CAST(SUM(p) AS BIGINT) AS n_phones,
+       CAST(SUM(CASE WHEN e + u + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_any_pii,
+       ROUND(SUM(CASE WHEN e + u + p > 0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS pii_doc_share
+FROM per GROUP BY lang, source
+"""
+
+
 #: k-anonymity alarm threshold: rows in quasi-identifier groups smaller
 #: than this are flagged as re-identifiable in the release audit.
 K_ANON_THRESHOLD = 5

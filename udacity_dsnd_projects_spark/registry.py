@@ -491,6 +491,13 @@ register(
     "stratified_sample", _pipe.stratified_sample, _pipe.ORACLE_STRATIFIED_SAMPLE
 )
 register("pii_scrub", _pipe.pii_scrub, _pipe.ORACLE_PII_SCRUB)
+# NEW (round 10): the triage readout BEFORE the scrub action — per
+# (lang, source) PII-type prevalence, sharing the scrubber's regexes
+register(
+    "pii_prevalence_report",
+    _pipe.pii_prevalence_report,
+    _pipe.ORACLE_PII_PREVALENCE_REPORT,
+)
 # NEW (round 9): structured-data privacy gate next to pii_scrub's text
 # redaction
 register(
@@ -1248,6 +1255,9 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     "embedding_health_report",
     "shard_balance_report",
     "ngram_jaccard_pairs",
+    # NEW late in round 10: PII prevalence triage gate (see the
+    # register() call for the rationale) — first verdict pending.
+    "pii_prevalence_report",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
