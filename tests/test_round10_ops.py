@@ -647,3 +647,60 @@ def test_pii_prevalence_single_pruned_scan(spark, sf_dir):
     assert "n_chars" not in read_schema
     for col in ("doc_id", "lang", "source", "text"):
         assert col in read_schema
+
+
+# --- empty-input degradation: the centroid/embedding family ----------------
+
+
+@pytest.mark.slow
+def test_centroid_family_degrades_cleanly_on_empty_tables(spark):
+    """An empty shard is a routine state at scale (first incremental
+    batch, a gate that dropped everything) — the centroid family used
+    to fail ANALYSIS there: F.array() over zero collected centroids is
+    VOID-typed, so field extraction threw, and the pandas cosine face
+    crashed on a 1-D empty query matrix. Pin the contract: every
+    member of the family returns an EMPTY, correctly-typed frame on
+    empty documents/embeddings tables."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark import registry
+
+    family = [
+        "kmeans_assign",
+        "cluster_quality",
+        "knn_graph",
+        "semantic_dedup",
+        "knn_label_agreement",
+        "ivf_index_upsert",
+        "ivf_staleness_report",
+        "cosine_scores_pandas",
+    ]
+    qs = registry.queries()
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        for name in family:
+            df = qs[name](spark, d)
+            assert df.collect() == [], name
+            assert len(df.schema.fields) > 0, name
+
+
+def test_nearest_with_no_centroids_is_typed_null(spark):
+    """_nearest([]) must stay analyzable: a typed NULL struct whose
+    dist/cluster fields extract to NULLs (unassigned), never a
+    VOID-typed empty array_min."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        assign_to_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    rows = assign_to_centroids(emb, []).collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster"] is None and rows[0]["dist"] is None

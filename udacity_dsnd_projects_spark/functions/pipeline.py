@@ -872,6 +872,15 @@ def _nearest(centroids: list[tuple[int, list[float]]]) -> Column:
     """(dist, cluster) struct of the nearest centroid to column ``v``
     — lexicographic array_min gives the L2-argmin with cluster-id
     tie-break, per row, no shuffle."""
+    if not centroids:
+        # Empty centroid state — an empty table, or the first batch of
+        # an incremental pipeline before any seed vectors exist. A
+        # literal F.array() of zero structs is VOID-typed and fails
+        # ANALYSIS on field extraction, so return a typed NULL struct:
+        # every row's assignment is NULL (unassigned), and an empty
+        # input yields an empty, correctly-typed frame instead of an
+        # AnalysisException.
+        return F.lit(None).cast("struct<dist:double,cluster:bigint>")
     return F.array_min(
         F.array(
             *[

@@ -352,14 +352,6 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    q_ids = [r["vec_id"] for r in queries]
-    q_mat = np.array([r["embedding"] for r in queries], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
-    sc = spark.sparkContext
-    b_ids = sc.broadcast(q_ids)
-    b_mat = sc.broadcast(q_mat)
-    b_norm = sc.broadcast(q_norm)
-
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -367,6 +359,19 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if not queries:
+        # empty query set (empty table, or an incremental batch with
+        # no vec_id < N_QUERIES): no queries means no scores — return
+        # an empty, correctly-typed frame instead of letting the 1-D
+        # empty query matrix crash the axis-1 ops / matmul below
+        return spark.createDataFrame([], out_schema)
+    q_ids = [r["vec_id"] for r in queries]
+    q_mat = np.array([r["embedding"] for r in queries], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(q_ids)
+    b_mat = sc.broadcast(q_mat)
+    b_norm = sc.broadcast(q_norm)
 
     def score(batches):
         qm, qn, qi = b_mat.value, b_norm.value, b_ids.value
