@@ -704,3 +704,35 @@ def test_nearest_with_no_centroids_is_typed_null(spark):
     rows = assign_to_centroids(emb, []).collect()
     assert len(rows) == 1
     assert rows[0]["cluster"] is None and rows[0]["dist"] is None
+
+
+@pytest.mark.slow
+def test_every_registry_query_survives_an_empty_warehouse(spark, sf_dir):
+    """Registry-wide empty-input armor: every registered query must
+    build AND execute against a warehouse where all ten tables exist
+    but hold zero rows — the state a 100 TB pipeline hits whenever a
+    filter gate, a new shard, or a fresh incremental run produces
+    nothing. No exceptions allowed; results are empty or degenerate
+    but always well-typed. (This is how the centroid-family analysis
+    crashes were found; future operators get the check for free.)"""
+    import tempfile
+
+    from udacity_dsnd_projects_spark import registry
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        for t in tables:
+            schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+            spark.createDataFrame([], schema).write.parquet(
+                f"{d}/{t}.parquet"
+            )
+        failures = []
+        for name, fn in registry.queries().items():
+            try:
+                fn(spark, d).collect()
+            except Exception as ex:  # noqa: BLE001 — collecting all
+                failures.append((name, str(ex).split("\n")[0][:120]))
+        assert not failures, failures
