@@ -707,14 +707,19 @@ def test_nearest_with_no_centroids_is_typed_null(spark):
 
 
 @pytest.mark.slow
-def test_every_registry_query_survives_an_empty_warehouse(spark, sf_dir):
-    """Registry-wide empty-input armor: every registered query must
-    build AND execute against a warehouse where all ten tables exist
-    but hold zero rows — the state a 100 TB pipeline hits whenever a
-    filter gate, a new shard, or a fresh incremental run produces
-    nothing. No exceptions allowed; results are empty or degenerate
-    but always well-typed. (This is how the centroid-family analysis
-    crashes were found; future operators get the check for free.)"""
+@pytest.mark.parametrize("n_rows", [0, 1])
+def test_every_registry_query_survives_a_degenerate_warehouse(
+    spark, sf_dir, n_rows
+):
+    """Registry-wide degenerate-input armor: every registered query
+    must build AND execute against a warehouse where all ten tables
+    exist but hold zero rows (the state a 100 TB pipeline hits
+    whenever a filter gate, a new shard, or a fresh incremental run
+    produces nothing) or exactly one row (the all-identical /
+    no-matching-join-partner / zero-denominator class — how the
+    funnel_conversion divide-by-zero and the m==1 EMD bugs were
+    found). No exceptions allowed; results are empty or degenerate but
+    always well-typed. Future operators get both checks for free."""
     import tempfile
 
     from udacity_dsnd_projects_spark import registry
@@ -725,10 +730,13 @@ def test_every_registry_query_survives_an_empty_warehouse(spark, sf_dir):
     ]
     with tempfile.TemporaryDirectory() as d:
         for t in tables:
-            schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
-            spark.createDataFrame([], schema).write.parquet(
-                f"{d}/{t}.parquet"
-            )
+            src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            if n_rows == 0:
+                spark.createDataFrame([], src.schema).write.parquet(
+                    f"{d}/{t}.parquet"
+                )
+            else:
+                src.limit(n_rows).write.parquet(f"{d}/{t}.parquet")
         failures = []
         for name, fn in registry.queries().items():
             try:

@@ -197,8 +197,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(FUNNEL_STAGES))
         ]
     )
+    # NULLIF: a funnel nobody entered (c0 = 0 — an empty shard or a
+    # gate that dropped every signup) reports NULL conversion instead
+    # of an ANSI divide-by-zero error; mirrored in the oracle
     stack_args = ", ".join(
-        f"{i + 1}, '{s}', c{i}, round(cast(c{i} as double) / cast(c0 as double), 5)"
+        f"{i + 1}, '{s}', c{i}, "
+        f"round(cast(c{i} as double) / nullif(cast(c0 as double), 0.0), 5)"
         for i, s in enumerate(FUNNEL_STAGES)
     )
     return counts.selectExpr(
@@ -230,13 +234,16 @@ WITH firsts AS (
   FROM flags
 )
 SELECT 1 AS stage_order, 'signup' AS stage, CAST(c0 AS BIGINT) AS n_users,
-       ROUND(c0 * 1.0 / c0, 5) AS conversion FROM counts
+       ROUND(c0 * 1.0 / NULLIF(c0, 0), 5) AS conversion FROM counts
 UNION ALL
-SELECT 2, 'view', CAST(c1 AS BIGINT), ROUND(c1 * 1.0 / c0, 5) FROM counts
+SELECT 2, 'view', CAST(c1 AS BIGINT), ROUND(c1 * 1.0 / NULLIF(c0, 0), 5)
+FROM counts
 UNION ALL
-SELECT 3, 'click', CAST(c2 AS BIGINT), ROUND(c2 * 1.0 / c0, 5) FROM counts
+SELECT 3, 'click', CAST(c2 AS BIGINT), ROUND(c2 * 1.0 / NULLIF(c0, 0), 5)
+FROM counts
 UNION ALL
-SELECT 4, 'purchase', CAST(c3 AS BIGINT), ROUND(c3 * 1.0 / c0, 5) FROM counts
+SELECT 4, 'purchase', CAST(c3 AS BIGINT), ROUND(c3 * 1.0 / NULLIF(c0, 0), 5)
+FROM counts
 """
 
 

@@ -1258,6 +1258,11 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     # NEW late in round 10: PII prevalence triage gate (see the
     # register() call for the rationale) — first verdict pending.
     "pii_prevalence_report",
+    # CHANGED late in round 10: conversion denominator wrapped in
+    # NULLIF on both engine sides so an entrant-less funnel reports
+    # NULL instead of an ANSI divide-by-zero — result-identical on any
+    # corpus with signup events.
+    "funnel_conversion",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
