@@ -744,3 +744,64 @@ def test_every_registry_query_survives_a_degenerate_warehouse(
             except Exception as ex:  # noqa: BLE001 — collecting all
                 failures.append((name, str(ex).split("\n")[0][:120]))
         assert not failures, failures
+
+
+@pytest.mark.slow
+def test_gate_operators_survive_defective_payloads(spark):
+    """The engine's input contract is GATE-FIRST: analytic operators
+    (cosine/ANN/packing/curriculum) assume payloads already passed the
+    ingest gates, and loudly refuse NULL or zero-norm garbage rather
+    than silently skipping it (ANSI divide-by-zero on a zero-norm
+    cosine is a data defect surfacing, not an engine bug). What MUST
+    therefore never crash on defective payloads are the gates
+    themselves — the operators whose job is to count the defects so
+    the pipeline can filter before indexing. Pin that on a corpus
+    with NULL text/lang/source, NULL and non-finite and zero-norm
+    embeddings, and NULL labels, every gate runs and the health gate
+    counts the planted defects."""
+    import tempfile
+
+    from udacity_dsnd_projects_spark import registry
+
+    gates = [
+        "embedding_health_report",
+        "guard_metrics_report",
+        "quality_score",
+        "language_id",
+        "token_stats",
+        "gopher_quality_filter",
+        "pii_prevalence_report",
+        "exact_dedup",
+    ]
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "webA", 43),
+        (1, None, "en", "webA", 0),
+        (2, "plain clean words here", None, "webB", 22),
+        (3, "more ordinary text content", "de", None, 26),
+        (4, None, None, None, None),
+    ]
+    embs = [
+        (0, [0.1, 0.2, 0.3], 0),
+        (1, None, 1),
+        (2, [0.0, 0.0, 0.0], None),  # zero norm
+        (3, [0.5, None, 0.1], 2),  # ragged payload (NULL component)
+        (4, [float("nan"), 1.0, 2.0], 0),  # non-finite
+    ]
+    qs = registry.queries()
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        spark.createDataFrame(
+            embs, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        results = {}
+        for name in gates:
+            results[name] = qs[name](spark, d).collect()  # must not raise
+    # every gate produced a frame; the health gate saw the vectors
+    # (its per-class defect counting is pinned separately in
+    # test_embedding_health_report_counts_injected_defects)
+    assert all(r is not None for r in results.values())
+    assert len(results["embedding_health_report"]) >= 1
+    assert len(results["guard_metrics_report"]) == 1
