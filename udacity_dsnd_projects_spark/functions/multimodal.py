@@ -125,6 +125,12 @@ def extract_features(media: DataFrame, batch_target_rows: int = 1024) -> DataFra
             for content, modality, meta in zip(
                 pdf["content"], pdf["modality"], pdf["meta"]
             ):
+                if content is None:
+                    # NULL payload = an undecodable row, same contract
+                    # as a codec failure: null features, never a
+                    # crashed Arrow worker
+                    feats.append(None)
+                    continue
                 codec = _CODECS.get(modality, _fake_decode)
                 meta_dict = dict(meta) if meta is not None else {}
                 try:

@@ -681,8 +681,13 @@ def nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             pdf = pdf[["doc_id", "raw"]].copy()
+            # NULL text propagates as NULL (a cleaning primitive runs
+            # BEFORE the guards that count null rows — it must not
+            # crash the Arrow worker on them)
             pdf["nfc"] = pdf["raw"].map(
-                lambda x: unicodedata.normalize("NFC", x)
+                lambda x: None
+                if x is None
+                else unicodedata.normalize("NFC", x)
             )
             yield pdf
 

@@ -1263,6 +1263,12 @@ _ROUND11_ROTATION_CANDIDATES: tuple[str, ...] = (
     # NULL instead of an ANSI divide-by-zero — result-identical on any
     # corpus with signup events.
     "funnel_conversion",
+    # CHANGED late in round 10: NULL media payloads now yield null
+    # features per the extract_features docstring contract instead of
+    # crashing the Arrow worker — result-identical on non-null
+    # corpora. (nfc_normalize got the same NULL-propagation fix but
+    # already sits in the round-10 window's stale backlog.)
+    "media_feature_pipeline",
 )
 
 # --- Import-time guards (contract checks, not debug asserts: must
