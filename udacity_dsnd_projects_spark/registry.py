@@ -1296,9 +1296,115 @@ for _q in _ROUND11_ROTATION_CANDIDATES + _ROUND11_R5_LEFTOVERS:
             "displace a round-10 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND10_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND10_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 11) — the 13 _ROUND11_ROTATION_CANDIDATES lead
+# (10 NEW round-10 operators needing a FIRST verdict + 3 changed
+# post-window: ngram_jaccard_pairs / funnel_conversion /
+# media_feature_pipeline; VERDICT r10 task 1), then the 6 r5 leftovers
+# (stalest cohort — declared at _ROUND11_R5_LEFTOVERS), then the 31
+# alphabetically-first of the 47 r7-era greens (staleness derived by
+# unioning CORRECTNESS_r{1..10}.json; the 16 r7 leftovers head round
+# 12's backlog — see _ROUND12_R7_LEFTOVERS). The two r1-era estimators
+# (approx_count_distinct, quantile_sketch) stay OUT by design: every
+# in-window entry must be oracle-backed, and they are tolerance-tested
+# instead.
+# ==========================================================================
+
+_ROUND11_NEEDS_VERDICT = _ROUND11_ROTATION_CANDIDATES
+
+#: 6 r5 leftovers first (the stalest greens anywhere), then the 31
+#: alphabetically-first r7 greens (one flat cohort — every r7
+#: candidate shares the same last-verdict round, so alphabetical is
+#: the declared tiebreak).
+_ROUND11_STALE_BACKLOG = _ROUND11_R5_LEFTOVERS + (
+    "arithmetic_rounding",
+    "bpe_pair_counts",
+    "bracket_revenue",
+    "char_bigram_lm",
+    "corpus_datacard",
+    "dedup_method_agreement",
+    "dominant_part_suppliers",
+    "dow_seasonality",
+    "dup_cluster_histogram",
+    "embedding_drift_by_source",
+    "event_transition_matrix",
+    "exact_quantiles",
+    "forecast_revenue",
+    "grouping_sets_agg",
+    "grouping_sets_agg_df",
+    "important_part_value",
+    "ivf_index_upsert",
+    "ivf_staleness_report",
+    "knn_label_agreement",
+    "label_separation_report",
+    "language_confusion_matrix",
+    "large_volume_orders",
+    "market_basket_pairs",
+    "min_cost_supplier",
+    "minhash_calibration_report",
+    "nation_supplier_hhi",
+    "national_market_share",
+    "near_dup_triangles",
+    "ngram_novelty",
+    "part_supplier_diversity",
+    "product_profit",
+)
+
+#: The 16 r7 greens the 31 stale slots could not hold — they MUST head
+#: round 12's stale backlog (stalest remaining cohort after this
+#: round's verdicts land).
+_ROUND12_R7_LEFTOVERS = (
+    "promo_revenue_share",
+    "quantization_error_report",
+    "regional_supplier_volume",
+    "returned_item_customers",
+    "rolling_distinct_users",
+    "session_path_topk",
+    "ship_latency_quantiles",
+    "skew_profile",
+    "sliding_window_chunks",
+    "source_overlap_matrix",
+    "split_leakage_report",
+    "tokenizer_fertility",
+    "unpivot_agg",
+    "unpivot_agg_sql",
+    "user_type_entropy",
+    "value_trend_by_type",
+)
+
+_ROUND11_WINDOW = _ROUND11_NEEDS_VERDICT + _ROUND11_STALE_BACKLOG
+
+#: Queries added or CHANGED after the round-11 window filled. Round 12
+#: MUST rotate these to the window front before re-verifying anything
+#: else — build the round-12 guard from this list, not hand-collected.
+_ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = ()
+
+if len(_ROUND11_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-11 window holds {len(_ROUND11_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND11_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-11 window")
+for _q in (
+    _ROUND11_WINDOW + _ROUND12_ROTATION_CANDIDATES + _ROUND12_R7_LEFTOVERS
+):
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND11_NEEDS_VERDICT + _ROUND11_STALE_BACKLOG:
+    if _q not in _ROUND11_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND12_ROTATION_CANDIDATES + _ROUND12_R7_LEFTOVERS:
+    if _q in _ROUND11_WINDOW:
+        raise RuntimeError(
+            f"round-11 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-11 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND11_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND11_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND10_WINDOW)
+    if name not in set(_ROUND11_WINDOW)
 }
