@@ -96,10 +96,23 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
     "semantic_contamination",
 )
 
+#: Round-11 additions: the heaviest curation ACTION not yet benched —
+#: batch boilerplate_strip (chunk-hash doc-frequency + md5-verified
+#: text reconstruction; its incremental face is already timed as the
+#: crawl-loop ``strip_index`` stream section) — and winnowing_strip
+#: (the MOSS action face: capped match stage → connected components →
+#: quality-keeper argmax). Counted in ``value``, NOT ``legacy17_sec``.
+ROUND11_ADDITIONS: tuple[str, ...] = (
+    "boilerplate_strip",
+    "winnowing_strip",
+)
+
 #: Queries timed by the bench. Grows as the registry grows; keep this
 #: the set of headline operators rather than every micro-query, so the
 #: number stays interpretable.
-HEADLINE: tuple[str, ...] = LEGACY17 + ROUND9_ADDITIONS + ROUND10_ADDITIONS
+HEADLINE: tuple[str, ...] = (
+    LEGACY17 + ROUND9_ADDITIONS + ROUND10_ADDITIONS + ROUND11_ADDITIONS
+)
 
 
 def _sf_from_dir(d: str) -> float:

@@ -43,7 +43,15 @@ def test_bench_headline_decomposes_into_legacy17_plus_additions():
         "quality_drift_report",
         "semantic_contamination",
     }
-    adds = bench.ROUND9_ADDITIONS + bench.ROUND10_ADDITIONS
+    assert set(bench.ROUND11_ADDITIONS) == {
+        "boilerplate_strip",
+        "winnowing_strip",
+    }
+    adds = (
+        bench.ROUND9_ADDITIONS
+        + bench.ROUND10_ADDITIONS
+        + bench.ROUND11_ADDITIONS
+    )
     assert not set(bench.LEGACY17) & set(adds)
     assert len(set(adds)) == len(adds)
     assert bench.HEADLINE == bench.LEGACY17 + adds

@@ -79,7 +79,29 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     label with its OWN current label (labels are node ids, so one
     self-join follows the pointer one hop). Step 2 squares the
     propagation distance per round — a path graph of diameter D
-    converges in O(log2 D) rounds instead of D."""
+    converges in O(log2 D) rounds instead of D.
+
+    Constraint propagation is disabled for the loop's plans (restored
+    on exit): when ``pairs`` carries an order constraint such as
+    ``doc_a < doc_b`` (any pair frame built through an explicit
+    ``a < b`` filter does, e.g. ``winnowing_pairs_for``), Spark's
+    constraint rewrite through the symmetric edge union fails inside
+    ``localCheckpoint`` with ``NoSuchElementException: key not found``
+    (LogicalRDD.rewriteStatsAndConstraints mapping a child constraint
+    over an attribute the union pruned — reproduced minimally on a
+    two-row frame). The loop joins on ids only, so constraints buy
+    its plans nothing; results are unaffected."""
+    sess = pairs.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    prev = sess.conf.get(_CP)
+    sess.conf.set(_CP, "false")
+    try:
+        return _connected_components_loop(pairs)
+    finally:
+        sess.conf.set(_CP, prev)
+
+
+def _connected_components_loop(pairs: DataFrame) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -431,6 +453,130 @@ FROM (
   FROM sel s
 ) t WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Winnowing strip (round-11 addition): the MOSS action face
+# --------------------------------------------------------------------------
+def winnowing_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap REMOVAL — the action
+    :func:`~udacity_dsnd_projects_spark.functions.dedup.winnowing_overlap_pairs`
+    only diagnoses (the same report→action split as ``passage_dedup``
+    → ``boilerplate_strip`` and ``ngram_contamination`` →
+    ``decontaminate_corpus``): documents tied together by ≥-threshold
+    winnowing overlap form clusters (connected components over the
+    MOSS match graph — containment chains A⊂B, B∼C are one cluster),
+    and each cluster retains its HIGHEST-QUALITY member (ties to the
+    smaller doc_id — the :func:`dedup_priority` keeper policy; the
+    contained/boilerplate-heavy side is exactly the side the quality
+    score marks down). One row per cluster: (component, n_members,
+    keep_doc_id, keep_quality, n_dropped, keep_md5) — ``keep_md5`` is
+    the md5 of the keeper's RAW text, so the oracle verifies the
+    retained payload bit-for-bit, the ``clean_md5`` pattern of
+    ``boilerplate_strip``.
+
+    Scale shape: the component loop runs over the PAIR GRAPH only
+    (ids, never text); quality joins on doc_id; the keeper argmax is
+    one map-side-combined ``max(struct)`` groupBy; the md5 join-back
+    touches one text row per CLUSTER (component-cardinality, not
+    corpus-cardinality), keyed on doc_id so the scan prunes."""
+    from udacity_dsnd_projects_spark.functions.dedup import winnowing_pairs_for
+    from udacity_dsnd_projects_spark.functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    comp = connected_components(
+        winnowing_pairs_for(docs).select("doc_a", "doc_b")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    best = (
+        comp.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("b.neg_id")).cast("long").alias("keep_doc_id"),
+            F.col("b.quality").alias("keep_quality"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+    keep_md5 = docs.select(
+        F.col("doc_id").alias("keep_doc_id"),
+        F.md5(F.col("text").cast("binary")).alias("keep_md5"),
+    )
+    return best.join(keep_md5, "keep_doc_id").select(
+        "component",
+        "n_members",
+        "keep_doc_id",
+        "keep_quality",
+        "n_dropped",
+        "keep_md5",
+    )
+
+
+def _oracle_winnowing_strip() -> str:
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        _ORACLE_WINNOW_FPS,
+        SHINGLE_DF_CAP,
+        WINNOW_OVERLAP_T,
+    )
+
+    return f"""
+WITH RECURSIVE fps AS ({_ORACLE_WINNOW_FPS}),
+ex_all AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+ex AS (
+  SELECT doc_id, fp FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN sizes sa ON a.doc_id = sa.doc_id
+  JOIN sizes sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) * 1.0 / LEAST(MIN(sa.n), MIN(sb.n)) >= {WINNOW_OVERLAP_T}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM wpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM wpairs
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM walk GROUP BY node),
+q AS (SELECT * FROM {_oracle_quality_subquery()} zz),
+sel AS (
+  SELECT comp.component, comp.doc_id, q.quality
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+),
+best AS (
+  SELECT component, n_members, doc_id AS keep_doc_id, quality AS keep_quality,
+         n_members - 1 AS n_dropped
+  FROM (
+    SELECT s.*,
+           COUNT(*) OVER (PARTITION BY component) AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM sel s
+  ) t WHERE rn = 1
+)
+SELECT b.component, b.n_members, b.keep_doc_id, b.keep_quality,
+       CAST(b.n_dropped AS BIGINT) AS n_dropped,
+       md5(d.text) AS keep_md5
+FROM best b JOIN documents d ON b.keep_doc_id = d.doc_id
+"""
+
+
+ORACLE_WINNOWING_STRIP = _oracle_winnowing_strip()
 
 
 # --------------------------------------------------------------------------

@@ -69,6 +69,31 @@ def _token_hash(tok: Column) -> Column:
     )
 
 
+def _spread_for_hashing(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) projected and, ONLY when the incoming layout
+    under-parallelizes, hash-repartitioned on doc_id.
+
+    The repartition decouples CPU parallelism from the input file
+    layout: a corpus delivered as few large files would otherwise
+    hash on few cores, and AQE cannot help because it sizes for
+    shuffle bytes, not the CPU cost of the hashing that follows
+    (hence REPARTITION_BY_NUM, which AQE must respect). But when the
+    scan already yields >= defaultParallelism splits — the normal
+    case at scale, where maxPartitionBytes carves a 100 TB corpus
+    into thousands of splits — the exchange is pure cost: it moves
+    the full text column once to buy parallelism the layout already
+    provides. So it is applied conditionally: skipped when
+    ``getNumPartitions() >= defaultParallelism`` (plan-asserted both
+    regimes in tests). Streaming frames cannot be probed (``.rdd`` is
+    undefined pre-query); micro-batches are small and latency-bound,
+    so they always take the spread."""
+    sel = docs.select("doc_id", "text")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    if not sel.isStreaming and sel.rdd.getNumPartitions() >= n_parts:
+        return sel
+    return sel.repartition(n_parts, F.col("doc_id"))
+
+
 def _shingled_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, sh): distinct word-3-gram shingle hashes of normalized
     text, as array<long>. Docs with <3 tokens (no 3-gram) are dropped.
@@ -80,17 +105,14 @@ def _shingled_docs(docs: DataFrame) -> DataFrame:
     each shingle string, and the ``th`` materialization stops Catalyst
     from inlining the char-hash into every element_at reference).
 
-    The repartition before hashing decouples CPU parallelism from the
-    input file layout: a corpus delivered as few large files would
-    otherwise hash on few cores. The partition count is explicit
-    (REPARTITION_BY_NUM) because AQE would coalesce a byte-small
-    shuffle back to one partition — AQE sizes for shuffle bytes, not
-    the CPU cost of the hashing that follows."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    Opens with :func:`_spread_for_hashing` — a LAYOUT-AWARE
+    repartition that spreads few-large-file corpora across the
+    cluster's cores before the CPU-heavy char hashing, and skips the
+    text-sized exchange entirely when the scan already yields enough
+    splits (the 100 TB regime)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
-        docs.select("doc_id", "text")
-        .repartition(n_parts, F.col("doc_id"))
+        _spread_for_hashing(docs)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
     )
@@ -1400,12 +1422,12 @@ def _winnow_fp_arrays(docs: DataFrame) -> DataFrame:
     :func:`winnowing_fingerprints`. Factored so the fingerprint face,
     the overlap-pairs face, and the streaming probe can never drift on
     the hash/window/tie rules. Streaming-safe: per-row array math
-    only, no aggregation."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    only, no aggregation (and :func:`_spread_for_hashing` keeps its
+    layout probe batch-only). Layout-aware opener: the text-sized
+    spread exchange is skipped when the scan already parallelizes."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
-        docs.select("doc_id", "text")
-        .repartition(n_parts, F.col("doc_id"))
+        _spread_for_hashing(docs)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3 + WINNOW_WINDOW - 1)
     )
@@ -1494,9 +1516,15 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass per bucket shrinks quadratically vs the full shingle index.
     That thinning is why MOSS scales: the guarantee survives, the
     index doesn't carry every gram."""
-    pairs = _capped_pair_counts(
-        _winnow_fp_rows(load_table(spark, "documents", sf_dir)), "fp"
-    )
+    return winnowing_pairs_for(load_table(spark, "documents", sf_dir))
+
+
+def winnowing_pairs_for(docs: DataFrame) -> DataFrame:
+    """Core of :func:`winnowing_overlap_pairs` over any (doc_id, text)
+    frame — factored so the action face
+    (:func:`~udacity_dsnd_projects_spark.functions.curation.winnowing_strip`)
+    consumes the exact same match stage the report publishes."""
+    pairs = _capped_pair_counts(_winnow_fp_rows(docs), "fp")
     ov = F.col("common") / F.least("na", "nb")
     return pairs.filter(ov >= WINNOW_OVERLAP_T).select(
         "doc_a", "doc_b", "common", F.round(ov, 5).alias("overlap")

@@ -123,7 +123,17 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def contamination_for(docs: DataFrame) -> DataFrame:
     """Contamination report over an arbitrary (doc_id, text) frame —
-    see :func:`ngram_contamination`."""
+    see :func:`ngram_contamination`. The ``% BENCH_MOD`` slice of
+    ``docs`` plays the benchmark; inject a real eval table through
+    :func:`ngram_contamination_against`."""
+    return ngram_contamination_against(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+    )
+
+
+def _contam_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, g) exploded distinct CONTAM_N-gram rows."""
     d = docs.select("doc_id", _toks().alias("t")).filter(F.size("t") >= CONTAM_N)
     sh = d.select(
         "doc_id", F.array_distinct(_word_ngrams(F.col("t"), CONTAM_N)).alias("sh")
@@ -132,15 +142,30 @@ def contamination_for(docs: DataFrame) -> DataFrame:
     # size(sh)>0 filter below the projection, re-evaluating the n-gram
     # expression twice per row (see dedup.ngram_jaccard_pairs). The
     # filter above guarantees ≥1 n-gram, so outer semantics are equal.
-    grams = sh.select(
+    return sh.select(
         "doc_id", F.size("sh").alias("n_grams"), F.explode_outer("sh").alias("g")
     )
-    bench = (
-        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select("g")
-        .distinct()
-    )
-    corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+
+
+def ngram_contamination_against(
+    corpus_docs: DataFrame, benchmark_docs: DataFrame
+) -> DataFrame:
+    """:func:`ngram_contamination` over an INJECTED benchmark frame —
+    the ``strip_against_index`` pattern: the registry query keeps the
+    oracle-checkable ``% BENCH_MOD`` instantiation, while a real
+    pipeline passes its actual eval suite here. Both frames expose
+    (doc_id, text); the gram derivation is shared
+    (:func:`_contam_grams`), so the two faces can never drift on the
+    tokenizer or n-gram rules.
+
+    Composability: the corpus side is one scan → broadcast-join →
+    slim per-doc rollup, so inside ``foreachBatch`` each crawl
+    micro-batch screens against the (static, re-broadcast) benchmark
+    gram set; at scale, materialize the benchmark's distinct-gram
+    frame once (it is eval-suite-sized) and pass a pre-grammed
+    ``benchmark_docs`` so it is not re-derived per batch."""
+    bench = _contam_grams(benchmark_docs).select("g").distinct()
+    corpus = _contam_grams(corpus_docs)
     hits = corpus.join(F.broadcast(bench), "g")
     return (
         hits.groupBy("doc_id")

@@ -1569,15 +1569,46 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-vector argmax is a map-side-combinable groupBy of slim
     (id, id, double) rows; the top-1 frame is localCheckpoint'ed
     because two consumers read it (the global mean and the final
-    flag join), and re-deriving it would re-score the corpus."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    flag join), and re-deriving it would re-score the corpus.
+
+    This registry face instantiates the benchmark as the ``% mod``
+    slice of the embeddings table so DuckDB can replay it; a real
+    curation run injects its eval suite through
+    :func:`semantic_contamination_against`."""
+    emb = load_table(spark, "embeddings", sf_dir)
     bench = emb.filter(F.col("vec_id") % SEM_BENCH_MOD == 0).select(
-        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+        F.col("vec_id").alias("bench_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") % SEM_BENCH_MOD != 0)
-    scored = corpus.crossJoin(F.broadcast(bench)).select(
+    return semantic_contamination_against(corpus, bench)
+
+
+def semantic_contamination_against(
+    corpus: DataFrame, benchmark: DataFrame
+) -> DataFrame:
+    """:func:`semantic_contamination` over an INJECTED benchmark frame
+    — the ``strip_against_index`` pattern: the registry query keeps
+    the oracle-checkable ``% mod`` instantiation, while a real
+    pipeline passes its actual eval suite here.
+
+    ``corpus`` must expose (vec_id, embedding), ``benchmark``
+    (bench_id, embedding); both embedding columns are cast to double
+    internally, so float and double stores mix safely. Semantics,
+    rounding, and the scale-relative DECIMAL flag are identical to the
+    registry face (shared code, not a copy).
+
+    Composability: the corpus side is a single scan → broadcast score
+    → slim groupBy, so inside ``foreachBatch`` each micro-batch of
+    newly crawled vectors scores against the (static, re-broadcast)
+    benchmark — note the ``localCheckpoint`` makes this face eager,
+    which is exactly what a per-batch gate wants, but means it cannot
+    sit directly on an unbounded streaming frame."""
+    bench = benchmark.select(
+        "bench_id", _as_double(F.col("embedding")).alias("bv")
+    )
+    scored = corpus.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).crossJoin(F.broadcast(bench)).select(
         "vec_id",
         "bench_id",
         F.round(

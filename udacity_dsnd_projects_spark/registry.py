@@ -712,7 +712,11 @@ register(
     _cur.ORACLE_QUALITY_DRIFT_REPORT,
 )
 # NEW (round 10): driver-visible face of the observe-API guard metrics
-# — proves the zero-extra-scan counters equal a direct aggregation
+# — proves the zero-extra-scan counters equal a direct aggregation.
+# EAGER by necessity: unlike every other entry, building this frame
+# RUNS a full-corpus action at construction time (observe counters
+# only exist after the job they ride), so plan-only tooling (EXPLAIN
+# sweeps, plan-shape tests) should skip it or accept the scan.
 register(
     "guard_metrics_report",
     _metrics.guard_metrics_report,
@@ -747,6 +751,10 @@ register(
     _dedup.winnowing_density_report,
     _dedup.ORACLE_WINNOWING_DENSITY_REPORT,
 )
+# NEW (round 11): the MOSS ACTION face — winnowing overlap clusters
+# retain their highest-quality member (dedup_priority keeper policy),
+# keeper payload verified bit-for-bit by md5 (the clean_md5 pattern)
+register("winnowing_strip", _cur.winnowing_strip, _cur.ORACLE_WINNOWING_STRIP)
 # NEW (round 10): cross-method validation of the two decontamination
 # gates (verbatim n-gram vs paraphrase embedding), the
 # dedup_method_agreement pattern
@@ -1377,7 +1385,9 @@ _ROUND11_WINDOW = _ROUND11_NEEDS_VERDICT + _ROUND11_STALE_BACKLOG
 #: Queries added or CHANGED after the round-11 window filled. Round 12
 #: MUST rotate these to the window front before re-verifying anything
 #: else — build the round-12 guard from this list, not hand-collected.
-_ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = ()
+#: - winnowing_strip: NEW round-11 operator (the MOSS action face) —
+#:   first verdict pending.
+_ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = ("winnowing_strip",)
 
 if len(_ROUND11_WINDOW) != _WINDOW:
     raise RuntimeError(

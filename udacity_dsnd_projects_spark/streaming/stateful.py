@@ -191,6 +191,29 @@ def latest_per_key_stateful(
 
 _HOUR_US = 3_600_000_000
 
+#: State-schema versions for the applyInPandasWithState faces, stored
+#: as the FIRST field of every state tuple. Spark's state store does
+#: not decode-check pandas state tuples across code upgrades — a
+#: restart from a checkpoint written by an older tuple layout would
+#: silently MISDECODE (shifted fields), which is how the round-9
+#: layout changes earned their docstring warnings. With the stamp, an
+#: old checkpoint's first field (an epoch-us frontier, never a small
+#: int) fails the equality check and the query dies loudly instead.
+#: Bump on ANY state-tuple layout change.
+GAP_FILL_STATE_VER = 2  # v2 = round-9 layout (+late_count) + stamp
+TRANSITION_STATE_VER = 2  # v2 = round-9 layout (-last_eid, +late_count) + stamp
+
+
+def _check_state_ver(stored: int, expected: int, face: str) -> None:
+    """Fail-loud guard for checkpointed state decoded by newer code."""
+    if stored != expected:
+        raise ValueError(
+            f"{face}: state-schema version mismatch — checkpoint holds "
+            f"{stored!r}, this code expects {expected}. The checkpoint was "
+            "written by an incompatible state layout; discard it (or run "
+            "the matching code version) instead of misdecoding."
+        )
+
 
 def gap_fill_stateful(events: DataFrame) -> DataFrame:
     """Streaming face of
@@ -221,11 +244,12 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
     is bounded per batch by the real gap length, and each batch
     touches only the users present in it.
 
-    Checkpoint compatibility: the round-9 state schema change (the
-    cumulative ``late_count`` field appended) is NOT readable from
-    pre-change checkpoints — a restarted query would misdecode the
-    stored tuples. Discard existing streaming checkpoints when
-    upgrading across that change.
+    Checkpoint compatibility: the state tuple leads with
+    :data:`GAP_FILL_STATE_VER`; a restart from a checkpoint written by
+    any other layout (e.g. the pre-round-9 tuple without
+    ``late_count``) fails loudly on the version stamp instead of
+    misdecoding shifted fields. Discard the old checkpoint (or run the
+    matching code version) when upgrading across a state change.
 
     Expects columns (user_id, ts, event_id, value).
     """
@@ -238,10 +262,12 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
             T.StructField("is_observed", T.IntegerType()),
         ]
     )
-    # (frontier hour epoch-us, best ts-us, best event_id, best value,
-    #  events-in-frontier-hour, cross-hour late rows folded so far)
+    # (schema version stamp, frontier hour epoch-us, best ts-us, best
+    #  event_id, best value, events-in-frontier-hour, cross-hour late
+    #  rows folded so far)
     state_schema = T.StructType(
         [
+            T.StructField("ver", T.IntegerType()),
             T.StructField("hr_us", T.LongType()),
             T.StructField("best_ts", T.LongType()),
             T.StructField("best_eid", T.LongType()),
@@ -256,7 +282,12 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        st = list(state.get) if state.exists else None
+        if state.exists:
+            stored = list(state.get)
+            _check_state_ver(stored[0], GAP_FILL_STATE_VER, "gap_fill_stateful")
+            st = stored[1:]
+        else:
+            st = None
         rows: list[list] = []
 
         def emit(hr_us: int, val, n_ev: int, observed: int) -> None:
@@ -309,7 +340,7 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
                         h += _HOUR_US
                     st = [hr_us, t_us, int(eid), float(val), 1, st[5]]
         if st is not None:
-            state.update(tuple(st))
+            state.update((GAP_FILL_STATE_VER, *st))
             emit(st[0], st[3], st[4], 1)  # current (possibly partial) hour
         if rows:
             yield pd.DataFrame(
@@ -358,11 +389,12 @@ def transition_stateful(events: DataFrame) -> DataFrame:
     only the users present in it, and the Python hop is one sorted
     pass per Arrow group.
 
-    Checkpoint compatibility: the round-9 state schema change
-    (``last_eid`` removed, ``late_count`` added) is NOT readable from
-    pre-change checkpoints — a restarted query would misdecode the
-    stored tuples. Discard existing streaming checkpoints when
-    upgrading across that change.
+    Checkpoint compatibility: the state tuple leads with
+    :data:`TRANSITION_STATE_VER`; a restart from a checkpoint written
+    by any other layout (e.g. the pre-round-9 tuple with ``last_eid``)
+    fails loudly on the version stamp instead of misdecoding shifted
+    fields. Discard the old checkpoint (or run the matching code
+    version) when upgrading across a state change.
 
     Expects columns (user_id, ts, event_id, event_type).
     """
@@ -373,10 +405,12 @@ def transition_stateful(events: DataFrame) -> DataFrame:
             T.StructField("next_type", T.StringType()),
         ]
     )
-    # frontier event time (epoch-us, LIVE: the late-row gate), its
-    # type, and the cumulative count of dropped contract violations
+    # schema version stamp, frontier event time (epoch-us, LIVE: the
+    # late-row gate), its type, and the cumulative count of dropped
+    # contract violations
     state_schema = T.StructType(
         [
+            T.StructField("ver", T.IntegerType()),
             T.StructField("last_ts", T.LongType()),
             T.StructField("last_type", T.StringType()),
             T.StructField("late_count", T.LongType()),
@@ -388,7 +422,14 @@ def transition_stateful(events: DataFrame) -> DataFrame:
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        st = list(state.get) if state.exists else None
+        if state.exists:
+            stored = list(state.get)
+            _check_state_ver(
+                stored[0], TRANSITION_STATE_VER, "transition_stateful"
+            )
+            st = stored[1:]
+        else:
+            st = None
         rows: list[list] = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
@@ -407,7 +448,7 @@ def transition_stateful(events: DataFrame) -> DataFrame:
                 else:
                     st = [int(t_us), etype, 0]
         if st is not None:
-            state.update(tuple(st))
+            state.update((TRANSITION_STATE_VER, *st))
         if rows:
             yield pd.DataFrame(
                 rows, columns=["user_id", "prev_type", "next_type"]
@@ -452,9 +493,19 @@ def substring_match_stream(
     collisions produce duplicate candidate rows across micro-batches;
     ``dropDuplicates`` keeps the first (compat unbounded state —
     compose with a watermark column for the bounded form, as in
-    :func:`dedup_stream`)."""
+    :func:`dedup_stream`).
+
+    UNSCREENABLE documents are surfaced, not swallowed: a new doc
+    shorter than ``3 + WINNOW_WINDOW - 1`` tokens yields no
+    fingerprints (the substrate's minimum window), so this probe can
+    say nothing about it — it is emitted once as
+    (doc_id, NULL, NULL, NULL) so a crawl-triage consumer can
+    distinguish "screened clean" (absent) from "too short to screen"
+    (null row) and route the doc to the exact-hash probe
+    (:func:`incremental_dedup_stream`), which has no length floor."""
     from udacity_dsnd_projects_spark.functions.dedup import (
         WINNOW_OVERLAP_T,
+        WINNOW_WINDOW,
         _winnow_fp_arrays,
     )
     from pyspark.sql import functions as F
@@ -465,7 +516,7 @@ def substring_match_stream(
         "doc_id", "fps", F.explode_outer("fps").alias("fp")
     )
     shared = F.size(F.array_intersect("fps", "hist_fps"))
-    return (
+    matched = (
         probe.join(fp_index, "fp")
         .withColumn("shared", shared)
         .withColumn("overlap", F.round(shared / F.size("fps"), 5))
@@ -473,3 +524,18 @@ def substring_match_stream(
         .select("doc_id", "hist_doc_id", "shared", "overlap")
         .dropDuplicates(["doc_id", "hist_doc_id"])
     )
+    # too-short-to-screen rows: below the substrate's fingerprint
+    # floor there is no screening verdict — emit a null row per doc so
+    # downstream routes it instead of mistaking silence for "clean"
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    unscreened = (
+        new_docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") < 3 + WINNOW_WINDOW - 1)
+        .select(
+            "doc_id",
+            F.lit(None).cast("long").alias("hist_doc_id"),
+            F.lit(None).cast("int").alias("shared"),
+            F.lit(None).cast("double").alias("overlap"),
+        )
+    )
+    return matched.unionByName(unscreened)
