@@ -102,27 +102,36 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 
 def _connected_components_loop(pairs: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("lbl")
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(MAX_CC_ITERS):
+        # ONE fused plan + ONE action per iteration (was three): the
+        # propagation aggregate, the pointer-doubling self-join, and
+        # the convergence probe all materialize in the same
+        # localCheckpoint job, with the changed-count riding the plan
+        # as an observe() metric instead of a second pass. On the
+        # metadata-sized label frame the loop's cost is per-action
+        # fixed overhead, so fewer actions is the whole game.
         nbr = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("lbl")
         )
         prop = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
         )
         # pointer doubling: lbl <- min(lbl, labels[lbl]). A label is
         # always a node id present in prop, but left+coalesce keeps the
         # step total even mid-convergence.
-        new = (
+        doubled = (
             prop.alias("a")
             .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")
             .select(
@@ -131,15 +140,21 @@ def _connected_components_loop(pairs: DataFrame) -> DataFrame:
                     F.col("a.lbl"), F.coalesce(F.col("b.lbl"), F.col("a.lbl"))
                 ).alias("lbl"),
             )
+        )
+        obs = Observation()
+        new = (
+            doubled.join(labels.withColumnRenamed("lbl", "prev"), "id")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("lbl") < F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
+            .select("id", "lbl")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "prev"), "id")
-            .filter(F.col("lbl") < F.col("prev"))
-            .count()
-        )
         labels = new
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     else:
         raise RuntimeError(

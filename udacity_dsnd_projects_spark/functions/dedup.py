@@ -509,19 +509,18 @@ def signatures_vectorized(docs: DataFrame) -> DataFrame:
     :func:`signatures_for` — same modular arithmetic, asserted equal
     in tests; the JVM expression face stays the oracle reference.
 
-    Scale: the corpus stays partitioned (the explicit repartition
-    decouples CPU parallelism from file layout exactly like
-    :func:`_shingled_docs`); tokens move once through Arrow; nothing
+    Scale: the corpus spreads through the same layout-aware opener as
+    :func:`_shingled_docs` (:func:`_spread_for_hashing` — the Arrow
+    kernel is the CPU hot spot, but the exchange fires only when the
+    scan under-parallelizes); tokens move once through Arrow; nothing
     shuffles."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
-        docs.select("doc_id", "text")
-        .repartition(n_parts, F.col("doc_id"))
+        _spread_for_hashing(docs)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
     )
@@ -874,11 +873,11 @@ def simhash_vectorized(docs: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # same layout-aware spread as the JVM substrate — the Arrow kernel
+    # needs the cores, but only when the scan under-parallelizes
     d = (
-        docs.select("doc_id", "text")
-        .repartition(n_parts, F.col("doc_id"))
+        _spread_for_hashing(docs)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
     )

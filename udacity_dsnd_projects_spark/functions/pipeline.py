@@ -630,6 +630,80 @@ FROM g
 """
 
 
+def k_anonymize_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymized RELEASE — the action :func:`k_anonymity_report`
+    only audits (the report→action split of ``pii_scrub`` /
+    ``decontaminate_corpus`` / ``winnowing_strip``): publish the QI
+    group-count table with every group under :data:`K_ANON_THRESHOLD`
+    SUPPRESSED, its mass folded into one NULL-keyed residual row so
+    the released totals still reconcile (classic small-cell
+    suppression, the SDC rule census releases apply). One row per
+    publishable group — (c_nationkey, c_mktsegment, bal_band, n_rows,
+    n_groups=1, suppressed=0) — plus, when anything was suppressed,
+    a single residual row with NULL QI columns carrying the summed
+    suppressed rows and group count (suppressed=1). A zero-row
+    warehouse yields an empty release (no residual row), per the
+    analytics degenerate-input contract.
+
+    Scale shape: identical to the report — one data-sized QI groupBy
+    with map-side combine; the publish/suppress split and the residual
+    fold both run on the metadata-sized group frame."""
+    cust = load_table(spark, "customer", sf_dir)
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        _bal_band().alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    k = F.col("k")
+    pub = g.filter(k >= K_ANON_THRESHOLD).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        k.alias("n_rows"),
+        F.lit(1).cast("long").alias("n_groups"),
+        F.lit(0).alias("suppressed"),
+    )
+    residual = (
+        g.filter(k < K_ANON_THRESHOLD)
+        .agg(
+            F.sum("k").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .filter(F.col("n_groups") > 0)
+        .select(
+            F.lit(None).cast("long").alias("c_nationkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.lit(None).cast("string").alias("bal_band"),
+            "n_rows",
+            "n_groups",
+            F.lit(1).alias("suppressed"),
+        )
+    )
+    return pub.unionByName(residual)
+
+
+def _oracle_k_anonymize_release() -> str:
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         {_ORACLE_BAL_BAND} AS bal_band,
+         COUNT(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       k AS n_rows, CAST(1 AS BIGINT) AS n_groups, 0 AS suppressed
+FROM g WHERE k >= {K_ANON_THRESHOLD}
+UNION ALL
+SELECT NULL, NULL, NULL,
+       CAST(SUM(k) AS BIGINT), COUNT(*), 1
+FROM g WHERE k < {K_ANON_THRESHOLD}
+HAVING COUNT(*) > 0
+"""
+
+
+ORACLE_K_ANONYMIZE_RELEASE = _oracle_k_anonymize_release()
+
+
 #: l-diversity alarm threshold: QI groups whose sensitive attribute
 #: takes fewer than this many distinct values are homogeneity-attack
 #: exposed even when the group is large enough to pass k-anonymity.

@@ -329,3 +329,134 @@ WITH raw AS (
 SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
 FROM canon GROUP BY canon_url
 """
+
+
+# --------------------------------------------------------------------------
+# Markup density (round-11 addition): the raw-crawl cleanliness gate
+# --------------------------------------------------------------------------
+
+#: Markup patterns — lookaround-free so the SAME expressions run under
+#: Java regex (Spark) and RE2 (DuckDB). Tag = anything angle-bracketed;
+#: markdown = bold spans, inline links, or heading markers; entity =
+#: named or numeric HTML escapes.
+RE_HTML_TAG = r"<[^>]+>"
+RE_MARKDOWN = r"\*\*[^*]+\*\*|\[[^\]]+\]\([^ )]+\)|(?:^|\s)#{1,6}\s"
+RE_ENTITY = r"&[a-z]+;|&#[0-9]+;"
+
+
+def _with_planted_markup(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus is clean text, so — exactly like
+    ``pii_prevalence_report``'s planted PII — deterministic markup
+    snippets are appended on doc_id-modulus subsets (html % 4,
+    markdown % 6, entities % 9; mirrored in the oracle) so density
+    varies across sources instead of being identically zero."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0, F.lit(' <div class="x">span</div> <br/>')
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0, F.lit(" ## head **bold** [link](http://x)")
+            ).otherwise(F.lit("")),
+            F.when(did % 9 == 0, F.lit(" &amp; &#39;")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def markup_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-markup contamination gate — the C4/CCNet "is this actually
+    extracted text?" readout a crawl pipeline runs BEFORE the quality
+    models: per source, how much HTML/markdown/entity residue the
+    extraction left behind. A source with high tag density has a
+    broken extractor (fix the SOURCE, like `near_dup_rate_by_source`);
+    per-doc thresholds come after. One row per source: (source,
+    n_docs, html_docs, md_docs, entity_docs, n_tags,
+    tags_per_100_docs, markup_doc_share).
+
+    Scale shape: one pruned documents scan (doc_id/source/text);
+    per-doc `regexp_count`s fold map-side into a source-cardinality
+    frame — nothing text-sized crosses an exchange, no UDF."""
+    d = _with_planted_markup(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "source", "text"
+        )
+    )
+    tags = F.regexp_count(F.col("text"), F.lit(RE_HTML_TAG))
+    md = F.regexp_count(F.col("text"), F.lit(RE_MARKDOWN))
+    ent = F.regexp_count(F.col("text"), F.lit(RE_ENTITY))
+    per = d.select(
+        "source",
+        tags.alias("n_tags"),
+        (tags > 0).cast("int").alias("has_html"),
+        (md > 0).cast("int").alias("has_md"),
+        (ent > 0).cast("int").alias("has_ent"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_html").alias("html_docs"),
+            F.sum("has_md").alias("md_docs"),
+            F.sum("has_ent").alias("entity_docs"),
+            F.sum("n_tags").alias("n_tags"),
+            F.sum(
+                F.greatest(
+                    "has_html", "has_md", "has_ent"
+                )
+            ).alias("markup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "html_docs",
+            "md_docs",
+            "entity_docs",
+            "n_tags",
+            F.round(F.col("n_tags") * 100.0 / F.col("n_docs"), 5).alias(
+                "tags_per_100_docs"
+            ),
+            F.round(F.col("markup_docs") / F.col("n_docs"), 6).alias(
+                "markup_doc_share"
+            ),
+        )
+    )
+
+
+_ORACLE_PLANTED_MARKUP = """
+  text
+  || CASE WHEN doc_id % 4 = 0
+          THEN ' <div class="x">span</div> <br/>' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+          THEN ' ## head **bold** [link](http://x)' ELSE '' END
+  || CASE WHEN doc_id % 9 = 0 THEN ' &amp; &#39;' ELSE '' END
+"""
+
+ORACLE_MARKUP_DENSITY_REPORT = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_ORACLE_PLANTED_MARKUP} AS text FROM documents
+), per AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{RE_HTML_TAG}')) AS n_tags,
+         CASE WHEN len(regexp_extract_all(text, '{RE_HTML_TAG}')) > 0
+              THEN 1 ELSE 0 END AS has_html,
+         CASE WHEN len(regexp_extract_all(text, '{RE_MARKDOWN}')) > 0
+              THEN 1 ELSE 0 END AS has_md,
+         CASE WHEN len(regexp_extract_all(text, '{RE_ENTITY}')) > 0
+              THEN 1 ELSE 0 END AS has_ent
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(has_html) AS BIGINT) AS html_docs,
+       CAST(SUM(has_md) AS BIGINT) AS md_docs,
+       CAST(SUM(has_ent) AS BIGINT) AS entity_docs,
+       CAST(SUM(n_tags) AS BIGINT) AS n_tags,
+       ROUND(SUM(n_tags) * 100.0 / COUNT(*), 5) AS tags_per_100_docs,
+       ROUND(SUM(GREATEST(has_html, has_md, has_ent)) * 1.0 / COUNT(*), 6)
+         AS markup_doc_share
+FROM per GROUP BY source
+"""

@@ -498,6 +498,21 @@ register(
     _pipe.pii_prevalence_report,
     _pipe.ORACLE_PII_PREVALENCE_REPORT,
 )
+# NEW (round 11): the raw-markup contamination gate — per-source
+# HTML/markdown/entity residue the extractor left behind (fix the
+# SOURCE, like near_dup_rate_by_source)
+register(
+    "markup_density_report",
+    _web.markup_density_report,
+    _web.ORACLE_MARKUP_DENSITY_REPORT,
+)
+# NEW (round 11): the k-anonymity ACTION face — publish the QI count
+# table with small cells suppressed into a reconciling residual row
+register(
+    "k_anonymize_release",
+    _pipe.k_anonymize_release,
+    _pipe.ORACLE_K_ANONYMIZE_RELEASE,
+)
 # NEW (round 9): structured-data privacy gate next to pii_scrub's text
 # redaction
 register(
@@ -1387,7 +1402,38 @@ _ROUND11_WINDOW = _ROUND11_NEEDS_VERDICT + _ROUND11_STALE_BACKLOG
 #: else — build the round-12 guard from this list, not hand-collected.
 #: - winnowing_strip: NEW round-11 operator (the MOSS action face) —
 #:   first verdict pending.
-_ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = ("winnowing_strip",)
+#: - everything else: result-identical plan changes from round 11's
+#:   layout-aware substrate spread (_spread_for_hashing — the shingle
+#:   /winnowing/vectorized-kernel openers now skip the text-sized
+#:   exchange when the scan already parallelizes) and, for the
+#:   connected-components consumers, the CC loop's scoped
+#:   constraint-propagation disable. The in-window co-users
+#:   (ngram_jaccard_pairs, minhash_calibration_report,
+#:   dedup_method_agreement, ngram_novelty, dup_cluster_histogram,
+#:   near_dup_triangles, the winnowing trio) get their round-11
+#:   verdicts on the changed plans; these are the consumers whose last
+#:   verdict predates the change. source_overlap_matrix also appears
+#:   in _ROUND12_R7_LEFTOVERS (it is both stale AND changed) — round
+#:   12's window builder dedupes.
+_ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "winnowing_strip",
+    # NEW round-11 operators, first verdict pending:
+    "markup_density_report",
+    "k_anonymize_release",
+    "corpus_curation",
+    "dedup_priority",
+    "incremental_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "near_dup_components",
+    "near_dup_rate_by_source",
+    "shingle_containment_pairs",
+    "simhash_calibration_report",
+    "simhash_fingerprints",
+    "simhash_fingerprints_pandas",
+    "simhash_near_dup_pairs",
+    "source_overlap_matrix",
+)
 
 if len(_ROUND11_WINDOW) != _WINDOW:
     raise RuntimeError(
