@@ -321,3 +321,159 @@ def test_substring_match_stream_surfaces_short_docs(spark, tmp_path_factory):
         if r.doc_id in nulls:
             assert r.shared is None and r.overlap is None
     assert any(r.doc_id == 9000001 and r.hist_doc_id == 3 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Round-11 new operators: markup gate + k-anonymized release.
+# --------------------------------------------------------------------------
+
+
+def test_markup_regexes_count_planted_snippets(spark):
+    """Each planted snippet fires exactly its own regex family: the
+    html snippet is 3 tags, the markdown snippet is 3 markers, the
+    entity snippet is 2 escapes — and clean text fires none."""
+    from udacity_dsnd_projects_spark.functions.web import (
+        RE_ENTITY,
+        RE_HTML_TAG,
+        RE_MARKDOWN,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, ' <div class="x">span</div> <br/>'),
+            (2, " ## head **bold** [link](http://x)"),
+            (3, " &amp; &#39;"),
+            (4, "perfectly clean prose with no markup at all"),
+        ],
+        ["doc_id", "text"],
+    ).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(RE_HTML_TAG)).alias("tags"),
+        F.regexp_count("text", F.lit(RE_MARKDOWN)).alias("md"),
+        F.regexp_count("text", F.lit(RE_ENTITY)).alias("ent"),
+    )
+    got = {r.doc_id: (r.tags, r.md, r.ent) for r in rows.collect()}
+    assert got == {1: (3, 0, 0), 2: (0, 3, 0), 3: (0, 0, 2), 4: (0, 0, 0)}
+
+
+def test_k_anonymize_release_reconciles_and_suppresses(spark, sf_dir):
+    """Published groups all have k >= threshold; the residual row
+    carries exactly the suppressed mass; totals reconcile with the
+    raw QI group table."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        K_ANON_THRESHOLD,
+        k_anonymize_release,
+        _bal_band,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    rel = k_anonymize_release(spark, sf_dir).collect()
+    pub = [r for r in rel if r.suppressed == 0]
+    res = [r for r in rel if r.suppressed == 1]
+    assert all(r.n_rows >= K_ANON_THRESHOLD for r in pub)
+    assert all(
+        r.c_nationkey is not None and r.bal_band is not None for r in pub
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    g = (
+        cust.groupBy("c_nationkey", "c_mktsegment", _bal_band().alias("b"))
+        .count()
+        .collect()
+    )
+    small = [r for r in g if r["count"] < K_ANON_THRESHOLD]
+    if small:
+        assert len(res) == 1
+        assert res[0].c_nationkey is None and res[0].bal_band is None
+        assert res[0].n_rows == sum(r["count"] for r in small)
+        assert res[0].n_groups == len(small)
+    else:
+        assert res == []
+    assert sum(r.n_rows for r in rel) == cust.count()
+
+
+def test_cusum_flags_level_shift_not_stationary_series(spark):
+    """A planted level shift (10/day for 10 days, then 30/day) must
+    flag with its peak at the shift boundary; a stationary alternating
+    series must not flag; a one-day type emits NULL stat, flag 0."""
+    import datetime as dt
+
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        CUSUM_KS,
+        cusum_changepoints,
+    )
+
+    def day(i):
+        return dt.date(2024, 1, i)
+
+    rows = [("shift", day(i), 10 if i <= 10 else 30) for i in range(1, 21)]
+    rows += [("flat", day(i), 10 + (i % 2)) for i in range(1, 21)]
+    rows += [("oneday", day(1), 7)]
+    daily = spark.createDataFrame(rows, ["event_type", "d", "n_events"])
+    got = {r.event_type: r for r in cusum_changepoints(daily).collect()}
+    assert got["shift"].is_change == 1
+    assert got["shift"].cusum_stat >= CUSUM_KS
+    assert got["shift"].peak_day == "2024-01-10"  # last pre-shift day
+    assert got["flat"].is_change == 0
+    assert got["flat"].cusum_stat < CUSUM_KS
+    assert got["oneday"].cusum_stat is None
+    assert got["oneday"].peak_day is None and got["oneday"].is_change == 0
+
+
+def test_media_mismatch_sniff_matches_planting_rule(spark, sf_dir):
+    """Every declared modality's mismatches are exactly the
+    % MISMATCH_MOD planted rows, the top wrong sniff is the rotation
+    target, and clean rows sniff as themselves."""
+    from udacity_dsnd_projects_spark.functions.multimodal import (
+        MISMATCH_MOD,
+        _ROTATE,
+        MAGIC_HEADERS,
+        media_type_mismatch_report,
+        synthesize_media,
+    )
+
+    got = {
+        r.modality: r
+        for r in media_type_mismatch_report(spark, sf_dir).collect()
+    }
+    assert set(got) == {"image", "audio", "video"}
+    media = synthesize_media(spark, sf_dir).select("media_id", "modality").collect()
+    by_mod = {}
+    for r in media:
+        by_mod.setdefault(r.modality, []).append(r.media_id)
+    rev = {v: k for k, v in MAGIC_HEADERS.items()}
+    for mod, ids in by_mod.items():
+        planted = [i for i in ids if i % MISMATCH_MOD == 0]
+        row = got[mod]
+        assert row.n_media == len(ids)
+        assert row.n_mismatch == len(planted)
+        if planted:
+            assert row.top_sniffed_other == rev[_ROTATE[mod]]
+        else:
+            assert row.top_sniffed_other is None
+
+
+def test_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
+    """Deeper probing can only add candidates, so both the scan cost
+    and the recall are non-decreasing in depth; the deepest row must
+    reproduce ann_recall_report's micro-averaged recall exactly."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        PROBE_HAMMING,
+        TOP_K,
+        ann_recall_report,
+        ivf_probe_sweep,
+    )
+
+    rows = sorted(
+        ivf_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.probe_hamming,
+    )
+    assert [r.probe_hamming for r in rows] == list(range(PROBE_HAMMING + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hits >= a.n_hits
+    deep = rows[-1]
+    rec = ann_recall_report(spark, sf_dir).collect()
+    assert deep.n_hits == sum(r.n_hits for r in rec)
+    assert deep.mean_recall == round(
+        sum(r.n_hits for r in rec) / (len(rec) * TOP_K), 6
+    )

@@ -441,3 +441,165 @@ SELECT m.media_id, m.modality, keep.keeper_id,
        CAST(m.media_id <> keep.keeper_id AS INTEGER) AS is_dup
 FROM m JOIN keep ON m.digest = keep.digest
 """
+
+
+# --------------------------------------------------------------------------
+# Media type-mismatch sniff (round-11 addition): the container-vs-
+# content gate
+# --------------------------------------------------------------------------
+
+#: Synthetic magic headers per modality (the planted stand-in for real
+#: container magic bytes — ffd8/ID3/ftyp — which the sandbox corpus
+#: lacks). A declared modality whose payload leads with a DIFFERENT
+#: header is a mislabeled asset.
+MAGIC_HEADERS = {"image": "IMG0", "audio": "AUD0", "video": "VID0"}
+
+#: One in MISMATCH_MOD media rows is planted with the WRONG header
+#: (rotated one modality over), so the gate has real positives at
+#: every SF — mirrored in the oracle.
+MISMATCH_MOD = 11
+
+#: The header rotation used for planted mismatches.
+_ROTATE = {"image": "AUD0", "audio": "VID0", "video": "IMG0"}
+
+
+def _media_with_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synthesize_media with a magic header prepended to each payload
+    — correct for most rows, rotated for the ``% MISMATCH_MOD``
+    subset."""
+    m = synthesize_media(spark, sf_dir)
+    right = F.col("modality")
+    hdr = F.when(
+        F.col("media_id") % MISMATCH_MOD == 0,
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for k, v in _ROTATE.items()
+                    for x in (F.lit(k), F.lit(v))
+                ]
+            ),
+            right,
+        ),
+    ).otherwise(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for k, v in MAGIC_HEADERS.items()
+                    for x in (F.lit(k), F.lit(v))
+                ]
+            ),
+            right,
+        )
+    )
+    return m.select(
+        "media_id",
+        "modality",
+        F.concat(hdr.cast("binary"), F.col("content")).alias("content"),
+        "meta",
+    )
+
+
+def media_type_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-vs-content gate — the multimodal sibling of
+    ``markup_density_report``: sniff each payload's magic header and
+    compare it with the DECLARED modality; a mismatch is a mislabeled
+    asset (wrong extension, broken upload pipeline, adversarial
+    content) that would route to the wrong decoder and poison its
+    feature batch. One row per declared modality: (modality, n_media,
+    n_mismatch, mismatch_rate, top_sniffed_other) where
+    ``top_sniffed_other`` is the most common WRONG sniff (ties to the
+    lexicographically smaller header), the triage hint for where the
+    mislabeled assets actually belong.
+
+    Scale shape: the sniff reads 4 bytes per row (substring on the
+    binary column, JVM-side — the blob itself never crosses an
+    exchange); the rollup is a modality-cardinality map-side-combined
+    groupBy; the top-wrong-sniff argmax rides the same frame as a
+    max_by over per-(modality, sniff) counts."""
+    m = _media_with_headers(spark, sf_dir)
+    sniffed = m.select(
+        "modality",
+        F.substring(F.col("content"), 1, 4).cast("string").alias("hdr"),
+    )
+    rev = F.create_map(
+        *[x for k, v in MAGIC_HEADERS.items() for x in (F.lit(v), F.lit(k))]
+    )
+    s = sniffed.select(
+        "modality",
+        F.coalesce(F.element_at(rev, F.col("hdr")), F.lit("unknown")).alias(
+            "sniffed"
+        ),
+    )
+    per = s.groupBy("modality", "sniffed").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mm = F.col("sniffed") != F.col("modality")
+    return (
+        per.groupBy("modality")
+        .agg(
+            F.sum("n").alias("n_media"),
+            F.sum(F.when(mm, F.col("n")).otherwise(0)).alias("n_mismatch"),
+            F.max_by(
+                F.when(mm, F.col("sniffed")),
+                F.when(
+                    mm,
+                    F.struct(
+                        F.col("n"),
+                        F.ascii(F.col("sniffed")) * -1,
+                    ),
+                ),
+            ).alias("top_sniffed_other"),
+        )
+        .select(
+            "modality",
+            "n_media",
+            "n_mismatch",
+            F.round(F.col("n_mismatch") / F.col("n_media"), 6).alias(
+                "mismatch_rate"
+            ),
+            "top_sniffed_other",
+        )
+    )
+
+
+#: The oracle recomputes expected sniff outcomes from the planting
+#: rule (declared modality by doc_id % 3; rotated header on the
+#: % MISMATCH_MOD subset) while the Spark side actually sniffs the
+#: payload bytes — so a header-prepend or substring bug on the Spark
+#: side is a hash mismatch, not a shared blind spot.
+ORACLE_MEDIA_TYPE_MISMATCH_REPORT = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS modality
+  FROM documents
+), s AS (
+  SELECT modality,
+         CASE WHEN doc_id % {MISMATCH_MOD} = 0
+              THEN CASE modality WHEN 'image' THEN 'audio'
+                                 WHEN 'audio' THEN 'video'
+                                 ELSE 'image' END
+              ELSE modality END AS sniffed
+  FROM base
+), per AS (
+  SELECT modality, sniffed, COUNT(*) AS n FROM s GROUP BY 1, 2
+), tot AS (
+  SELECT modality,
+         CAST(SUM(n) AS BIGINT) AS n_media,
+         CAST(SUM(CASE WHEN sniffed <> modality THEN n ELSE 0 END)
+              AS BIGINT) AS n_mismatch
+  FROM per GROUP BY 1
+), top AS (
+  SELECT modality, sniffed AS top_sniffed_other,
+         ROW_NUMBER() OVER (PARTITION BY modality
+                            ORDER BY n DESC, sniffed) AS rn
+  FROM per WHERE sniffed <> modality
+)
+SELECT t.modality, t.n_media, t.n_mismatch,
+       ROUND(t.n_mismatch * 1.0 / t.n_media, 6) AS mismatch_rate,
+       top.top_sniffed_other
+FROM tot t LEFT JOIN top ON t.modality = top.modality AND top.rn = 1
+"""

@@ -285,20 +285,20 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probe_masks() -> list[int]:
-    """All XOR masks with popcount ≤ PROBE_HAMMING over N_PLANES bits
+def _probe_masks(depth: int = PROBE_HAMMING) -> list[int]:
+    """All XOR masks with popcount ≤ ``depth`` over N_PLANES bits
     (mask 0 = the query's own bucket), in deterministic order."""
     from itertools import combinations
 
     masks = []
-    for d in range(PROBE_HAMMING + 1):
+    for d in range(depth + 1):
         for bits in combinations(range(N_PLANES), d):
             masks.append(sum(1 << b for b in bits))
     return masks
 
 
-def _oracle_probe_list() -> str:
-    probes = ", ".join(f"xor(bucket, {m})" for m in _probe_masks())
+def _oracle_probe_list(depth: int = PROBE_HAMMING) -> str:
+    probes = ", ".join(f"xor(bucket, {m})" for m in _probe_masks(depth))
     return f"[{probes}]"
 
 
@@ -936,6 +936,167 @@ FROM bf LEFT JOIN ivf
   ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
 GROUP BY bf.query_id
 """
+
+
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-depth tuning CURVE :func:`ann_recall_report`'s
+    docstring promises: recall-vs-cost at every hamming probe depth
+    0..PROBE_HAMMING, one row per depth — (probe_hamming, n_probes,
+    n_queries, n_candidates, avg_candidates, n_hits, mean_recall).
+    ``mean_recall`` is micro-averaged (total IVF∩exact hits over total
+    exact pairs); ``avg_candidates`` is the scan cost the extra recall
+    buys — the two columns an ANN deployment trades against each other
+    when it picks nprobe.
+
+    Exactness: every column is a ratio of exact integers with one
+    final division (NULLIF-guarded for degenerate warehouses), so the
+    sweep is hash-verifiable cross-engine like the other estimator
+    calibration reports.
+
+    Scale shape: bucket assignments are computed once and
+    localCheckpoint'ed LAZILY (materialized by the first depth's job,
+    reused by the rest — three depths re-probe the SAME inverted file,
+    exactly how a real deployment sweeps nprobe against a built index,
+    and construction stays plan-only, unlike guard_metrics_report's
+    documented eager exception); each depth's probe join broadcasts
+    the (queries × n_probes) list; each depth reduces to ONE row
+    before the final 3-row union. The query-set size rides a 1-row
+    broadcast frame rather than a driver-side count."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket(F.col("v"), 64)
+    ).localCheckpoint(eager=False)
+    nq = bucketed.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    bf = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    depth_rows = []
+    for depth in range(PROBE_HAMMING + 1):
+        masks = _probe_masks(depth)
+        queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q"),
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("probe"),
+        )
+        scored = bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q"), F.col("v"))
+                / (_norm(F.col("q")) * _norm(F.col("v"))),
+                5,
+            ),
+        )
+        topk = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id", F.lit(1).alias("__hit"))
+        )
+        cand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+        hits = bf.join(F.broadcast(topk), ["query_id", "vec_id"], "left").agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hits"),
+        )
+        depth_rows.append(
+            cand.crossJoin(hits)
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(depth).alias("probe_hamming"),
+                F.lit(len(masks)).alias("n_probes"),
+                "n_queries",
+                "n_candidates",
+                F.round(
+                    F.col("n_candidates")
+                    / F.nullif(F.col("n_queries"), F.lit(0)),
+                    4,
+                ).alias("avg_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.nullif(F.col("n_exact"), F.lit(0)), 6
+                ).alias("mean_recall"),
+            )
+        )
+    out = depth_rows[0]
+    for d in depth_rows[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _oracle_ivf_probe_sweep() -> str:
+    blocks = []
+    for depth in range(PROBE_HAMMING + 1):
+        n_probes = len(_probe_masks(depth))
+        blocks.append(f"""
+SELECT {depth} AS probe_hamming,
+       {n_probes} AS n_probes,
+       (SELECT COUNT(*) FROM bk WHERE vec_id < {N_QUERIES})
+         AS n_queries,
+       (SELECT COUNT(*) FROM scored_{depth}) AS n_candidates,
+       ROUND((SELECT COUNT(*) FROM scored_{depth}) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM bk
+                       WHERE vec_id < {N_QUERIES}), 0), 4)
+         AS avg_candidates,
+       (SELECT COUNT(*) FROM bf JOIN topk_{depth} t
+          ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id)
+         AS n_hits,
+       ROUND((SELECT COUNT(*) FROM bf JOIN topk_{depth} t
+                ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM bf), 0), 6) AS mean_recall""")
+    depth_ctes = []
+    for depth in range(PROBE_HAMMING + 1):
+        depth_ctes.append(f"""q_{depth} AS (
+  SELECT vec_id AS query_id, v AS q, unnest({_oracle_probe_list(depth)}) AS probe
+  FROM bk WHERE vec_id < {N_QUERIES}
+), scored_{depth} AS (
+  SELECT q.query_id, bk.vec_id,
+         ROUND(
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                         i -> q.q[i] * bk.v[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.q, x -> x * x)),
+                               (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(bk.v, x -> x * x)),
+                                 (acc, x) -> acc + x))), 5) AS cosine
+  FROM bk JOIN q_{depth} q ON bk.bucket = q.probe AND bk.vec_id <> q.query_id
+), topk_{depth} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored_{depth}
+  ) t WHERE rn <= {TOP_K}
+)""")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, v, {_oracle_bucket_expr(64)} AS bucket FROM e
+), bf AS (
+  SELECT query_id, vec_id FROM ({ORACLE_COSINE_TOPK_BRUTEFORCE}) zbf
+), {", ".join(depth_ctes)}
+{" UNION ALL ".join(blocks)}
+"""
+
+
+ORACLE_IVF_PROBE_SWEEP = _oracle_ivf_probe_sweep()
 
 
 # --------------------------------------------------------------------------

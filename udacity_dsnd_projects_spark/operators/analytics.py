@@ -8,7 +8,7 @@ and what a 1000-executor cluster would actually run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_dsnd_projects_spark.sources.catalog import load_table
@@ -963,6 +963,168 @@ z AS (
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events, zscore,
        CASE WHEN ABS(zscore) >= {ANOMALY_Z} THEN 1 ELSE 0 END AS is_anomaly
 FROM z
+"""
+
+
+#: CUSUM/KS flag threshold: max_t |S_t| / (sigma * sqrt(n)) above the
+#: Kolmogorov 95% critical value flags a level shift. On a stationary
+#: series the scaled statistic converges to the Kolmogorov law, so the
+#: same constant works at every SF — the relative-to-mean gate rule.
+CUSUM_KS = 1.358
+
+
+def cusum_changepoint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) screen over the event stream — the
+    sequential companion to :func:`daily_type_anomaly`: a z-score
+    catches a one-day spike, but a sustained level shift (collector
+    added, bot ramp, product launch) moves every day a LITTLE, which
+    single-day z-scores miss. Classic CUSUM: per event type, the
+    running sum of daily deviations from that type's own mean,
+    S_t = Σ_{i<=t}(n_i − mean); the candidate changepoint is the day
+    with max |S_t|, reported scaled KS-style as
+    |S_t| / (σ·sqrt(n_days)) and flagged at :data:`CUSUM_KS`. One row
+    per type: (event_type, n_days, peak_day, cusum_stat, is_change).
+
+    Cross-engine float discipline: S_t is accumulated EXACTLY —
+    ``S_t = (cum_n·n_days − t·s1) / n_days`` keeps the numerator in
+    integers (cum_n and t from one window pass, s1 from the exact
+    rollup), so the only float ops are the final division chain and
+    two correctly-rounded sqrts over identical operands in both
+    engines; no per-term double accumulation to drift.
+
+    Scale shape: one events scan reduces map-side to the (type × day)
+    frame; the window cumsum runs per type over that tiny frame; stats
+    broadcast back; the argmax is a map-side-combined max(struct) per
+    type. Types with <2 days or zero variance emit NULL stat, flag 0."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    return cusum_changepoints(daily)
+
+
+def cusum_changepoints(daily: DataFrame) -> DataFrame:
+    """The CUSUM scorer over a (event_type, d, n_events) daily-count
+    frame — split out like :func:`score_daily_counts` so the streaming
+    monitor's compacted rollup (and crafted test series) run the
+    identical screen. ``daily`` must already be materialized or cheap
+    (consumed by the stats rollup AND the window pass)."""
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("n_events").over(w).alias("cum_n"),
+        F.row_number().over(w).alias("t"),
+    )
+    j = cum.join(F.broadcast(stats), "event_type")
+    num = F.col("cum_n") * F.col("n_days") - F.col("t") * F.col("s1")
+    var = (
+        F.col("n_days").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n_days").cast("double") * (F.col("n_days") - F.lit(1)))
+    stat = F.when(
+        (F.col("n_days") > 1) & (var > 0),
+        F.round(
+            F.abs(num)
+            / (
+                F.col("n_days")
+                * F.sqrt(var)
+                * F.sqrt(F.col("n_days").cast("double"))
+            ),
+            4,
+        ),
+    )
+    scored = j.select(
+        "event_type",
+        "n_days",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        stat.alias("stat"),
+    )
+    best = scored.groupBy("event_type").agg(F.max("stat").alias("cusum_stat"))
+    # argmax day, ties to the EARLIER day: join the per-type max back
+    # (types-sized broadcast) and take min(day) among max-stat rows —
+    # a reversible inverted-day encoding inside one max(struct) would
+    # be cheaper by one tiny aggregate but unreadable; both frames
+    # here are types×days metadata.
+    peak = scored.join(F.broadcast(best), "event_type").filter(
+        (F.col("stat") == F.col("cusum_stat"))
+        | (F.col("stat").isNull() & F.col("cusum_stat").isNull())
+    )
+    return (
+        peak.groupBy("event_type")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.min("day").alias("peak_day"),
+            F.first("cusum_stat").alias("cusum_stat"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.when(F.col("cusum_stat").isNotNull(), F.col("peak_day")).alias(
+                "peak_day"
+            ),
+            "cusum_stat",
+            F.when(F.col("cusum_stat") >= CUSUM_KS, 1)
+            .otherwise(0)
+            .alias("is_change"),
+        )
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT_REPORT = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+),
+cum AS (
+  SELECT event_type, d,
+         CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t
+  FROM daily
+),
+scored AS (
+  SELECT c.event_type, s.n_days, strftime(c.d, '%Y-%m-%d') AS day,
+         CASE WHEN s.n_days > 1
+                   AND (CAST(s.n_days AS DOUBLE) * s.s2
+                        - CAST(s.s1 AS DOUBLE) * s.s1)
+                       / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1)) > 0
+              THEN ROUND(ABS(c.cum_n * s.n_days - c.t * s.s1)
+                   / (s.n_days
+                      * sqrt((CAST(s.n_days AS DOUBLE) * s.s2
+                              - CAST(s.s1 AS DOUBLE) * s.s1)
+                             / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1)))
+                      * sqrt(CAST(s.n_days AS DOUBLE))), 4)
+         END AS stat
+  FROM cum c JOIN stats s ON c.event_type = s.event_type
+),
+best AS (
+  SELECT event_type, MAX(stat) AS cusum_stat FROM scored GROUP BY 1
+)
+SELECT s.event_type,
+       ANY_VALUE(s.n_days) AS n_days,
+       CASE WHEN ANY_VALUE(b.cusum_stat) IS NOT NULL
+            THEN MIN(s.day) END AS peak_day,
+       ANY_VALUE(b.cusum_stat) AS cusum_stat,
+       CASE WHEN ANY_VALUE(b.cusum_stat) >= {CUSUM_KS} THEN 1 ELSE 0 END
+         AS is_change
+FROM scored s JOIN best b ON s.event_type = b.event_type
+WHERE s.stat = b.cusum_stat OR (s.stat IS NULL AND b.cusum_stat IS NULL)
+GROUP BY s.event_type
 """
 
 

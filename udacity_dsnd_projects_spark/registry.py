@@ -189,6 +189,20 @@ register(
     _an.daily_type_anomaly,
     _an.ORACLE_DAILY_TYPE_ANOMALY,
 )
+# NEW (round 11): the probe-depth tuning curve over the IVF index —
+# recall vs candidate-scan cost at hamming depth 0..PROBE_HAMMING
+register(
+    "ivf_probe_sweep",
+    _sim.ivf_probe_sweep,
+    _sim.ORACLE_IVF_PROBE_SWEEP,
+)
+# NEW (round 11): the sequential companion — CUSUM level-shift screen
+# per event type (exact-integer S_t numerator; KS-scaled flag)
+register(
+    "cusum_changepoint_report",
+    _an.cusum_changepoint_report,
+    _an.ORACLE_CUSUM_CHANGEPOINT_REPORT,
+)
 # NEW (round 6, third wave): near-dup graph observability + OLS trend
 register(
     "source_overlap_matrix",
@@ -628,6 +642,14 @@ register("embedding_near_dup", _sim.embedding_near_dup, _sim.ORACLE_EMBEDDING_NE
 
 # --- Multimodal — r2/r3 green ------------------------------------------------
 register("media_byte_stats", _mm.media_byte_stats, _mm.ORACLE_MEDIA_BYTE_STATS)
+# NEW (round 11): container-vs-content gate — sniff each payload's
+# magic header against the declared modality (planted mismatches; the
+# oracle recomputes from the planting rule while Spark sniffs bytes)
+register(
+    "media_type_mismatch_report",
+    _mm.media_type_mismatch_report,
+    _mm.ORACLE_MEDIA_TYPE_MISMATCH_REPORT,
+)
 
 # --- Headline analytics (bench workload) — r2/r3 green -----------------------
 register("pricing_summary", _an.pricing_summary, _an.ORACLE_PRICING_SUMMARY)
@@ -1420,6 +1442,9 @@ _ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = (
     # NEW round-11 operators, first verdict pending:
     "markup_density_report",
     "k_anonymize_release",
+    "cusum_changepoint_report",
+    "media_type_mismatch_report",
+    "ivf_probe_sweep",
     "corpus_curation",
     "dedup_priority",
     "incremental_dedup",
