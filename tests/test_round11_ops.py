@@ -477,3 +477,40 @@ def test_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
     assert deep.mean_recall == round(
         sum(r.n_hits for r in rec) / (len(rec) * TOP_K), 6
     )
+
+
+def test_changepoint_monitor_view_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The CUSUM dashboard over the stream-maintained compacted rollup
+    must equal the batch cusum_changepoint_report row-for-row — the
+    shared-scorer identity extended to the sequential screen."""
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from bench import _ts_chunk_edges, _write_chunks
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        cusum_changepoint_report,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        changepoint_monitor_view,
+        daily_type_counts_stream,
+    )
+    from udacity_dsnd_projects_spark.streaming.sinks import compacted_table_upsert
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_foreach_batch,
+    )
+
+    root = tmp_path_factory.mktemp("cusum_monitor")
+    src, table = str(root / "events"), str(root / "rollup")
+    ev = load_table(spark, "events", sf_dir)
+    _write_chunks(ev, _ts_chunk_edges(ev, 3), src)
+
+    counts = daily_type_counts_stream(file_stream(spark, src, ev.schema))
+    run_foreach_batch(
+        counts, compacted_table_upsert(table, ["event_type", "d"], "n_events")
+    )
+
+    got = sorted(map(tuple, changepoint_monitor_view(spark, table).collect()))
+    want = sorted(map(tuple, cusum_changepoint_report(spark, sf_dir).collect()))
+    assert got == want and got

@@ -134,3 +134,21 @@ def anomaly_monitor_view(spark: SparkSession, rollup_path: str) -> DataFrame:
         "event_type", "d", "n_events"
     )
     return score_daily_counts(daily)
+
+
+def changepoint_monitor_view(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The CUSUM level-shift dashboard over the same stream-maintained
+    rollup — the sequential companion to :func:`anomaly_monitor_view`
+    (a z-score catches a one-day spike; CUSUM catches the sustained
+    shift every day's z hides). Applies the batch face's scorer
+    (:func:`~udacity_dsnd_projects_spark.operators.analytics.cusum_changepoints`)
+    verbatim, so stream==batch is the shared-scorer identity, not an
+    aspiration."""
+    from udacity_dsnd_projects_spark.operators.analytics import (
+        cusum_changepoints,
+    )
+
+    daily = spark.read.parquet(rollup_path).select(
+        "event_type", "d", "n_events"
+    )
+    return cusum_changepoints(daily)
