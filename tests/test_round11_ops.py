@@ -514,3 +514,26 @@ def test_changepoint_monitor_view_equals_batch(spark, sf_dir, tmp_path_factory):
     got = sorted(map(tuple, changepoint_monitor_view(spark, table).collect()))
     want = sorted(map(tuple, cusum_changepoint_report(spark, sf_dir).collect()))
     assert got == want and got
+
+
+def test_screen_funnel_counts_are_internally_consistent(spark, sf_dir):
+    """Funnel invariants: n_any_screen bounds each screen's count and
+    never exceeds n_docs; clean_rate reconciles; the substring column
+    agrees with the winnowing pair universe."""
+    from udacity_dsnd_projects_spark.functions.curation import (
+        screen_funnel_report,
+    )
+    from udacity_dsnd_projects_spark.functions.dedup import winnowing_pairs_for
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    rows = screen_funnel_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r.n_exact_dup, r.n_near_dup, r.n_substring) <= r.n_any_screen
+        assert r.n_any_screen <= r.n_docs
+        assert r.clean_rate == round((r.n_docs - r.n_any_screen) / r.n_docs, 6)
+    docs = load_table(spark, "documents", sf_dir)
+    pair_docs = set()
+    for p in winnowing_pairs_for(docs).collect():
+        pair_docs.update((p.doc_a, p.doc_b))
+    assert sum(r.n_substring for r in rows) == len(pair_docs)

@@ -594,6 +594,152 @@ FROM best b JOIN documents d ON b.keep_doc_id = d.doc_id
 ORACLE_WINNOWING_STRIP = _oracle_winnowing_strip()
 
 
+def screen_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-triage FUNNEL across all three dedup screens — per
+    source, how much of the corpus each screen flags: (source, n_docs,
+    n_exact_dup, n_near_dup, n_substring, n_any_screen, clean_rate).
+    ``n_exact_dup`` counts docs whose content hash repeats corpus-wide;
+    ``n_near_dup`` docs in any MinHash-LSH candidate pair (whole-doc
+    similarity); ``n_substring`` docs in any ≥-threshold winnowing
+    overlap pair (position-robust shared runs — the quote/wrap case).
+    The one table that says which screen is doing the work on which
+    source — before a pipeline pays for cluster resolution and
+    keeper policies.
+
+    Scale shape: three id-producing substrates (hash groupBy; the two
+    capped inverted-index joins), each already scale-shaped, reduced
+    to DISTINCT doc_id sets that join back onto a slim
+    (doc_id, source) frame by doc_id; the rollup is a
+    source-cardinality map-side-combined groupBy. Text is scanned
+    once per substrate and never shuffled (hashes only)."""
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        lsh_pairs_for,
+        winnowing_pairs_for,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    ids = docs.select("doc_id", "source")
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    dup_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+    exact_ids = hashed.join(dup_h, "h", "semi").select("doc_id")
+
+    def _pair_ids(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+
+    near_ids = _pair_ids(lsh_pairs_for(docs.select("doc_id", "text")))
+    sub_ids = _pair_ids(winnowing_pairs_for(docs.select("doc_id", "text")))
+    flagged = (
+        ids.join(
+            exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left"
+        )
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .join(sub_ids.withColumn("__s", F.lit(1)), "doc_id", "left")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__e").alias("n_exact_dup"),
+            F.count("__n").alias("n_near_dup"),
+            F.count("__s").alias("n_substring"),
+            F.sum(
+                F.when(
+                    F.coalesce("__e", "__n", "__s").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_any_screen"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            "n_near_dup",
+            "n_substring",
+            "n_any_screen",
+            F.round(
+                (F.col("n_docs") - F.col("n_any_screen")) / F.col("n_docs"),
+                6,
+            ).alias("clean_rate"),
+        )
+    )
+
+
+def _oracle_screen_funnel_report() -> str:
+    from udacity_dsnd_projects_spark.functions.dedup import (
+        _ORACLE_WINNOW_FPS,
+        SHINGLE_DF_CAP,
+        WINNOW_OVERLAP_T,
+    )
+
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+dup_h AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) > 1),
+lsh AS ({_oracle_lsh_pairs("documents")}),
+near_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM lsh
+    UNION ALL SELECT doc_b AS doc_id FROM lsh
+  ) zn
+),
+fps AS ({_ORACLE_WINNOW_FPS}),
+ex_all AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+ex AS (
+  SELECT doc_id, fp FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN sizes sa ON a.doc_id = sa.doc_id
+  JOIN sizes sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) * 1.0 / LEAST(MIN(sa.n), MIN(sb.n)) >= {WINNOW_OVERLAP_T}
+),
+sub_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM wpairs
+    UNION ALL SELECT doc_b AS doc_id FROM wpairs
+  ) zs
+),
+per AS (
+  SELECT h.source,
+         CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nn,
+         CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ss
+  FROM hashed h
+  LEFT JOIN dup_h d ON h.h = d.h
+  LEFT JOIN near_ids n ON h.doc_id = n.doc_id
+  LEFT JOIN sub_ids s ON h.doc_id = s.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(e) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(nn) AS BIGINT) AS n_near_dup,
+       CAST(SUM(ss) AS BIGINT) AS n_substring,
+       CAST(SUM(CASE WHEN e + nn + ss > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_any_screen,
+       ROUND((COUNT(*) - SUM(CASE WHEN e + nn + ss > 0 THEN 1 ELSE 0 END))
+             * 1.0 / COUNT(*), 6) AS clean_rate
+FROM per GROUP BY source
+"""
+
+
+ORACLE_SCREEN_FUNNEL_REPORT = _oracle_screen_funnel_report()
+
+
 # --------------------------------------------------------------------------
 # Near-dup rate by source (round-5 addition)
 # --------------------------------------------------------------------------

@@ -792,6 +792,13 @@ register(
 # retain their highest-quality member (dedup_priority keeper policy),
 # keeper payload verified bit-for-bit by md5 (the clean_md5 pattern)
 register("winnowing_strip", _cur.winnowing_strip, _cur.ORACLE_WINNOWING_STRIP)
+# NEW (round 11): the crawl-triage funnel — per source, how much of
+# the corpus each dedup screen (exact / MinHash-LSH / winnowing) flags
+register(
+    "screen_funnel_report",
+    _cur.screen_funnel_report,
+    _cur.ORACLE_SCREEN_FUNNEL_REPORT,
+)
 # NEW (round 10): cross-method validation of the two decontamination
 # gates (verbatim n-gram vs paraphrase embedding), the
 # dedup_method_agreement pattern
@@ -1445,6 +1452,7 @@ _ROUND12_ROTATION_CANDIDATES: tuple[str, ...] = (
     "cusum_changepoint_report",
     "media_type_mismatch_report",
     "ivf_probe_sweep",
+    "screen_funnel_report",
     "corpus_curation",
     "dedup_priority",
     "incremental_dedup",
