@@ -26,6 +26,8 @@ No Python in the data path, no collect of data rows.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,14 @@ def _quality_filter(docs: DataFrame) -> DataFrame:
 #: recursive-CTE oracle and leave >1 survivor per component).
 MAX_CC_ITERS = 20
 
+#: Reentrancy bookkeeping for connected_components' scoped
+#: constraint-propagation disable: {id(session): (depth, prev_value)}.
+#: Guarded by a lock so overlapping calls on one session restore the
+#: TRUE pre-entry value exactly once (outermost exit), never a 'false'
+#: we set ourselves.
+_CC_CONF_LOCK = threading.Lock()
+_CC_CONF_DEPTH: dict[int, tuple[int, str | None]] = {}
+
 
 def connected_components(pairs: DataFrame) -> DataFrame:
     """(doc_id, component) labels over the near-dup pair graph:
@@ -90,15 +100,33 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     (LogicalRDD.rewriteStatsAndConstraints mapping a child constraint
     over an attribute the union pruned — reproduced minimally on a
     two-row frame). The loop joins on ids only, so constraints buy
-    its plans nothing; results are unaffected."""
+    its plans nothing; results are unaffected.
+
+    The toggle is REENTRANCY-GUARDED: a per-session depth counter
+    means only the OUTERMOST call captures and restores the previous
+    value, so nested or overlapping calls on one session (e.g. two
+    curation faces composed in one plan, or threads sharing the
+    driver's session) can never capture our own 'false' as the
+    previous value and leave constraint propagation disabled
+    session-wide after exit."""
     sess = pairs.sparkSession
     _CP = "spark.sql.constraintPropagation.enabled"
-    prev = sess.conf.get(_CP)
-    sess.conf.set(_CP, "false")
+    with _CC_CONF_LOCK:
+        depth, prev = _CC_CONF_DEPTH.get(id(sess), (0, None))
+        if depth == 0:
+            prev = sess.conf.get(_CP)
+            sess.conf.set(_CP, "false")
+        _CC_CONF_DEPTH[id(sess)] = (depth + 1, prev)
     try:
         return _connected_components_loop(pairs)
     finally:
-        sess.conf.set(_CP, prev)
+        with _CC_CONF_LOCK:
+            depth, prev = _CC_CONF_DEPTH[id(sess)]
+            if depth == 1:
+                sess.conf.set(_CP, prev)
+                del _CC_CONF_DEPTH[id(sess)]
+            else:
+                _CC_CONF_DEPTH[id(sess)] = (depth - 1, prev)
 
 
 def _connected_components_loop(pairs: DataFrame) -> DataFrame:
@@ -492,9 +520,10 @@ def winnowing_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the component loop runs over the PAIR GRAPH only
     (ids, never text); quality joins on doc_id; the keeper argmax is
-    one map-side-combined ``max(struct)`` groupBy; the md5 join-back
-    touches one text row per CLUSTER (component-cardinality, not
-    corpus-cardinality), keyed on doc_id so the scan prunes."""
+    one map-side-combined ``max(struct)`` groupBy; the md5 is computed
+    ABOVE the keeper join, so only one text row per CLUSTER is hashed
+    (component-cardinality, not corpus-cardinality) and the
+    cluster-sized build side broadcasts."""
     from udacity_dsnd_projects_spark.functions.dedup import winnowing_pairs_for
     from udacity_dsnd_projects_spark.functions.text import quality_score
 
@@ -520,17 +549,23 @@ def winnowing_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
     )
-    keep_md5 = docs.select(
-        F.col("doc_id").alias("keep_doc_id"),
-        F.md5(F.col("text").cast("binary")).alias("keep_md5"),
-    )
-    return best.join(keep_md5, "keep_doc_id").select(
+    # md5 sits ABOVE the join, so it evaluates only on rows that
+    # survive it — one text row hashed per CLUSTER, not per corpus row
+    # (the pre-fix shape computed md5 under the join's child, hashing
+    # every document). `best` is component-cardinality, so AQE picks a
+    # broadcast-hash join and the text column never crosses an
+    # exchange; the scan itself still reads text once (columnar
+    # point-lookup by id would need an indexed store).
+    return best.join(
+        docs.select(F.col("doc_id").alias("keep_doc_id"), "text"),
+        "keep_doc_id",
+    ).select(
         "component",
         "n_members",
         "keep_doc_id",
         "keep_quality",
         "n_dropped",
-        "keep_md5",
+        F.md5(F.col("text").cast("binary")).alias("keep_md5"),
     )
 
 

@@ -69,6 +69,34 @@ def _token_hash(tok: Column) -> Column:
     )
 
 
+#: Memo for _spread_for_hashing's layout probe:
+#: {(id(session), analyzed-plan semanticHash): partition count}.
+#: Converting a DataFrame to an RDD to count partitions forces FULL
+#: physical planning on the driver, so substrate-heavy faces that
+#: compose several substrates over one input (screen_funnel_report
+#: builds three) would otherwise pay that planning per substrate.
+#: semanticHash is computed on the already-analyzed logical plan
+#: (analysis is cached by Spark) — no physical planning on a hit.
+#: Bounded: cleared when it exceeds _SPREAD_PROBE_CAP entries (the
+#: decision is a cheap probe, not correctness state).
+_SPREAD_PROBE_CACHE: dict[tuple[int, int], int] = {}
+_SPREAD_PROBE_CAP = 256
+
+
+def _probe_partitions(sel: DataFrame) -> int:
+    key = (
+        id(sel.sparkSession),
+        sel._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    n = _SPREAD_PROBE_CACHE.get(key)
+    if n is None:
+        n = sel.rdd.getNumPartitions()
+        if len(_SPREAD_PROBE_CACHE) >= _SPREAD_PROBE_CAP:
+            _SPREAD_PROBE_CACHE.clear()
+        _SPREAD_PROBE_CACHE[key] = n
+    return n
+
+
 def _spread_for_hashing(docs: DataFrame) -> DataFrame:
     """(doc_id, text) projected and, ONLY when the incoming layout
     under-parallelizes, hash-repartitioned on doc_id.
@@ -84,12 +112,17 @@ def _spread_for_hashing(docs: DataFrame) -> DataFrame:
     the full text column once to buy parallelism the layout already
     provides. So it is applied conditionally: skipped when
     ``getNumPartitions() >= defaultParallelism`` (plan-asserted both
-    regimes in tests). Streaming frames cannot be probed (``.rdd`` is
-    undefined pre-query); micro-batches are small and latency-bound,
-    so they always take the spread."""
+    regimes in tests). The probe is MEMOIZED per (session, analyzed
+    plan) — see :data:`_SPREAD_PROBE_CACHE` — so faces that build
+    several substrates over the same input pay the physical-planning
+    cost of the RDD conversion once, not per substrate; the layout
+    decision is point-in-time by design (a scan's split count is
+    stable within a session for a given input). Streaming frames
+    cannot be probed (``.rdd`` is undefined pre-query); micro-batches
+    are small and latency-bound, so they always take the spread."""
     sel = docs.select("doc_id", "text")
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    if not sel.isStreaming and sel.rdd.getNumPartitions() >= n_parts:
+    if not sel.isStreaming and _probe_partitions(sel) >= n_parts:
         return sel
     return sel.repartition(n_parts, F.col("doc_id"))
 

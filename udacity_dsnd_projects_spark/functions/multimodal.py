@@ -532,6 +532,17 @@ def media_type_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sniffed"
         ),
     )
+    return _mismatch_rollup(s)
+
+
+def _mismatch_rollup(s: DataFrame) -> DataFrame:
+    """Rollup for ``media_type_mismatch_report`` over a
+    (modality, sniffed) frame. The top-wrong-sniff argmax tie-breaks on
+    the FULL sniffed string (``min_by`` over a (-n, sniffed) struct:
+    highest count first, then lexicographically smallest header),
+    mirroring the oracle's ``ORDER BY n DESC, sniffed`` — a first-char
+    surrogate like ``ascii()`` would diverge the moment two modalities
+    share an initial letter."""
     per = s.groupBy("modality", "sniffed").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -541,13 +552,13 @@ def media_type_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_media"),
             F.sum(F.when(mm, F.col("n")).otherwise(0)).alias("n_mismatch"),
-            F.max_by(
+            F.min_by(
                 F.when(mm, F.col("sniffed")),
                 F.when(
                     mm,
                     F.struct(
-                        F.col("n"),
-                        F.ascii(F.col("sniffed")) * -1,
+                        (-F.col("n")).alias("neg_n"),
+                        F.col("sniffed"),
                     ),
                 ),
             ).alias("top_sniffed_other"),

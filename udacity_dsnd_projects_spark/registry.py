@@ -1491,9 +1491,123 @@ for _q in _ROUND12_ROTATION_CANDIDATES + _ROUND12_R7_LEFTOVERS:
             "displace a round-11 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND11_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND11_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 12) — the 20 _ROUND12_ROTATION_CANDIDATES lead
+# (7 NEW round-11 operators needing a FIRST verdict + 13
+# result-identical plan changes from the layout-aware substrate spread
+# and the CC-loop rework; VERDICT r11 task 1), then the 15 remaining
+# r7 leftovers (source_overlap_matrix is deduped — it sits in BOTH
+# overflow lists and rides in with the candidates), then the 15
+# alphabetically-first of the 49 r8-era greens (the stalest bulk after
+# this round's verdicts; staleness derived by unioning
+# CORRECTNESS_r{1..11}.json). The 34 r8 greens the window cannot hold
+# are declared at _ROUND13_R8_LEFTOVERS. The two r1-era estimators
+# stay OUT by design (tolerance-tested, no oracle).
+# ==========================================================================
+
+_ROUND12_NEEDS_VERDICT = _ROUND12_ROTATION_CANDIDATES
+
+#: 15 r7 leftovers first (the stalest greens anywhere once the
+#: candidates carry source_overlap_matrix), then the 15
+#: alphabetically-first r8 greens (one flat cohort — every r8
+#: candidate shares the same last-verdict round, so alphabetical is
+#: the declared tiebreak).
+_ROUND12_STALE_BACKLOG = tuple(
+    q for q in _ROUND12_R7_LEFTOVERS if q not in _ROUND12_ROTATION_CANDIDATES
+) + (
+    "array_explode",
+    "array_subscript",
+    "avg_per_group",
+    "base64_roundtrip",
+    "case_when_mapping",
+    "cast_projection",
+    "column_equality_filter",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "count_distinct",
+    "cube_agg",
+    "date_parts",
+    "distinct_values",
+    "doc_fingerprint",
+    "embedding_lsh_buckets",
+)
+
+#: The 34 r8 greens the 15 stale slots could not hold — they MUST head
+#: round 13's stale backlog (stalest remaining cohort after this
+#: round's verdicts land).
+_ROUND13_R8_LEFTOVERS = (
+    "embedding_near_dup",
+    "grouped_count",
+    "join_anti",
+    "join_asof",
+    "join_broadcast_dim",
+    "join_cross",
+    "join_enrichment_chain",
+    "join_full_outer",
+    "join_left",
+    "join_semi",
+    "json_get",
+    "json_map_explode",
+    "json_parse_flatten",
+    "latest_per_key",
+    "null_reject_filter",
+    "pivot_agg",
+    "revenue_by_nation",
+    "risk_join_sql",
+    "rollup_agg",
+    "set_except",
+    "set_intersect",
+    "sort_limit",
+    "split_derive",
+    "stats_per_group",
+    "string_normalize",
+    "table_profile",
+    "top_k_per_group",
+    "top_unshipped_orders",
+    "topic_dispatch_filter",
+    "union_fan_in",
+    "value_routing",
+    "window_lag_lead",
+    "window_rank",
+    "window_running_sum",
+)
+
+_ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
+
+#: Queries added or CHANGED after the round-12 window filled. Round 13
+#: MUST rotate these to the window front before re-verifying anything
+#: else — build the round-13 guard from this list, not hand-collected.
+#: (Populated as round 12 lands operators; media_type_mismatch_report
+#: is NOT here — its tie-break fix landed BEFORE its first verdict,
+#: inside this round's window.)
+_ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = ()
+
+if len(_ROUND12_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-12 window holds {len(_ROUND12_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND12_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-12 window")
+for _q in (
+    _ROUND12_WINDOW + _ROUND13_ROTATION_CANDIDATES + _ROUND13_R8_LEFTOVERS
+):
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG:
+    if _q not in _ROUND12_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND13_ROTATION_CANDIDATES + _ROUND13_R8_LEFTOVERS:
+    if _q in _ROUND12_WINDOW:
+        raise RuntimeError(
+            f"round-12 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-12 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND12_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND12_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND11_WINDOW)
+    if name not in set(_ROUND12_WINDOW)
 }

@@ -522,7 +522,6 @@ def substring_match_stream(
         .withColumn("overlap", F.round(shared / F.size("fps"), 5))
         .filter(F.col("overlap") >= threshold)
         .select("doc_id", "hist_doc_id", "shared", "overlap")
-        .dropDuplicates(["doc_id", "hist_doc_id"])
     )
     # too-short-to-screen rows: below the substrate's fingerprint
     # floor there is no screening verdict — emit a null row per doc so
@@ -538,4 +537,13 @@ def substring_match_stream(
             F.lit(None).cast("double").alias("overlap"),
         )
     )
-    return matched.unionByName(unscreened)
+    # ONE dedup over BOTH branches (nulls compare equal in
+    # dropDuplicates): matched pairs dedupe across multi-fingerprint
+    # collisions as before, and a too-short doc re-delivered by an
+    # at-least-once source dedupes on its (doc_id, NULL) key instead of
+    # re-emitting a null row per delivery — the "emitted once" contract
+    # in the docstring. Placing the single state store after the union
+    # also drops the second shuffle the per-branch dedup would cost.
+    return matched.unionByName(unscreened).dropDuplicates(
+        ["doc_id", "hist_doc_id"]
+    )
