@@ -107,11 +107,26 @@ ROUND11_ADDITIONS: tuple[str, ...] = (
     "winnowing_strip",
 )
 
+#: Round-12 additions: the closed tokenizer-induction loop end-to-end
+#: (bpe_apply_merges runs the 10-round learn loop on the vocab frame
+#: AND the merge-aware corpus re-tokenization — the heaviest new
+#: iterative job) and markup_strip (the markup action face: a pure
+#: codegen regexp projection, benched as the family's scan-rate
+#: canary). Counted in ``value``, NOT ``legacy17_sec``.
+ROUND12_ADDITIONS: tuple[str, ...] = (
+    "bpe_apply_merges",
+    "markup_strip",
+)
+
 #: Queries timed by the bench. Grows as the registry grows; keep this
 #: the set of headline operators rather than every micro-query, so the
 #: number stays interpretable.
 HEADLINE: tuple[str, ...] = (
-    LEGACY17 + ROUND9_ADDITIONS + ROUND10_ADDITIONS + ROUND11_ADDITIONS
+    LEGACY17
+    + ROUND9_ADDITIONS
+    + ROUND10_ADDITIONS
+    + ROUND11_ADDITIONS
+    + ROUND12_ADDITIONS
 )
 
 

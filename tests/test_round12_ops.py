@@ -1,8 +1,9 @@
 """Round-12 tests: the media-type-mismatch full-string tie-break
-(VERDICT r11 task 4), the winnowing_strip keeper semi-join, the
+(VERDICT r11 task 4), the winnowing_strip keeper-md5 placement, the
 too-short-stream-row redelivery dedup, the connected-components
-conf-restore reentrancy guard, and the cached substrate-layout probe
-(ADVICE r11)."""
+conf-restore reentrancy guard, the cached substrate-layout probe
+(ADVICE r11), the closed BPE tokenizer-induction loop (task 2), and
+the markup_strip action face (task 3)."""
 
 from __future__ import annotations
 
@@ -197,3 +198,109 @@ def test_short_doc_redelivery_emits_once(spark, tmp_path):
     assert len(rows) == 1, rows
     r = rows[0]
     assert r.doc_id == 7 and r.hist_doc_id is None and r.overlap is None
+
+
+# --------------------------------------------------------------------------
+# Round-12 task 2 — the closed tokenizer-induction loop.
+# --------------------------------------------------------------------------
+
+
+def test_bpe_learn_counts_overlaps_and_merges_greedily(spark):
+    from udacity_dsnd_projects_spark.functions.text import _learn_merges
+
+    vocab = spark.createDataFrame([("aaa", 2), ("ab", 3)], ["w", "cnt"])
+    merges = _learn_merges(vocab, rounds=2)
+    # round 1: (a,a) counts BOTH positions of 'aaa' → 2·2=4 > (a,b) 3
+    assert merges[0] == ("a", "a", 4)
+    # greedy left-to-right: 'aaa' → [aa, a] (the tail 'a' is NOT merged
+    # again), so round 2 sees (aa,a)=2 and (a,b)=3 → (a,b) wins
+    assert merges[1] == ("a", "b", 3)
+
+
+def test_bpe_learn_tie_breaks_on_pair_lexicographic(spark):
+    from udacity_dsnd_projects_spark.functions.text import _learn_merges
+
+    vocab = spark.createDataFrame([("ab", 1), ("ba", 1)], ["w", "cnt"])
+    merges = _learn_merges(vocab, rounds=1)
+    assert merges == [("a", "b", 1)]
+
+
+def test_bpe_learn_stops_when_fully_merged(spark):
+    from udacity_dsnd_projects_spark.functions.text import _learn_merges
+
+    vocab = spark.createDataFrame([("ab", 5)], ["w", "cnt"])
+    merges = _learn_merges(vocab, rounds=10)
+    assert merges == [("a", "b", 5)]  # one merge, then no pair remains
+
+
+def test_bpe_step1_equals_pair_counts_rank1(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_learn_merges,
+        bpe_pair_counts,
+    )
+
+    top = bpe_pair_counts(spark, sf_dir).filter("rank = 1").collect()[0]
+    step1 = bpe_learn_merges(spark, sf_dir).filter("step = 1").collect()[0]
+    assert step1["merged"] == top["pair"]
+    assert step1["n_occurrences"] == top["n_occurrences"]
+
+
+# --------------------------------------------------------------------------
+# Round-12 task 3 — markup_strip: the markup action face. Python re is
+# the independent referee for the strip chain (same patterns, same
+# order), and a markup-free document must round-trip bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def test_markup_strip_chain_matches_reference_regex(spark):
+    import re as pyre
+
+    from udacity_dsnd_projects_spark.functions.web import (
+        RE_ENTITY,
+        RE_HTML_TAG,
+        RE_MD_BOLD_STRIP,
+        RE_MD_HEAD_STRIP,
+        RE_MD_LINK_STRIP,
+        _strip_markup,
+    )
+
+    raw = 'keep <b>x</b> <br/> **strong** [t](http://u) ## h &amp; &#39; tail'
+    got = (
+        spark.createDataFrame([(raw,)], ["text"])
+        .select(_strip_markup(F.col("text")).alias("c"))
+        .collect()[0]["c"]
+    )
+    exp = raw
+    exp = pyre.sub(RE_HTML_TAG, "", exp)
+    exp = pyre.sub(RE_MD_BOLD_STRIP, r"\1", exp)
+    exp = pyre.sub(RE_MD_LINK_STRIP, r"\1", exp)
+    exp = pyre.sub(RE_MD_HEAD_STRIP, r"\1", exp)
+    exp = pyre.sub(RE_ENTITY, "", exp)
+    assert got == exp
+    for residue in ("<b>", "<br/>", "**", "](", "## ", "&amp;", "&#39;"):
+        assert residue not in got, (residue, got)
+    for kept in ("keep", "x", "strong", "t", "h", "tail"):
+        assert kept in got
+
+
+def test_markup_strip_clean_doc_roundtrips(spark):
+    from udacity_dsnd_projects_spark.functions.web import _strip_markup
+
+    raw = "just plain words 123, no markup at all"
+    got = (
+        spark.createDataFrame([(raw,)], ["text"])
+        .select(_strip_markup(F.col("text")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == raw
+
+
+def test_markdown_alternation_composed_from_components():
+    from udacity_dsnd_projects_spark.functions.web import (
+        RE_MARKDOWN,
+        RE_MD_BOLD,
+        RE_MD_HEAD,
+        RE_MD_LINK,
+    )
+
+    assert RE_MARKDOWN == f"{RE_MD_BOLD}|{RE_MD_LINK}|{RE_MD_HEAD}"

@@ -47,10 +47,15 @@ def test_bench_headline_decomposes_into_legacy17_plus_additions():
         "boilerplate_strip",
         "winnowing_strip",
     }
+    assert set(bench.ROUND12_ADDITIONS) == {
+        "bpe_apply_merges",
+        "markup_strip",
+    }
     adds = (
         bench.ROUND9_ADDITIONS
         + bench.ROUND10_ADDITIONS
         + bench.ROUND11_ADDITIONS
+        + bench.ROUND12_ADDITIONS
     )
     assert not set(bench.LEGACY17) & set(adds)
     assert len(set(adds)) == len(adds)

@@ -989,6 +989,330 @@ SELECT pair, n_occurrences, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Tokenizer induction, closed loop (round 12): learn N ordered merges,
+# then re-tokenize the corpus with them
+# --------------------------------------------------------------------------
+#: How many merge rounds bpe_learn_merges runs. Small and FIXED so the
+#: DuckDB oracle (an unrolled N-stage CTE pyramid) stays tractable; a
+#: production tokenizer run would raise it — per-round cost is constant
+#: (one bounded aggregation + one vocab rewrite, see _learn_merges).
+BPE_MERGE_ROUNDS = 10
+
+#: Symbol separator in the delimited-segmentation representation
+#: (ASCII unit separator). Below every printable character, so the
+#: (n DESC, x, y) argmax tie order is identical whether symbols are
+#: compared as tuples or as SEP-joined strings; words CONTAINING the
+#: separator are excluded from the vocabulary on both engines (the
+#: synthetic corpus has none — the filter is the honesty gate).
+BPE_SEP = "\x1f"
+
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(w, cnt): the word vocabulary with occurrence counts — the frame
+    BPE learning actually iterates on (Sennrich et al. 2016 operate on
+    the vocab-with-counts, never the corpus: pair statistics are
+    count-weighted, so one corpus scan up front is sufficient). At
+    100 TB the corpus is petabyte-scale but the vocab is merely
+    large — this reduction is what makes iterative BPE feasible as a
+    Spark job at all."""
+    from udacity_dsnd_projects_spark.functions.pipeline import _toks
+
+    return (
+        docs.select(F.explode(_toks()).alias("w"))
+        .filter((F.length("w") >= 1) & ~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _char_syms(w: Column) -> Column:
+    """array<string> of single characters — the initial segmentation."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+
+
+def _learn_merges(
+    vocab: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> list[tuple[str, str, int]]:
+    """The BPE training loop (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units", alg. 1): start from
+    character segmentations, then ``rounds`` times (a) count adjacent
+    symbol pairs weighted by word count — EVERY adjacent position, so
+    'aaa' contributes (a,a) twice, exactly the reference get_stats —
+    (b) argmax with the deterministic (n DESC, x, y) tie order,
+    (c) rewrite every segmentation by merging that pair greedily
+    left-to-right (a fold whose accumulator-tail check reproduces the
+    reference's skip-after-merge scan: a symbol just created by a merge
+    is never the left side of another merge in the same pass).
+
+    Scale shape: the loop never touches the corpus — it iterates on
+    the checkpointed VOCAB frame (one corpus scan builds it). Per
+    round: one map-side-combined groupBy whose result is bounded by
+    the count of distinct adjacent symbol pairs (charset² initially,
+    vocab-bounded always), one 1-row collect (the argmax — metadata,
+    the same driver-side exception as the k-means seeds), and one
+    eager ``localCheckpoint`` of the rewritten vocab so lineage stays
+    flat — the fused-iteration pattern of ``connected_components``.
+    Returns the ordered merge list [(x, y, n), ...]; stops early if no
+    pair remains (fully merged vocab)."""
+    v = vocab.select(_char_syms(F.col("w")).alias("syms"), "cnt").localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        pairs = v.filter(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("syms"), j).alias("x"),
+                        F.element_at(F.col("syms"), j + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, n = top[0]["x"], top[0]["y"], int(top[0]["n"])
+        merges.append((x, y, n))
+        # greedy left-to-right merge: append, unless the accumulator
+        # tail is x and the current symbol is y — then fuse them.
+        # try_element_at, not element_at: ANSI mode evaluates every
+        # conjunct, so the tail probe must be NULL-safe on empty acc.
+        v = v.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.try_element_at(acc, F.lit(-1)) == F.lit(x))
+                    & (s == F.lit(y)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(x + y)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDERED BPE merge table learned from the corpus — what
+    :func:`bpe_pair_counts` computes one round of, iterated to a
+    tokenizer artifact: (step, lhs, rhs, merged, n_occurrences), one
+    row per merge in learning order. Step 1 equals
+    ``bpe_pair_counts``'s rank-1 pair by construction (same statistic,
+    same tie order) — pinned in tests.
+
+    NOTE: construction runs the training loop (2 Spark actions per
+    round on the vocab frame — the documented eager exception, like
+    ``guard_metrics_report``); the returned frame is the metadata-sized
+    merge list itself."""
+    vocab = _bpe_vocab(load_table(spark, "documents", sf_dir))
+    rows = [
+        (i + 1, x, y, x + y, n)
+        for i, (x, y, n) in enumerate(_learn_merges(vocab))
+    ]
+    return spark.createDataFrame(
+        rows, "step long, lhs string, rhs string, merged string, n_occurrences long"
+    )
+
+
+def _seg_str(w: Column) -> Column:
+    """The SEP-delimited segmentation string: every symbol wrapped in
+    single separators, symbols joined by a DOUBLE separator —
+    ``␟h␟␟i␟`` — so a literal ``replace(␟x␟␟y␟ → ␟xy␟)`` is exactly
+    one greedy left-to-right merge pass that can never match inside a
+    multi-character symbol (the pattern spans the inter-symbol gap)."""
+    return F.concat(
+        F.lit(BPE_SEP), F.array_join(_char_syms(w), BPE_SEP + BPE_SEP), F.lit(BPE_SEP)
+    )
+
+
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-tokenize the corpus with the merges :func:`bpe_learn_merges`
+    learned — the merge-aware token counter the token-budget faces
+    (``seq_pack_bins``, ``source_mixture_weights``) approximate with
+    whitespace tokens: per document, (doc_id, n_words, n_char_units,
+    n_merged_units, merge_ratio) where n_char_units is the pre-merge
+    symbol count (characters in eligible words), n_merged_units the
+    count after applying all learned merges IN ORDER, and merge_ratio
+    their quotient (≤ 1; how much the learned tokenizer compresses
+    this doc — NULL for docs with no eligible words).
+
+    Scale shape: the learned merges are a driver-side list of
+    :data:`BPE_MERGE_ROUNDS` string pairs (metadata — the trained
+    artifact), baked into the plan as a chain of literal ``replace``
+    calls over the delimited segmentation string (see :func:`_seg_str`
+    — string replace IS the greedy merge pass). The whole apply is one
+    per-row projection inside the documents scan: no join against the
+    vocab, no shuffle, no Python in the data path; unit counts come
+    from separator arithmetic (symbols = inter-symbol gaps + 1).
+
+    NOTE: construction runs the training loop first (the same eager
+    exception as :func:`bpe_learn_merges`)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import _toks
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = _learn_merges(_bpe_vocab(docs))
+    sep, sep2 = BPE_SEP, BPE_SEP + BPE_SEP
+
+    def n_units(w: Column) -> Column:
+        seg = _seg_str(w)
+        for x, y, _ in merges:
+            seg = F.replace(
+                seg,
+                F.lit(sep + x + sep2 + y + sep),
+                F.lit(sep + x + y + sep),
+            )
+        # k symbols ↔ k-1 double-separator gaps
+        return F.length(seg) - F.length(F.replace(seg, F.lit(sep2), F.lit(sep))) + 1
+
+    ws = F.filter(
+        _toks(), lambda w: (F.length(w) >= 1) & ~w.contains(BPE_SEP)
+    )
+    add = lambda a, b: a + b  # noqa: E731
+    per = docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            add,
+        ).alias("n_char_units"),
+        F.aggregate(
+            F.transform("ws", lambda w: n_units(w).cast("long")),
+            F.lit(0).cast("long"),
+            add,
+        ).alias("n_merged_units"),
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_char_units",
+        "n_merged_units",
+        F.when(
+            F.col("n_char_units") > 0,
+            F.round(F.col("n_merged_units") / F.col("n_char_units"), 6),
+        ).alias("merge_ratio"),
+    )
+
+
+def _oracle_bpe_stages(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """The shared CTE pyramid both BPE oracles build on: words → v0
+    (char segmentation as SEP-delimited strings) → per-stage pair
+    counts p{k}, argmax m{k}, rewritten vocab v{k+1}. Every v{k} is
+    MATERIALIZED — it is referenced twice (pair counts + next stage),
+    and inlining would blow up the plan exponentially in rounds."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || {sep} || '%'
+  GROUP BY w
+), v0 AS MATERIALIZED (
+  SELECT {sep} || array_to_string(
+           list_transform(range(1, len(w)+1),
+                          i -> w[CAST(i AS INTEGER)]),
+           {sep2}) || {sep} AS seg,
+         cnt
+  FROM words
+)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""p{k} AS (
+  SELECT p.x AS x, p.y AS y, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> {{'x': l[CAST(i AS INTEGER)],
+                                       'y': l[CAST(i AS INTEGER)+1]}})) AS p
+    FROM (SELECT str_split(substr(seg, 2, len(seg)-2), {sep2}) AS l, cnt
+          FROM v{k}) s
+  ) q GROUP BY 1, 2
+), m{k} AS MATERIALIZED (
+  SELECT CAST({k + 1} AS BIGINT) AS step, x, y, n
+  FROM p{k} ORDER BY n DESC, x, y LIMIT 1
+), v{k + 1} AS MATERIALIZED (
+  SELECT replace(seg, {sep}||m.x||{sep2}||m.y||{sep}, {sep}||m.x||m.y||{sep}) AS seg,
+         cnt
+  FROM v{k} CROSS JOIN m{k} m
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _oracle_bpe_learn_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(rounds))
+    return f"""
+WITH {_oracle_bpe_stages(rounds)}
+SELECT step, x AS lhs, y AS rhs, x || y AS merged, n AS n_occurrences
+FROM ({union}) u
+"""
+
+
+ORACLE_BPE_LEARN_MERGES = _oracle_bpe_learn_merges()
+
+
+def _oracle_bpe_apply_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    seg = (
+        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
+        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
+    )
+    for k in range(rounds):
+        seg = (
+            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
+            f"{sep}||m{k}.x||m{k}.y||{sep})"
+        )
+    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
+),
+counted AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         CAST(SUM(len(w)) AS BIGINT) AS n_char_units,
+         CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
+              AS BIGINT) AS n_merged_units
+  FROM (SELECT doc_id, w, {seg} AS seg FROM docwords {crosses}) s
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_words, 0) AS n_words,
+       COALESCE(c.n_char_units, 0) AS n_char_units,
+       COALESCE(c.n_merged_units, 0) AS n_merged_units,
+       ROUND(c.n_merged_units * 1.0 / NULLIF(c.n_char_units, 0), 6)
+         AS merge_ratio
+FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
+"""
+
+
+ORACLE_BPE_APPLY_MERGES = _oracle_bpe_apply_merges()
+
+
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED ARTIFACT behind :func:`perplexity_score`: the
     char-bigram language model itself — (bg, c1, c_bg, c_ctx, nll)

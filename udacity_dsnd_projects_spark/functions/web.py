@@ -338,10 +338,23 @@ FROM canon GROUP BY canon_url
 #: Markup patterns — lookaround-free so the SAME expressions run under
 #: Java regex (Spark) and RE2 (DuckDB). Tag = anything angle-bracketed;
 #: markdown = bold spans, inline links, or heading markers; entity =
-#: named or numeric HTML escapes.
+#: named or numeric HTML escapes. The markdown alternation is composed
+#: from its three components so the strip face (capture-group variants
+#: of the SAME components) can never drift from the report.
 RE_HTML_TAG = r"<[^>]+>"
-RE_MARKDOWN = r"\*\*[^*]+\*\*|\[[^\]]+\]\([^ )]+\)|(?:^|\s)#{1,6}\s"
+RE_MD_BOLD = r"\*\*[^*]+\*\*"
+RE_MD_LINK = r"\[[^\]]+\]\([^ )]+\)"
+RE_MD_HEAD = r"(?:^|\s)#{1,6}\s"
+RE_MARKDOWN = f"{RE_MD_BOLD}|{RE_MD_LINK}|{RE_MD_HEAD}"
 RE_ENTITY = r"&[a-z]+;|&#[0-9]+;"
+
+#: Capture-group variants for the strip face: bold/link keep their
+#: CONTENT (the human-visible text), headings keep the leading
+#: whitespace; tags and entities strip to nothing. Built from the same
+#: component patterns as the report's alternation.
+RE_MD_BOLD_STRIP = r"\*\*([^*]+)\*\*"
+RE_MD_LINK_STRIP = r"\[([^\]]+)\]\([^ )]+\)"
+RE_MD_HEAD_STRIP = r"(^|\s)#{1,6}\s"
 
 
 def _with_planted_markup(docs: DataFrame) -> DataFrame:
@@ -459,4 +472,99 @@ SELECT source,
        ROUND(SUM(GREATEST(has_html, has_md, has_ent)) * 1.0 / COUNT(*), 6)
          AS markup_doc_share
 FROM per GROUP BY source
+"""
+
+
+def _strip_markup(text: Column) -> Column:
+    """The markup-removal chain, in the DECLARED order tags → bold →
+    links → headings → entities: tags and entities strip to nothing
+    (non-content), bold and links keep their visible text, headings
+    keep their leading whitespace. Exactly mirrored in the oracle
+    (same component patterns, same order — only the backreference
+    syntax differs, Java ``$1`` vs RE2 ``\\1``); no whitespace
+    re-normalization afterwards, so the strip removes PRECISELY the
+    matched spans and nothing else (clean docs round-trip
+    bit-for-bit)."""
+    clean = F.regexp_replace(text, RE_HTML_TAG, "")
+    clean = F.regexp_replace(clean, RE_MD_BOLD_STRIP, "$1")
+    clean = F.regexp_replace(clean, RE_MD_LINK_STRIP, "$1")
+    clean = F.regexp_replace(clean, RE_MD_HEAD_STRIP, "$1")
+    return F.regexp_replace(clean, RE_ENTITY, "")
+
+
+def markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION face of :func:`markup_density_report` — the same
+    report→action split as ``passage_dedup`` → ``boilerplate_strip``
+    and ``k_anonymity_report`` → ``k_anonymize_release``: remove the
+    HTML/markdown/entity residue the report diagnoses, using the SAME
+    ``RE_*`` component constants so report and action can never
+    disagree about what counts as markup. One row per document:
+    (doc_id, source, n_tags, n_md_spans, n_entities, clean_len,
+    n_residue, clean_md5) — the before-counts, the cleaned length, a
+    recount of all three pattern families ON the cleaned text (the
+    self-check that the gate closed), and the md5 of the cleaned
+    payload so the oracle verifies it bit-for-bit (the ``clean_md5``
+    pattern of ``boilerplate_strip``).
+
+    Scale shape: one pruned documents scan; the whole strip-and-count
+    is a per-row JVM projection (regexp_replace/regexp_count inside
+    whole-stage codegen) — no shuffle, no UDF, nothing text-sized
+    crosses an exchange."""
+    d = _with_planted_markup(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "source", "text"
+        )
+    )
+    text = F.col("text")
+    clean = _strip_markup(text)
+    residue = (
+        F.regexp_count(clean, F.lit(RE_HTML_TAG))
+        + F.regexp_count(clean, F.lit(RE_MARKDOWN))
+        + F.regexp_count(clean, F.lit(RE_ENTITY))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_count(text, F.lit(RE_HTML_TAG)).cast("long").alias("n_tags"),
+        F.regexp_count(text, F.lit(RE_MARKDOWN))
+        .cast("long")
+        .alias("n_md_spans"),
+        F.regexp_count(text, F.lit(RE_ENTITY))
+        .cast("long")
+        .alias("n_entities"),
+        F.length(clean).cast("long").alias("clean_len"),
+        residue.cast("long").alias("n_residue"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+_ORACLE_CLEAN = rf"""
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  text, '{RE_HTML_TAG}', '', 'g'),
+  '{RE_MD_BOLD_STRIP}', '\1', 'g'),
+  '{RE_MD_LINK_STRIP}', '\1', 'g'),
+  '{RE_MD_HEAD_STRIP}', '\1', 'g'),
+  '{RE_ENTITY}', '', 'g')
+"""
+
+ORACLE_MARKUP_STRIP = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_ORACLE_PLANTED_MARKUP} AS text FROM documents
+), c AS (
+  SELECT doc_id, source, text, {_ORACLE_CLEAN} AS clean FROM d
+)
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(text, '{RE_HTML_TAG}')) AS BIGINT)
+         AS n_tags,
+       CAST(len(regexp_extract_all(text, '{RE_MARKDOWN}')) AS BIGINT)
+         AS n_md_spans,
+       CAST(len(regexp_extract_all(text, '{RE_ENTITY}')) AS BIGINT)
+         AS n_entities,
+       CAST(len(clean) AS BIGINT) AS clean_len,
+       CAST(len(regexp_extract_all(clean, '{RE_HTML_TAG}'))
+            + len(regexp_extract_all(clean, '{RE_MARKDOWN}'))
+            + len(regexp_extract_all(clean, '{RE_ENTITY}')) AS BIGINT)
+         AS n_residue,
+       md5(clean) AS clean_md5
+FROM c
 """

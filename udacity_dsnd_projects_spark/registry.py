@@ -143,6 +143,21 @@ register(
 # NEW (round 6): tokenizer-induction pair counts; split-contamination
 # report over the LSH pair substrate
 register("bpe_pair_counts", _text.bpe_pair_counts, _text.ORACLE_BPE_PAIR_COUNTS)
+# NEW (round 12): the tokenizer-induction loop CLOSED — bpe_pair_counts
+# iterated to an ordered merge table, plus the corpus re-tokenized with
+# it. NOTE: constructing either runs the training loop (2 actions per
+# merge round on the vocab frame — the same documented eager exception
+# as guard_metrics_report); plan-only tooling must skip them.
+register(
+    "bpe_learn_merges",
+    _text.bpe_learn_merges,
+    _text.ORACLE_BPE_LEARN_MERGES,
+)
+register(
+    "bpe_apply_merges",
+    _text.bpe_apply_merges,
+    _text.ORACLE_BPE_APPLY_MERGES,
+)
 register(
     "split_leakage_report",
     _cur.split_leakage_report,
@@ -520,6 +535,9 @@ register(
     _web.markup_density_report,
     _web.ORACLE_MARKUP_DENSITY_REPORT,
 )
+# NEW (round 12): the markup ACTION face — strip the residue the
+# report diagnoses (same RE_* component constants, clean_md5-verified)
+register("markup_strip", _web.markup_strip, _web.ORACLE_MARKUP_STRIP)
 # NEW (round 11): the k-anonymity ACTION face — publish the QI count
 # table with small cells suppressed into a reconciling residual row
 register(
@@ -1580,7 +1598,15 @@ _ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
 #: (Populated as round 12 lands operators; media_type_mismatch_report
 #: is NOT here — its tie-break fix landed BEFORE its first verdict,
 #: inside this round's window.)
-_ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = ()
+#: - bpe_learn_merges / bpe_apply_merges: NEW round-12 operators (the
+#:   closed tokenizer-induction loop) — first verdicts pending.
+#: - markup_strip: NEW round-12 operator (the markup action face) —
+#:   first verdict pending.
+_ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "bpe_learn_merges",
+    "bpe_apply_merges",
+    "markup_strip",
+)
 
 if len(_ROUND12_WINDOW) != _WINDOW:
     raise RuntimeError(
