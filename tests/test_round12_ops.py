@@ -304,3 +304,77 @@ def test_markdown_alternation_composed_from_components():
     )
 
     assert RE_MARKDOWN == f"{RE_MD_BOLD}|{RE_MD_LINK}|{RE_MD_HEAD}"
+
+
+# --------------------------------------------------------------------------
+# Round-12 task 8 — cross-face identities: the tuning curve and the
+# per-query recall report must agree at the deployed probe depth, and
+# the merge-aware mixture face must reuse bpe_apply_merges' counts
+# exactly (no second tokenizer implementation to drift).
+# --------------------------------------------------------------------------
+
+
+def test_probe_sweep_agrees_with_recall_report_at_deployed_depth(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        PROBE_HAMMING,
+        TOP_K,
+        ann_recall_report,
+        ivf_probe_sweep,
+    )
+
+    rr = ann_recall_report(spark, sf_dir).agg(
+        F.sum("n_hits").alias("h"), F.count(F.lit(1)).alias("q")
+    ).collect()[0]
+    row = (
+        ivf_probe_sweep(spark, sf_dir)
+        .filter(F.col("probe_hamming") == PROBE_HAMMING)
+        .collect()[0]
+    )
+    # same index, same probe depth → identical hit totals, and the
+    # curve's micro-averaged recall is hits over (queries × K)
+    assert row["n_hits"] == rr["h"]
+    assert row["n_queries"] == rr["q"]
+    assert float(row["mean_recall"]) == round(
+        rr["h"] / (rr["q"] * TOP_K), 6
+    )
+
+
+def test_bpe_mixture_tokens_equal_apply_sums(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_apply_merges,
+        bpe_token_mixture_weights,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    want = {
+        r["source"]: r["u"]
+        for r in bpe_apply_merges(spark, sf_dir)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_merged_units").alias("u"))
+        .collect()
+    }
+    got = {
+        r["source"]: r["n_merged_tokens"]
+        for r in bpe_token_mixture_weights(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# Plan shapes — the apply/strip faces must be SHUFFLE-FREE single-scan
+# projections (the learn loop runs at construction; the returned frame
+# is scan + project only), and the mixture face's only exchanges are
+# its source-cardinality rollup.
+# --------------------------------------------------------------------------
+
+
+def test_bpe_apply_and_markup_strip_plans_are_shuffle_free(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import bpe_apply_merges
+    from udacity_dsnd_projects_spark.functions.web import markup_strip
+
+    for df in (bpe_apply_merges(spark, sf_dir), markup_strip(spark, sf_dir)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan

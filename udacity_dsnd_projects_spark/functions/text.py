@@ -1141,6 +1141,51 @@ def _seg_str(w: Column) -> Column:
     )
 
 
+def _eligible_words() -> Column:
+    """The word array the BPE faces operate on: non-empty,
+    separator-free whitespace tokens (the same domain gate as
+    :func:`_bpe_vocab`)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import _toks
+
+    return F.filter(
+        _toks(), lambda w: (F.length(w) >= 1) & ~w.contains(BPE_SEP)
+    )
+
+
+def _word_units_fn(merges: list[tuple[str, str, int]]):
+    """Per-word merged-unit counter: the learned merges baked in as a
+    chain of literal ``replace`` calls over the delimited segmentation
+    (each replace IS one greedy merge pass — see :func:`_seg_str`),
+    then symbol count by separator arithmetic."""
+    sep, sep2 = BPE_SEP, BPE_SEP + BPE_SEP
+
+    def n_units(w: Column) -> Column:
+        seg = _seg_str(w)
+        for x, y, _ in merges:
+            seg = F.replace(
+                seg,
+                F.lit(sep + x + sep2 + y + sep),
+                F.lit(sep + x + y + sep),
+            )
+        # k symbols ↔ k-1 double-separator gaps
+        return (
+            F.length(seg) - F.length(F.replace(seg, F.lit(sep2), F.lit(sep))) + 1
+        )
+
+    return n_units
+
+
+def _sum_over_words(fn) -> Column:
+    """Sum a per-word integer expression over the ``ws`` word array —
+    a fold, so the whole reduction stays row-local (no explode, no
+    shuffle)."""
+    return F.aggregate(
+        F.transform("ws", lambda w: fn(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+
+
 def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-tokenize the corpus with the merges :func:`bpe_learn_merges`
     learned — the merge-aware token counter the token-budget faces
@@ -1163,40 +1208,13 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: construction runs the training loop first (the same eager
     exception as :func:`bpe_learn_merges`)."""
-    from udacity_dsnd_projects_spark.functions.pipeline import _toks
-
     docs = load_table(spark, "documents", sf_dir)
     merges = _learn_merges(_bpe_vocab(docs))
-    sep, sep2 = BPE_SEP, BPE_SEP + BPE_SEP
-
-    def n_units(w: Column) -> Column:
-        seg = _seg_str(w)
-        for x, y, _ in merges:
-            seg = F.replace(
-                seg,
-                F.lit(sep + x + sep2 + y + sep),
-                F.lit(sep + x + y + sep),
-            )
-        # k symbols ↔ k-1 double-separator gaps
-        return F.length(seg) - F.length(F.replace(seg, F.lit(sep2), F.lit(sep))) + 1
-
-    ws = F.filter(
-        _toks(), lambda w: (F.length(w) >= 1) & ~w.contains(BPE_SEP)
-    )
-    add = lambda a, b: a + b  # noqa: E731
-    per = docs.select("doc_id", ws.alias("ws")).select(
+    per = docs.select("doc_id", _eligible_words().alias("ws")).select(
         "doc_id",
         F.size("ws").cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform("ws", lambda w: F.length(w).cast("long")),
-            F.lit(0).cast("long"),
-            add,
-        ).alias("n_char_units"),
-        F.aggregate(
-            F.transform("ws", lambda w: n_units(w).cast("long")),
-            F.lit(0).cast("long"),
-            add,
-        ).alias("n_merged_units"),
+        _sum_over_words(lambda w: F.length(w)).alias("n_char_units"),
+        _sum_over_words(_word_units_fn(merges)).alias("n_merged_units"),
     )
     return per.select(
         "doc_id",
@@ -1311,6 +1329,110 @@ FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
 
 
 ORACLE_BPE_APPLY_MERGES = _oracle_bpe_apply_merges()
+
+
+def bpe_token_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``source_mixture_weights`` with an HONEST token denominator —
+    the integration the training-prep family was missing: the
+    whitespace-token budget split is re-planned on MERGE-AWARE unit
+    counts from :func:`bpe_apply_merges`, so sources whose text
+    compresses well under the learned tokenizer (natural language)
+    get budget proportional to what the model will actually see, not
+    to their whitespace token count. One row per source: (source,
+    n_docs, n_merged_tokens, weight, planned_tokens) with the same
+    equal-share formula as ``source_mixture_weights``
+    (``min(1, share / tokens)``).
+
+    Scale shape: the learn loop iterates on the vocab frame (see
+    :func:`_learn_merges`); the apply is a shuffle-free per-row fold
+    inside the documents scan; the rollup is one source-cardinality
+    groupBy with the source count joined back as a broadcast 1-row
+    cross join — the exact plan of ``source_mixture_weights``, just a
+    different token expression. NOTE: construction runs the training
+    loop (the documented eager exception)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        MIXTURE_TOKEN_BUDGET,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = _learn_merges(_bpe_vocab(docs))
+    s = (
+        docs.select("source", _eligible_words().alias("ws"))
+        .select("source", _sum_over_words(_word_units_fn(merges)).alias("u"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("u").alias("n_merged_tokens"),
+        )
+    )
+    s = s.crossJoin(
+        F.broadcast(s.groupBy().agg(F.count(F.lit(1)).alias("__n_sources")))
+    )
+    share = F.lit(float(MIXTURE_TOKEN_BUDGET)) / F.col("__n_sources")
+    weight = F.least(F.lit(1.0), share / F.col("n_merged_tokens"))
+    return s.select(
+        "source",
+        "n_docs",
+        "n_merged_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * F.col("n_merged_tokens"), 0)
+        .cast("long")
+        .alias("planned_tokens"),
+    )
+
+
+def _oracle_bpe_token_mixture_weights(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        MIXTURE_TOKEN_BUDGET,
+    )
+
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    seg = (
+        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
+        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
+    )
+    for k in range(rounds):
+        seg = (
+            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
+            f"{sep}||m{k}.x||m{k}.y||{sep})"
+        )
+    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
+              AS BIGINT) AS units
+  FROM (SELECT doc_id, {seg} AS seg FROM docwords {crosses}) s
+  GROUP BY doc_id
+),
+s AS (
+  SELECT d.source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(COALESCE(p.units, 0)) AS BIGINT) AS n_merged_tokens
+  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+  GROUP BY d.source
+),
+t AS (SELECT *, COUNT(*) OVER () AS n_sources FROM s)
+SELECT source, n_docs, n_merged_tokens,
+       ROUND(LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources)
+                        / n_merged_tokens), 6) AS weight,
+       CAST(ROUND(LEAST(1.0, ({MIXTURE_TOKEN_BUDGET}.0 / n_sources)
+                             / n_merged_tokens)
+                  * n_merged_tokens, 0) AS BIGINT) AS planned_tokens
+FROM t
+"""
+
+
+ORACLE_BPE_TOKEN_MIXTURE_WEIGHTS = _oracle_bpe_token_mixture_weights()
 
 
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

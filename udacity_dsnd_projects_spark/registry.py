@@ -158,6 +158,13 @@ register(
     _text.bpe_apply_merges,
     _text.ORACLE_BPE_APPLY_MERGES,
 )
+# NEW (round 12): the training-prep integration — mixture weights
+# re-planned on merge-aware token counts (same eager-loop exception)
+register(
+    "bpe_token_mixture_weights",
+    _text.bpe_token_mixture_weights,
+    _text.ORACLE_BPE_TOKEN_MIXTURE_WEIGHTS,
+)
 register(
     "split_leakage_report",
     _cur.split_leakage_report,
@@ -1602,10 +1609,13 @@ _ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
 #:   closed tokenizer-induction loop) — first verdicts pending.
 #: - markup_strip: NEW round-12 operator (the markup action face) —
 #:   first verdict pending.
+#: - bpe_token_mixture_weights: NEW round-12 operator (mixture weights
+#:   on merge-aware token counts) — first verdict pending.
 _ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = (
     "bpe_learn_merges",
     "bpe_apply_merges",
     "markup_strip",
+    "bpe_token_mixture_weights",
 )
 
 if len(_ROUND12_WINDOW) != _WINDOW:
