@@ -378,3 +378,20 @@ def test_bpe_apply_and_markup_strip_plans_are_shuffle_free(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_bpe_vocab_table_total_mass_equals_apply_units(spark, sf_dir):
+    """Both faces read the same segmentation, so total unit mass must
+    agree: Σ vocab_table.n_occurrences == Σ apply.n_merged_units."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_apply_merges,
+        bpe_vocab_table,
+    )
+
+    vt = bpe_vocab_table(spark, sf_dir).agg(
+        F.sum("n_occurrences").alias("s")
+    ).collect()[0]["s"]
+    ap = bpe_apply_merges(spark, sf_dir).agg(
+        F.sum("n_merged_units").alias("s")
+    ).collect()[0]["s"]
+    assert vt == ap

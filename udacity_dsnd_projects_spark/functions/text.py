@@ -1057,6 +1057,16 @@ def _learn_merges(
     flat — the fused-iteration pattern of ``connected_components``.
     Returns the ordered merge list [(x, y, n), ...]; stops early if no
     pair remains (fully merged vocab)."""
+    return _learn_merges_with_vocab(vocab, rounds)[0]
+
+
+def _learn_merges_with_vocab(
+    vocab: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """:func:`_learn_merges` plus the FINAL segmented vocab frame
+    (syms, cnt) — already localCheckpoint'ed by the loop, so faces that
+    need the post-merge segmentation (:func:`bpe_vocab_table`) read it
+    for free instead of re-running the merges."""
     v = vocab.select(_char_syms(F.col("w")).alias("syms"), "cnt").localCheckpoint(
         eager=True
     )
@@ -1105,7 +1115,7 @@ def _learn_merges(
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
-    return merges
+    return merges, v
 
 
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,6 +1443,55 @@ FROM t
 
 
 ORACLE_BPE_TOKEN_MIXTURE_WEIGHTS = _oracle_bpe_token_mixture_weights()
+
+
+def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned subword VOCABULARY — the second tokenizer artifact
+    next to :func:`bpe_learn_merges`' rule table: every unit the
+    post-merge segmentation uses, with its corpus frequency. One row
+    per unit: (unit, n_chars, n_occurrences) where n_occurrences is
+    count-weighted over word occurrences — the table a tokenizer ships
+    as vocab.json, and the frequency readout that says which merges
+    actually carry corpus mass (a unit can also VANISH from here when
+    a later merge consumes every occurrence, e.g. 'er' swallowed by
+    'mer' — the merge table alone cannot show that).
+
+    Scale shape: reads the learn loop's final checkpointed vocab frame
+    (no re-run — :func:`_learn_merges_with_vocab`), explodes symbols
+    weighted by word count, and reduces map-side to a frame bounded by
+    charset + :data:`BPE_MERGE_ROUNDS` new units. NOTE: construction
+    runs the training loop (the documented eager exception)."""
+    vocab = _bpe_vocab(load_table(spark, "documents", sf_dir))
+    _, v = _learn_merges_with_vocab(vocab)
+    return (
+        v.select(F.explode("syms").alias("unit"), "cnt")
+        .groupBy("unit")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+        .select(
+            "unit",
+            F.length("unit").cast("long").alias("n_chars"),
+            "n_occurrences",
+        )
+    )
+
+
+def _oracle_bpe_vocab_table(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+ex AS (
+  SELECT unnest(str_split(substr(seg, 2, len(seg)-2), chr(31)||chr(31)))
+           AS unit,
+         cnt
+  FROM v{rounds}
+)
+SELECT unit,
+       CAST(len(unit) AS BIGINT) AS n_chars,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM ex GROUP BY unit
+"""
+
+
+ORACLE_BPE_VOCAB_TABLE = _oracle_bpe_vocab_table()
 
 
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

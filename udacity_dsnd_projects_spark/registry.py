@@ -165,6 +165,14 @@ register(
     _text.bpe_token_mixture_weights,
     _text.ORACLE_BPE_TOKEN_MIXTURE_WEIGHTS,
 )
+# NEW (round 12): the second tokenizer artifact — the post-merge
+# subword vocabulary with corpus frequencies (same eager-loop
+# exception; reads the learn loop's final checkpointed vocab)
+register(
+    "bpe_vocab_table",
+    _text.bpe_vocab_table,
+    _text.ORACLE_BPE_VOCAB_TABLE,
+)
 register(
     "split_leakage_report",
     _cur.split_leakage_report,
@@ -1611,11 +1619,14 @@ _ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
 #:   first verdict pending.
 #: - bpe_token_mixture_weights: NEW round-12 operator (mixture weights
 #:   on merge-aware token counts) — first verdict pending.
+#: - bpe_vocab_table: NEW round-12 operator (the post-merge subword
+#:   vocabulary) — first verdict pending.
 _ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = (
     "bpe_learn_merges",
     "bpe_apply_merges",
     "markup_strip",
     "bpe_token_mixture_weights",
+    "bpe_vocab_table",
 )
 
 if len(_ROUND12_WINDOW) != _WINDOW:
