@@ -423,6 +423,28 @@ def crawl_loop_bench(spark) -> dict:
             sum(p["sink"]["numOutputRows"] for p in progresses)
         )
         out["substring_stream_sec"] = elapsed
+
+        # 4. ``token_budget`` — merge-aware token accounting under the
+        #    SHIPPED tokenizer (merges learned on the history half —
+        #    the published artifact), replayed over the same crawl
+        #    chunks. Peak state pins the bounded per-source aggregation
+        #    (source cardinality, NOT corpus size); wall-clock catches
+        #    a regression in the baked replace-chain projection.
+        from udacity_dsnd_projects_spark.functions.text import (
+            _bpe_vocab,
+            _learn_merges,
+        )
+        from udacity_dsnd_projects_spark.streaming.monitor import (
+            token_budget_stream,
+        )
+
+        merges = _learn_merges(_bpe_vocab(hist))
+        budget = token_budget_stream(
+            file_stream(spark, f"{root}/new", docs.schema), merges
+        )
+        progresses, elapsed = _run_stream(budget, "update")
+        out["token_budget_peak_state_rows"] = _peak_state(progresses)
+        out["token_budget_sec"] = elapsed
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -395,3 +395,297 @@ def test_bpe_vocab_table_total_mass_equals_apply_units(spark, sf_dir):
         F.sum("n_merged_units").alias("s")
     ).collect()[0]["s"]
     assert vt == ap
+
+
+# --------------------------------------------------------------------------
+# Round-12 depth — bpe_compression_sweep: the merge-budget tuning
+# curve. Each APPLIED merge removes exactly one symbol, so the curve
+# decrements by the applied count: equal to bpe_learn_merges'
+# n_occurrences when lhs != rhs, and between n/2 and n when the pair
+# self-overlaps (lhs == rhs counts both positions of a run but greedy
+# merging skips after each merge) — the cross-face identity that pins
+# the sweep to the merge table.
+# --------------------------------------------------------------------------
+
+
+def test_compression_sweep_decrements_by_merge_counts(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        BPE_MERGE_ROUNDS,
+        bpe_compression_sweep,
+        bpe_learn_merges,
+    )
+
+    curve = {
+        r["step"]: r for r in bpe_compression_sweep(spark, sf_dir).collect()
+    }
+    merges = {r["step"]: r for r in bpe_learn_merges(spark, sf_dir).collect()}
+    assert len(curve) == BPE_MERGE_ROUNDS + 1
+    assert curve[0]["merged"] is None
+    assert float(curve[0]["compression_ratio"]) == 1.0
+    for k in range(1, len(merges) + 1):
+        assert curve[k]["merged"] == merges[k]["merged"]
+        applied = curve[k - 1]["total_units"] - curve[k]["total_units"]
+        n = merges[k]["n_occurrences"]
+        if merges[k]["lhs"] != merges[k]["rhs"]:
+            assert applied == n
+        else:
+            assert n / 2 <= applied <= n
+        assert applied > 0  # the curve strictly decreases while merging
+
+
+def test_compression_sweep_pads_after_early_stop(spark):
+    """A corpus whose vocabulary fully merges before the budget: the
+    remaining steps must pad with NULL rows (what the oracle's empty
+    stage CTEs yield), keeping the curve length fixed."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        BPE_MERGE_ROUNDS,
+        _compression_sweep_frame,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    rows = {r["step"]: r for r in _compression_sweep_frame(spark, docs).collect()}
+    assert len(rows) == BPE_MERGE_ROUNDS + 1
+    # step 0: 2 chars × 3 occurrences of the one word
+    assert rows[0]["total_units"] == 6
+    assert rows[1]["merged"] == "ab" and rows[1]["total_units"] == 3
+    assert float(rows[1]["compression_ratio"]) == 0.5
+    for k in range(2, BPE_MERGE_ROUNDS + 1):
+        r = rows[k]
+        assert (
+            r["merged"] is None
+            and r["total_units"] is None
+            and r["compression_ratio"] is None
+        )
+
+
+def test_learn_merges_with_stages_tracks_every_stage(spark):
+    from udacity_dsnd_projects_spark.functions.text import (
+        _learn_merges_with_stages,
+    )
+
+    vocab = spark.createDataFrame([("aaa", 2), ("ab", 3)], ["w", "cnt"])
+    merges, stages = _learn_merges_with_stages(vocab, rounds=2)
+    assert len(stages) == len(merges) + 1 == 3
+    # stage frames are materialized snapshots. Stage 0: aaa→3·2 + ab→2·3
+    # = 12. Merge 1 is (a,a,4) — 4 OVERLAPPING positions, but greedy
+    # merging applies once per 'aaa' (→ [aa, a]), removing 2 symbols:
+    # 10. Merge 2 is (a,b,3), lhs≠rhs so all 3 apply: 7.
+    totals = [
+        s.agg(F.sum(F.col("cnt") * F.size("syms")).alias("t")).collect()[0]["t"]
+        for s in stages
+    ]
+    assert totals == [12, 10, 7]
+    assert merges == [("a", "a", 4), ("a", "b", 3)]
+
+
+# --------------------------------------------------------------------------
+# Round-12 depth — bpe_seq_pack_bins: packing on merge-aware counts.
+# The per-doc unit count must be bpe_apply_merges' n_merged_units
+# (same merges, same fold — no second tokenizer to drift), and bins
+# must be contiguous in stream order within each language.
+# --------------------------------------------------------------------------
+
+
+def test_bpe_seq_pack_units_equal_apply_counts(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_apply_merges,
+        bpe_seq_pack_bins,
+    )
+
+    ap = {
+        r["doc_id"]: r["n_merged_units"]
+        for r in bpe_apply_merges(spark, sf_dir).collect()
+    }
+    pk = {
+        r["doc_id"]: r["n_units"]
+        for r in bpe_seq_pack_bins(spark, sf_dir).collect()
+    }
+    assert pk == ap
+
+
+def test_bpe_seq_pack_bins_contiguous_per_lang(spark, sf_dir):
+    from collections import defaultdict
+
+    from udacity_dsnd_projects_spark.functions.text import (
+        BPE_PACK_BUDGET,
+        bpe_seq_pack_bins,
+    )
+
+    by_lang = defaultdict(list)
+    for r in bpe_seq_pack_bins(spark, sf_dir).collect():
+        by_lang[r["lang"]].append(r)
+    assert len(by_lang) > 1
+    saw_multi_bin = False
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        prev_bin = 0
+        for r in rows:
+            assert r["cum_units"] == run + r["n_units"]
+            assert r["bin"] == run // BPE_PACK_BUDGET
+            assert r["bin"] >= prev_bin  # contiguous, never back-fills
+            run += r["n_units"]
+            prev_bin = r["bin"]
+        saw_multi_bin = saw_multi_bin or prev_bin > 0
+    assert saw_multi_bin  # the fixture corpus spans multiple bins
+
+
+def test_ann_probe_agreement_face_agrees(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        PROBE_HAMMING,
+        ann_probe_agreement,
+    )
+
+    rows = ann_probe_agreement(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["probe_hamming"] == PROBE_HAMMING
+    assert r["agree"] is True
+    assert r["sweep_n_hits"] == r["report_n_hits"]
+    assert float(r["sweep_mean_recall"]) == float(r["report_mean_recall"])
+
+
+# --------------------------------------------------------------------------
+# Round-12 depth — tokenizer_drift_report: merges learned on the
+# snapshot half only, fertility compared across halves per source.
+# --------------------------------------------------------------------------
+
+
+def test_tokenizer_drift_crafted_split(spark):
+    """Train half (even doc_ids) is pure 'ab' so the learned tokenizer
+    merges exactly 'ab'; the eval half carries unseen 'cd', which stays
+    2 units/word — fertility drift is positive and exact."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        _tokenizer_drift_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab ab", "s"),
+            (2, "ab", "s"),
+            (1, "ab cd", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    r = _tokenizer_drift_frame(spark, docs).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["train_docs"] == 2 and row["eval_docs"] == 1
+    # train: 3 words, all merged to 1 unit → fertility 1.0
+    assert float(row["train_fertility"]) == 1.0
+    # eval: 'ab'→1 unit, 'cd'→2 units → 3 units / 2 words = 1.5
+    assert float(row["eval_fertility"]) == 1.5
+    assert float(row["fertility_drift"]) == 0.5
+
+
+def test_tokenizer_drift_splits_cover_corpus(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        tokenizer_drift_report,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = tokenizer_drift_report(spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(totals)
+    for r in rows:
+        assert r["train_docs"] + r["eval_docs"] == totals[r["source"]]
+        # every non-empty split of the synthetic corpus has eligible
+        # words; a split with no docs at all reports NULL fertility
+        if r["train_docs"] > 0:
+            assert float(r["train_fertility"]) > 0
+        else:
+            assert r["train_fertility"] is None
+        if r["eval_docs"] > 0:
+            assert float(r["eval_fertility"]) > 0
+        else:
+            assert r["eval_fertility"] is None
+
+
+# --------------------------------------------------------------------------
+# Round-12 depth — token_budget_stream: the crawl loop's running
+# merge-aware token accounting. Stream==batch: the final update-mode
+# emission per source must equal the batch rollup over the same rows
+# (shared per-word fold), with totals MERGING across micro-batches.
+# --------------------------------------------------------------------------
+
+
+def test_token_budget_stream_equals_batch(spark, tmp_path):
+    from udacity_dsnd_projects_spark.functions.text import (
+        _bpe_vocab,
+        _eligible_words,
+        _learn_merges,
+        _sum_over_words,
+        _word_units_fn,
+    )
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        token_budget_stream,
+    )
+
+    rows = [
+        (i, f"web doc {i} alpha beta " + "ab " * (i % 4), "web")
+        for i in range(10)
+    ] + [
+        (i, f"lab doc {i} gamma " + "cd " * (i % 3), "lab")
+        for i in range(10, 18)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    merges = _learn_merges(_bpe_vocab(docs), rounds=4)
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    # two micro-batches, each containing BOTH sources → totals must merge
+    for b, pred in ((1, "doc_id % 2 = 0"), (2, "doc_id % 2 = 1")):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{b}")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        token_budget_stream(stream, merges)
+        .writeStream.format("memory")
+        .queryName("r12_token_budget")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest emission per source (update mode re-emits on merge)
+    got = {
+        r["source"]: (r["n_docs"], r["n_words"], r["n_merged_units"])
+        for r in spark.sql(
+            """SELECT source, n_docs, n_words, n_merged_units FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_merged_units DESC) rn
+                 FROM r12_token_budget) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["n_words"], r["n_merged_units"])
+        for r in docs.select("source", _eligible_words().alias("ws"))
+        .select(
+            "source",
+            F.size("ws").cast("long").alias("w"),
+            _sum_over_words(_word_units_fn(merges)).alias("u"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("u").alias("n_merged_units"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 2

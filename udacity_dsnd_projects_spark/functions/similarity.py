@@ -1099,6 +1099,84 @@ WITH e AS (
 ORACLE_IVF_PROBE_SWEEP = _oracle_ivf_probe_sweep()
 
 
+def ann_probe_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED-depth consistency gate between the two ANN
+    readouts: :func:`ivf_probe_sweep`'s row at ``probe_hamming ==
+    PROBE_HAMMING`` (the depth :func:`cosine_topk_ivf` actually ships)
+    must carry the SAME hit total and micro-averaged recall as
+    :func:`ann_recall_report` aggregated over its per-query rows — they
+    grade the same index at the same depth through different plans, so
+    a disagreement means one of the readouts lies. One row:
+    (probe_hamming, sweep_n_hits, report_n_hits, sweep_mean_recall,
+    report_mean_recall, agree) with null-safe equality so degenerate
+    warehouses (no queries) still verify.
+
+    Round-11 VERDICT asked for exactly this face so the tuning curve
+    and the acceptance report provably agree at the deployed nprobe;
+    the pytest pin (test_round12_ops) checks the same identity, this
+    registry entry makes it driver- and oracle-visible.
+
+    Scale shape: every input is already metadata-sized — the sweep
+    reduces each depth to one row, the report is (queries)-sized, the
+    brute-force denominator is (queries × K)-sized — so the face is
+    three broadcast-joined single-row aggregates."""
+    sweep = (
+        ivf_probe_sweep(spark, sf_dir)
+        .filter(F.col("probe_hamming") == PROBE_HAMMING)
+        .select(
+            "probe_hamming",
+            F.col("n_hits").alias("sweep_n_hits"),
+            F.col("mean_recall").alias("sweep_mean_recall"),
+        )
+    )
+    rep = ann_recall_report(spark, sf_dir).agg(
+        F.sum("n_hits").cast("long").alias("report_n_hits")
+    )
+    bfn = cosine_topk_bruteforce(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("__n_exact")
+    )
+    j = sweep.crossJoin(F.broadcast(rep)).crossJoin(F.broadcast(bfn))
+    report_recall = F.round(
+        F.col("report_n_hits") / F.nullif(F.col("__n_exact"), F.lit(0)), 6
+    )
+    return j.select(
+        "probe_hamming",
+        "sweep_n_hits",
+        "report_n_hits",
+        "sweep_mean_recall",
+        report_recall.alias("report_mean_recall"),
+        (
+            F.col("sweep_n_hits").eqNullSafe(F.col("report_n_hits"))
+            & F.col("sweep_mean_recall").eqNullSafe(report_recall)
+        ).alias("agree"),
+    )
+
+
+ORACLE_ANN_PROBE_AGREEMENT = f"""
+WITH sw AS (
+  SELECT probe_hamming, n_hits, mean_recall
+  FROM ({ORACLE_IVF_PROBE_SWEEP}) zsw
+  WHERE probe_hamming = {PROBE_HAMMING}
+), rep AS (
+  SELECT CAST(SUM(n_hits) AS BIGINT) AS report_n_hits
+  FROM ({ORACLE_ANN_RECALL_REPORT}) zrep
+), bfn AS (
+  SELECT COUNT(*) AS n_exact FROM ({ORACLE_COSINE_TOPK_BRUTEFORCE}) zbf
+)
+SELECT sw.probe_hamming,
+       sw.n_hits AS sweep_n_hits,
+       rep.report_n_hits,
+       sw.mean_recall AS sweep_mean_recall,
+       ROUND(rep.report_n_hits * 1.0 / NULLIF(bfn.n_exact, 0), 6)
+         AS report_mean_recall,
+       (sw.n_hits IS NOT DISTINCT FROM rep.report_n_hits)
+       AND (sw.mean_recall IS NOT DISTINCT FROM
+            ROUND(rep.report_n_hits * 1.0 / NULLIF(bfn.n_exact, 0), 6))
+         AS agree
+FROM sw CROSS JOIN rep CROSS JOIN bfn
+"""
+
+
 # --------------------------------------------------------------------------
 # Incremental IVF index maintenance (round 6)
 # --------------------------------------------------------------------------

@@ -1067,9 +1067,24 @@ def _learn_merges_with_vocab(
     (syms, cnt) — already localCheckpoint'ed by the loop, so faces that
     need the post-merge segmentation (:func:`bpe_vocab_table`) read it
     for free instead of re-running the merges."""
+    merges, stages = _learn_merges_with_stages(vocab, rounds)
+    return merges, stages[-1]
+
+
+def _learn_merges_with_stages(
+    vocab: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> tuple[list[tuple[str, str, int]], list[DataFrame]]:
+    """:func:`_learn_merges` plus EVERY intermediate segmented vocab
+    frame: ``stages[k]`` is the (syms, cnt) frame after ``k`` merges
+    (``stages[0]`` = character segmentation), each already
+    localCheckpoint'ed by the loop so per-stage readouts
+    (:func:`bpe_compression_sweep`) aggregate the materialized frames
+    instead of re-running any merge. ``len(stages) == len(merges)+1``;
+    the loop stops early when no adjacent pair remains."""
     v = vocab.select(_char_syms(F.col("w")).alias("syms"), "cnt").localCheckpoint(
         eager=True
     )
+    stages: list[DataFrame] = [v]
     merges: list[tuple[str, str, int]] = []
     for _ in range(rounds):
         pairs = v.filter(F.size("syms") >= 2).select(
@@ -1115,7 +1130,8 @@ def _learn_merges_with_vocab(
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
-    return merges, v
+        stages.append(v)
+    return merges, stages
 
 
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,19 +1254,25 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bpe_stages(rounds: int = BPE_MERGE_ROUNDS) -> str:
+def _oracle_bpe_stages(
+    rounds: int = BPE_MERGE_ROUNDS, train_where: str = ""
+) -> str:
     """The shared CTE pyramid both BPE oracles build on: words → v0
     (char segmentation as SEP-delimited strings) → per-stage pair
     counts p{k}, argmax m{k}, rewritten vocab v{k+1}. Every v{k} is
     MATERIALIZED — it is referenced twice (pair counts + next stage),
-    and inlining would blow up the plan exponentially in rounds."""
+    and inlining would blow up the plan exponentially in rounds.
+    ``train_where`` optionally restricts which documents TRAIN the
+    merges (e.g. ``" WHERE doc_id % 2 = 0"`` for the drift report's
+    snapshot split); the default empty string keeps the SQL
+    byte-identical for the whole-corpus faces."""
     sep = "chr(31)"
     sep2 = f"{sep}||{sep}"
     parts = [
         f"""words AS MATERIALIZED (
   SELECT w, COUNT(*) AS cnt FROM (
     SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-    FROM documents
+    FROM documents{train_where}
   ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || {sep} || '%'
   GROUP BY w
 ), v0 AS MATERIALIZED (
@@ -1492,6 +1514,328 @@ FROM ex GROUP BY unit
 
 
 ORACLE_BPE_VOCAB_TABLE = _oracle_bpe_vocab_table()
+
+
+def bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-budget tuning CURVE for the tokenizer family — what
+    :func:`~udacity_dsnd_projects_spark.functions.similarity.ivf_probe_sweep`
+    is to ANN nprobe: corpus size in tokenizer units after EVERY merge
+    stage 0..:data:`BPE_MERGE_ROUNDS`, one row per stage —
+    (step, merged, total_units, compression_ratio). ``total_units`` is
+    the count-weighted symbol total over the segmented vocabulary
+    (= what the corpus tokenizes to at that stage), ``merged`` the pair
+    the step fused (NULL at step 0), ``compression_ratio`` the quotient
+    against the character baseline — the curve a tokenizer-induction
+    run reads to pick its merge budget (it flattens when new merges
+    stop buying compression).
+
+    Scale shape: the loop iterates on the checkpointed VOCAB frame
+    (one corpus scan builds it — see :func:`_learn_merges`); each
+    stage's readout is ONE map-side-combined aggregation over the
+    already-materialized stage frame, reduced to a single row before
+    the (rounds+1)-row union, and the character baseline rides a 1-row
+    broadcast join rather than a driver-side count. If the vocabulary
+    fully merges before the budget (early stop), the remaining steps
+    pad with NULL rows — exactly what the oracle's empty stage CTEs
+    yield, so the curve length is fixed either way. NOTE: construction
+    runs the training loop (the documented eager exception, like
+    :func:`bpe_learn_merges`)."""
+    return _compression_sweep_frame(spark, load_table(spark, "documents", sf_dir))
+
+
+def _compression_sweep_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """:func:`bpe_compression_sweep` over an explicit documents frame —
+    the injectable face crafted-corpus tests drive (the registry face
+    is built ON it, so the two cannot drift)."""
+    vocab = _bpe_vocab(docs)
+    merges, stages = _learn_merges_with_stages(vocab)
+    rows = []
+    for k, v in enumerate(stages):
+        merged = (
+            F.lit(merges[k - 1][0] + merges[k - 1][1])
+            if k >= 1
+            else F.lit(None).cast("string")
+        )
+        rows.append(
+            v.agg(
+                F.sum(F.col("cnt") * F.size("syms"))
+                .cast("long")
+                .alias("total_units")
+            ).select(
+                F.lit(k).cast("long").alias("step"),
+                merged.alias("merged"),
+                "total_units",
+            )
+        )
+    for k in range(len(stages), BPE_MERGE_ROUNDS + 1):
+        rows.append(
+            spark.range(1).select(
+                F.lit(k).cast("long").alias("step"),
+                F.lit(None).cast("string").alias("merged"),
+                F.lit(None).cast("long").alias("total_units"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    base = stages[0].agg(
+        F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("__base_units")
+    )
+    return out.crossJoin(F.broadcast(base)).select(
+        "step",
+        "merged",
+        "total_units",
+        F.round(
+            F.col("total_units") / F.nullif(F.col("__base_units"), F.lit(0)), 6
+        ).alias("compression_ratio"),
+    )
+
+
+def _oracle_bpe_compression_sweep(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    units = (
+        f"CAST(SUM(cnt * (len(seg) - len(replace(seg, {sep2}, {sep})) + 1)) "
+        "AS BIGINT)"
+    )
+    blocks = []
+    for k in range(rounds + 1):
+        merged = (
+            "CAST(NULL AS VARCHAR)" if k == 0 else f"(SELECT x || y FROM m{k - 1})"
+        )
+        blocks.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, {merged} AS merged, "
+            f"{units} AS total_units FROM v{k}"
+        )
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+u AS ({union}),
+b AS (SELECT total_units AS base_units FROM u WHERE step = 0)
+SELECT u.step, u.merged, u.total_units,
+       ROUND(u.total_units * 1.0 / NULLIF(b.base_units, 0), 6)
+         AS compression_ratio
+FROM u CROSS JOIN b
+"""
+
+
+ORACLE_BPE_COMPRESSION_SWEEP = _oracle_bpe_compression_sweep()
+
+
+#: Unit budget per packed training sequence for the merge-aware
+#: packing face. Distinct from pipeline.SEQ_PACK_BUDGET (2048
+#: WHITESPACE tokens): merged units are finer-grained than words
+#: (~chars/2 at these merge budgets), so the bin budget is wider to
+#: pack a comparable number of documents per bin.
+BPE_PACK_BUDGET = 8192
+
+
+def bpe_seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``seq_pack_bins`` with the HONEST token denominator — the third
+    consumer of the learned tokenizer (after
+    :func:`bpe_token_mixture_weights` and :func:`bpe_apply_merges`):
+    documents stream in doc_id order within each language and fill
+    fixed :data:`BPE_PACK_BUDGET`-unit bins, where a document's cost is
+    its MERGE-AWARE unit count (what the model actually sees), not its
+    whitespace token count. One row per document: (doc_id, lang,
+    n_units, cum_units, bin) with ``bin = floor(units_before /
+    budget)`` — contiguous, deterministic, partitioning-independent,
+    exactly ``seq_pack_bins``'s contract.
+
+    Scale shape: the learned merges bake into the plan as literal
+    ``replace`` chains (see :func:`bpe_apply_merges` — per-row
+    projection, no join, no Python); the running unit count is
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_cumsum`
+    (bucketed distributed prefix-sum), never a single-task-per-language
+    window. NOTE: construction runs the training loop (the documented
+    eager exception)."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_cumsum
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = _learn_merges(_bpe_vocab(docs))
+    d = docs.select("doc_id", "lang", _eligible_words().alias("ws")).select(
+        "doc_id",
+        "lang",
+        _sum_over_words(_word_units_fn(merges)).alias("n_units"),
+    )
+    c = exact_group_cumsum(
+        d, ["lang"], "doc_id", [], "n_units", cumsum_col="cum_units"
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_units",
+        "cum_units",
+        F.floor(
+            (F.col("cum_units") - F.col("n_units"))
+            / F.lit(float(BPE_PACK_BUDGET))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+def _oracle_bpe_seq_pack_bins(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    seg = (
+        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
+        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
+    )
+    for k in range(rounds):
+        seg = (
+            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
+            f"{sep}||m{k}.x||m{k}.y||{sep})"
+        )
+    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
+              AS BIGINT) AS units
+  FROM (SELECT doc_id, {seg} AS seg FROM docwords {crosses}) s
+  GROUP BY doc_id
+),
+c AS (
+  SELECT d.doc_id, d.lang, COALESCE(p.units, 0) AS n_units,
+         SUM(COALESCE(p.units, 0)) OVER (
+           PARTITION BY d.lang ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_units
+  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, lang, CAST(n_units AS BIGINT) AS n_units,
+       CAST(cum_units AS BIGINT) AS cum_units,
+       CAST(FLOOR((cum_units - n_units) / {BPE_PACK_BUDGET}.0) AS BIGINT)
+         AS bin
+FROM c
+"""
+
+
+ORACLE_BPE_SEQ_PACK_BINS = _oracle_bpe_seq_pack_bins()
+
+
+def tokenizer_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAIN/EVAL drift — the readout a crawl pipeline needs
+    before trusting a shipped tokenizer on new data: merges are learned
+    ONLY on the snapshot half (even doc_ids — the same history split
+    the crawl-loop bench replays), then fertility (merged units per
+    word) is measured on BOTH halves per source. A source whose eval
+    fertility runs hot is drifting away from the tokenizer's training
+    distribution (new jargon, new language, markup creep) and inflates
+    its real token budget. One row per source: (source, train_docs,
+    eval_docs, train_fertility, eval_fertility, fertility_drift), NULL
+    where a split has no eligible words.
+
+    Scale shape: the learn loop iterates on the TRAIN vocab frame (one
+    filtered corpus scan builds it — see :func:`_learn_merges`); the
+    apply is the baked replace-chain projection inside one full-corpus
+    scan, and the rollup is a single source-cardinality groupBy with
+    conditional aggregates — no join between the halves. NOTE:
+    construction runs the training loop (the documented eager
+    exception)."""
+    return _tokenizer_drift_frame(
+        spark, load_table(spark, "documents", sf_dir)
+    )
+
+
+def _tokenizer_drift_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """:func:`tokenizer_drift_report` over an explicit documents frame —
+    the injectable face crafted-corpus tests drive (the registry face
+    is built ON it, so the two cannot drift)."""
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    merges = _learn_merges(_bpe_vocab(train))
+    per = docs.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("tr"),
+        _eligible_words().alias("ws"),
+    ).select(
+        "source",
+        "tr",
+        F.size("ws").cast("long").alias("w"),
+        _sum_over_words(_word_units_fn(merges)).alias("u"),
+    )
+    g = per.groupBy("source").agg(
+        F.sum(F.when(F.col("tr"), 1).otherwise(0)).cast("long").alias("train_docs"),
+        F.sum(F.when(~F.col("tr"), 1).otherwise(0)).cast("long").alias("eval_docs"),
+        F.sum(F.when(F.col("tr"), F.col("w"))).alias("tw"),
+        F.sum(F.when(F.col("tr"), F.col("u"))).alias("tu"),
+        F.sum(F.when(~F.col("tr"), F.col("w"))).alias("ew"),
+        F.sum(F.when(~F.col("tr"), F.col("u"))).alias("eu"),
+    )
+    tf = F.round(F.col("tu") / F.nullif(F.col("tw"), F.lit(0)), 6)
+    ef = F.round(F.col("eu") / F.nullif(F.col("ew"), F.lit(0)), 6)
+    return g.select(
+        "source",
+        "train_docs",
+        "eval_docs",
+        tf.alias("train_fertility"),
+        ef.alias("eval_fertility"),
+        F.round(ef - tf, 6).alias("fertility_drift"),
+    )
+
+
+def _oracle_tokenizer_drift_report(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    seg = (
+        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
+        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
+    )
+    for k in range(rounds):
+        seg = (
+            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
+            f"{sep}||m{k}.x||m{k}.y||{sep})"
+        )
+    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    return f"""
+WITH {_oracle_bpe_stages(rounds, train_where=" WHERE doc_id % 2 = 0")},
+docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
+),
+perdoc AS (
+  SELECT doc_id,
+         COUNT(*) AS w,
+         CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
+              AS BIGINT) AS u
+  FROM (SELECT doc_id, w, {seg} AS seg FROM docwords {crosses}) s
+  GROUP BY doc_id
+),
+d AS (
+  SELECT dd.source, (dd.doc_id % 2 = 0) AS tr,
+         COALESCE(p.w, 0) AS w, COALESCE(p.u, 0) AS u
+  FROM documents dd LEFT JOIN perdoc p ON dd.doc_id = p.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+       CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS eval_docs,
+       ROUND(SUM(CASE WHEN tr THEN u END) * 1.0
+             / NULLIF(SUM(CASE WHEN tr THEN w END), 0), 6)
+         AS train_fertility,
+       ROUND(SUM(CASE WHEN NOT tr THEN u END) * 1.0
+             / NULLIF(SUM(CASE WHEN NOT tr THEN w END), 0), 6)
+         AS eval_fertility,
+       ROUND(ROUND(SUM(CASE WHEN NOT tr THEN u END) * 1.0
+                   / NULLIF(SUM(CASE WHEN NOT tr THEN w END), 0), 6)
+             - ROUND(SUM(CASE WHEN tr THEN u END) * 1.0
+                     / NULLIF(SUM(CASE WHEN tr THEN w END), 0), 6), 6)
+         AS fertility_drift
+FROM d GROUP BY source
+"""
+
+
+ORACLE_TOKENIZER_DRIFT_REPORT = _oracle_tokenizer_drift_report()
 
 
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -173,6 +173,31 @@ register(
     _text.bpe_vocab_table,
     _text.ORACLE_BPE_VOCAB_TABLE,
 )
+# NEW (round 12): the merge-budget tuning curve — corpus units after
+# every merge stage (the tokenizer family's ivf_probe_sweep analog;
+# same eager-loop exception, readouts aggregate the loop's
+# checkpointed stage frames)
+register(
+    "bpe_compression_sweep",
+    _text.bpe_compression_sweep,
+    _text.ORACLE_BPE_COMPRESSION_SWEEP,
+)
+# NEW (round 12): sequence packing on merge-aware unit counts — the
+# third consumer of the learned tokenizer (same eager-loop exception;
+# the running count is the bucketed distributed prefix-sum)
+register(
+    "bpe_seq_pack_bins",
+    _text.bpe_seq_pack_bins,
+    _text.ORACLE_BPE_SEQ_PACK_BINS,
+)
+# NEW (round 12): tokenizer train/eval drift — merges learned on the
+# snapshot half only, fertility compared across halves per source
+# (same eager-loop exception)
+register(
+    "tokenizer_drift_report",
+    _text.tokenizer_drift_report,
+    _text.ORACLE_TOKENIZER_DRIFT_REPORT,
+)
 register(
     "split_leakage_report",
     _cur.split_leakage_report,
@@ -302,6 +327,14 @@ register("nfc_normalize", _text.nfc_normalize, _text.ORACLE_NFC_NORMALIZE)
 # NEW: IVF recall@K measured against exact brute force
 register(
     "ann_recall_report", _sim.ann_recall_report, _sim.ORACLE_ANN_RECALL_REPORT
+)
+# NEW (round 12): the deployed-depth consistency gate — ivf_probe_sweep's
+# row at PROBE_HAMMING must equal ann_recall_report's aggregate (the
+# cross-face identity VERDICT r11 asked to make driver-visible)
+register(
+    "ann_probe_agreement",
+    _sim.ann_probe_agreement,
+    _sim.ORACLE_ANN_PROBE_AGREEMENT,
 )
 # NEW: per-source near-dup triage dashboard
 register(
@@ -1621,12 +1654,23 @@ _ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
 #:   on merge-aware token counts) — first verdict pending.
 #: - bpe_vocab_table: NEW round-12 operator (the post-merge subword
 #:   vocabulary) — first verdict pending.
+#: - bpe_compression_sweep / bpe_seq_pack_bins: NEW round-12 operators
+#:   (the merge-budget curve + merge-aware packing) — first verdicts
+#:   pending.
+#: - ann_probe_agreement: NEW round-12 operator (the deployed-depth
+#:   sweep↔report consistency gate) — first verdict pending.
+#: - tokenizer_drift_report: NEW round-12 operator (train/eval
+#:   fertility drift per source) — first verdict pending.
 _ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = (
     "bpe_learn_merges",
     "bpe_apply_merges",
     "markup_strip",
     "bpe_token_mixture_weights",
     "bpe_vocab_table",
+    "bpe_compression_sweep",
+    "bpe_seq_pack_bins",
+    "ann_probe_agreement",
+    "tokenizer_drift_report",
 )
 
 if len(_ROUND12_WINDOW) != _WINDOW:

@@ -152,3 +152,44 @@ def changepoint_monitor_view(spark: SparkSession, rollup_path: str) -> DataFrame
         "event_type", "d", "n_events"
     )
     return cusum_changepoints(daily)
+
+
+def token_budget_stream(docs: DataFrame, merges) -> DataFrame:
+    """Streaming per-source MERGE-AWARE token accounting — the crawl
+    loop's honest budget counter: as new-crawl micro-batches arrive,
+    maintain the running (source, n_docs, n_words, n_merged_units)
+    totals under the SHIPPED tokenizer (``merges`` — the driver-side
+    artifact :func:`~udacity_dsnd_projects_spark.functions.text._learn_merges`
+    learned on the published snapshot, baked into the plan as the same
+    literal replace-chain the batch faces use, see
+    :func:`~udacity_dsnd_projects_spark.functions.text.bpe_apply_merges`).
+    A training run reads this to know when a source has delivered its
+    planned token budget
+    (:func:`~udacity_dsnd_projects_spark.functions.text.bpe_token_mixture_weights`).
+
+    Stream==batch is a shared-helper identity: the per-row unit fold is
+    ``_word_units_fn``/``_sum_over_words`` verbatim, so the final
+    update-mode emission per source equals the batch rollup of
+    ``bpe_apply_merges`` over the same rows — pinned by replay test.
+
+    State shape: one aggregation row PER SOURCE (no watermark needed —
+    source cardinality bounds state, the same argument as the
+    compacted-table rollups; counts are monotone per key, so
+    at-least-once upserts stay idempotent under last-write-wins on
+    ``n_merged_units``). Run in update mode."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        _eligible_words,
+        _sum_over_words,
+        _word_units_fn,
+    )
+
+    per = docs.select("source", _eligible_words().alias("ws")).select(
+        "source",
+        F.size("ws").cast("long").alias("w"),
+        _sum_over_words(_word_units_fn(merges)).alias("u"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("u").alias("n_merged_units"),
+    )
