@@ -2,8 +2,11 @@
 (VERDICT r11 task 4), the winnowing_strip keeper-md5 placement, the
 too-short-stream-row redelivery dedup, the connected-components
 conf-restore reentrancy guard, the cached substrate-layout probe
-(ADVICE r11), the closed BPE tokenizer-induction loop (task 2), and
-the markup_strip action face (task 3)."""
+(ADVICE r11), the closed BPE tokenizer-induction loop (task 2), the
+markup_strip action face (task 3), and the round-12 depth faces:
+bpe_compression_sweep / bpe_seq_pack_bins / tokenizer_drift_report /
+ann_probe_agreement / token_budget_stream / deleak_split /
+quarantine_drifting_sources."""
 
 from __future__ import annotations
 
@@ -689,3 +692,60 @@ def test_token_budget_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 2
+
+
+# --------------------------------------------------------------------------
+# Round-12 depth — deleak_split: split_leakage_report's action face.
+# Cross-face identity: the number of dropped train docs must be
+# bounded by the report's cross_split pair count (each dropped doc
+# carries ≥1 cross pair), the dropped ids must all sit on the train
+# side, and planted cross-split duplicates MUST be caught.
+# --------------------------------------------------------------------------
+
+
+def test_deleak_split_drops_exactly_cross_leaking_train_docs(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.curation import deleak_split
+    from udacity_dsnd_projects_spark.functions.curation import (
+        split_leakage_report,
+    )
+
+    rows = deleak_split(spark, sf_dir).collect()
+    dropped = [r for r in rows if r["action"] == "dropped_leak"]
+    assert dropped, "the planted corpus must produce cross-split leaks"
+    cross_pairs = 0
+    for r in split_leakage_report(spark, sf_dir).collect():
+        if r["pair_class"] == "cross_split":
+            cross_pairs = r["n_pairs"]
+    assert cross_pairs > 0
+    # every dropped doc is train-side with ≥1 cross pair; total cross
+    # attributions cannot exceed 2 endpoints per pair
+    assert all(r["split"] == "train" for r in dropped)
+    assert all(r["n_cross_pairs"] >= 1 for r in dropped)
+    # each cross pair has exactly ONE train endpoint, so the dropped
+    # attributions sum to exactly the pair count and the dropped doc
+    # count is bounded by it (pairs may share a train endpoint)
+    assert sum(r["n_cross_pairs"] for r in dropped) == cross_pairs
+    assert len(dropped) <= cross_pairs
+    keeps = [r for r in rows if r["action"] == "keep"]
+    assert all(r["n_cross_pairs"] == 0 for r in keeps)
+
+
+def test_quarantine_matches_drift_report_strata(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.curation import (
+        quality_drift_report,
+        quarantine_drifting_sources,
+    )
+
+    flagged = {
+        (r["lang"], r["source"])
+        for r in quality_drift_report(spark, sf_dir).collect()
+        if r["drifted"] == 1
+    }
+    rows = quarantine_drifting_sources(spark, sf_dir).collect()
+    for r in rows:
+        want = "quarantined" if (r["lang"], r["source"]) in flagged else "keep"
+        assert r["action"] == want, r
+    # the release covers every document exactly once
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    assert len(rows) == load_table(spark, "documents", sf_dir).count()

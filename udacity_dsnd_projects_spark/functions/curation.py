@@ -995,6 +995,93 @@ FROM agg
 ORACLE_SPLIT_LEAKAGE_REPORT = _oracle_split_leakage()
 
 
+def deleak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION face of :func:`split_leakage_report` (the
+    report→action split this engine applies everywhere —
+    ``k_anonymity_report``→``k_anonymize_release``,
+    ``winnowing_overlap_pairs``→``winnowing_strip``): decontaminate
+    the TRAIN side. Every train document that near-duplicates a test
+    document across the split boundary is dropped; the eval set stays
+    frozen (the standard practice — fixing leakage by touching eval
+    would invalidate every previously published number on it). One row
+    per planted-corpus document: (doc_id, split, n_cross_pairs,
+    action ∈ {keep, dropped_leak}) — the released split assignment a
+    training run consumes, with the leak count kept observable instead
+    of silently filtered.
+
+    Scale shape: the pair frame IS the capped LSH candidate output
+    (never all-pairs); the leak-id frame is pair-bounded (tiny at sane
+    dup rates — broadcastable); the release join is one equi-join of
+    the corpus against that slim frame, and the split labels are pure
+    modular arithmetic on each row's own id (no second corpus scan)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import split_assign
+
+    planted = _docs_with_planted_dups(spark, sf_dir)
+    pairs = lsh_pairs_for(planted)
+    sa, sb = split_assign(F.col("doc_a")), split_assign(F.col("doc_b"))
+    leaks = (
+        pairs.filter((sa == "train") & (sb == "test"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            pairs.filter((sb == "train") & (sa == "test")).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_cross"))
+    )
+    return (
+        planted.select("doc_id")
+        .join(leaks, "doc_id", "left")
+        .select(
+            "doc_id",
+            split_assign(F.col("doc_id")).alias("split"),
+            F.coalesce(F.col("__n_cross"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_pairs"),
+            F.when(F.col("__n_cross").isNull(), F.lit("keep"))
+            .otherwise(F.lit("dropped_leak"))
+            .alias("action"),
+        )
+    )
+
+
+def _oracle_deleak_split() -> str:
+    from udacity_dsnd_projects_spark.functions.pipeline import (
+        SPLIT_A,
+        SPLIT_B,
+        SPLIT_MOD,
+        TRAIN_PCT,
+    )
+
+    split = (
+        lambda c: f"CASE WHEN ({c} * {SPLIT_A} + {SPLIT_B}) % {SPLIT_MOD} "
+        f"% 100 < {TRAIN_PCT} THEN 'train' ELSE 'test' END"
+    )
+    return f"""
+WITH planted AS ({_ORACLE_PLANTED}),
+lsh AS ({_oracle_lsh_pairs("planted")}),
+leaks AS (
+  SELECT doc_id, COUNT(*) AS n_cross FROM (
+    SELECT doc_a AS doc_id FROM lsh
+    WHERE {split("doc_a")} = 'train' AND {split("doc_b")} = 'test'
+    UNION ALL
+    SELECT doc_b AS doc_id FROM lsh
+    WHERE {split("doc_b")} = 'train' AND {split("doc_a")} = 'test'
+  ) t GROUP BY doc_id
+)
+SELECT p.doc_id,
+       {split("p.doc_id")} AS split,
+       CAST(COALESCE(l.n_cross, 0) AS BIGINT) AS n_cross_pairs,
+       CASE WHEN l.doc_id IS NULL THEN 'keep' ELSE 'dropped_leak' END
+         AS action
+FROM planted p LEFT JOIN leaks l ON p.doc_id = l.doc_id
+"""
+
+
+ORACLE_DELEAK_SPLIT = _oracle_deleak_split()
+
+
 # --------------------------------------------------------------------------
 # Near-dup graph observability: source overlap, cluster sizes, triangles
 # (round 6, third batch)
@@ -1319,4 +1406,44 @@ SELECT lang, source, n_docs, emd,
        CAST(CASE WHEN emd > {QUALITY_DRIFT_T} THEN 1 ELSE 0 END
             AS INTEGER) AS drifted
 FROM per_group
+"""
+
+
+def quarantine_drifting_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION face of :func:`quality_drift_report` (the
+    report→action split: ``split_leakage_report``→``deleak_split``,
+    ``k_anonymity_report``→``k_anonymize_release``): hold back every
+    document whose (lang, source) stratum failed the EMD drift gate —
+    the ingest decision a pipeline takes on the report before the
+    batch reaches training. One row per document: (doc_id, lang,
+    source, action ∈ {keep, quarantined}). The gate is the report's
+    OWN ``drifted`` flag (built on the same frame), so the action can
+    never disagree with the dashboard.
+
+    Scale shape: the report reduces to a (langs × sources)-sized
+    frame — metadata — so the release is ONE broadcast left join onto
+    the corpus scan; no second scoring pass, no extra shuffle. NOTE:
+    construction inherits the report's documented eager checkpoint."""
+    rep = quality_drift_report(spark, sf_dir).select(
+        "lang", "source", "drifted"
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source"
+    )
+    return docs.join(F.broadcast(rep), ["lang", "source"], "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("drifted") == 1, F.lit("quarantined"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+ORACLE_QUARANTINE_DRIFTING_SOURCES = f"""
+WITH rep AS ({ORACLE_QUALITY_DRIFT_REPORT})
+SELECT d.doc_id, d.lang, d.source,
+       CASE WHEN r.drifted = 1 THEN 'quarantined' ELSE 'keep' END AS action
+FROM documents d LEFT JOIN rep r
+  ON d.lang = r.lang AND d.source = r.source
 """

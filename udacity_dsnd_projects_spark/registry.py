@@ -203,6 +203,13 @@ register(
     _cur.split_leakage_report,
     _cur.ORACLE_SPLIT_LEAKAGE_REPORT,
 )
+# NEW (round 12): the leakage report's ACTION face — drop the train
+# side of every cross-split near-dup pair, eval stays frozen
+register(
+    "deleak_split",
+    _cur.deleak_split,
+    _cur.ORACLE_DELEAK_SPLIT,
+)
 # NEW (round 6): label-noise detection over the kNN substrate;
 # per-source embedding drift monitor
 register(
@@ -813,6 +820,14 @@ register(
     "quality_drift_report",
     _cur.quality_drift_report,
     _cur.ORACLE_QUALITY_DRIFT_REPORT,
+)
+# NEW (round 12): the drift gate's ACTION face — quarantine every doc
+# in a drifted stratum via one broadcast join of the metadata-sized
+# report onto the corpus (inherits the report's eager checkpoint)
+register(
+    "quarantine_drifting_sources",
+    _cur.quarantine_drifting_sources,
+    _cur.ORACLE_QUARANTINE_DRIFTING_SOURCES,
 )
 # NEW (round 10): driver-visible face of the observe-API guard metrics
 # — proves the zero-extra-scan counters equal a direct aggregation.
@@ -1661,7 +1676,12 @@ _ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
 #:   sweep↔report consistency gate) — first verdict pending.
 #: - tokenizer_drift_report: NEW round-12 operator (train/eval
 #:   fertility drift per source) — first verdict pending.
+#: - deleak_split / quarantine_drifting_sources: NEW round-12
+#:   operators (the leakage and drift reports' action faces) — first
+#:   verdicts pending.
 _ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "deleak_split",
+    "quarantine_drifting_sources",
     "bpe_learn_merges",
     "bpe_apply_merges",
     "markup_strip",
