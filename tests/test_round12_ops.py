@@ -6,7 +6,8 @@ conf-restore reentrancy guard, the cached substrate-layout probe
 markup_strip action face (task 3), and the round-12 depth faces:
 bpe_compression_sweep / bpe_seq_pack_bins / tokenizer_drift_report /
 ann_probe_agreement / token_budget_stream / deleak_split /
-quarantine_drifting_sources."""
+quarantine_drifting_sources / bpe_pack_efficiency /
+bpe_merge_stability."""
 
 from __future__ import annotations
 
@@ -749,3 +750,46 @@ def test_quarantine_matches_drift_report_strata(spark, sf_dir):
     from udacity_dsnd_projects_spark.sources.catalog import load_table
 
     assert len(rows) == load_table(spark, "documents", sf_dir).count()
+
+
+def test_bpe_pack_efficiency_ties_to_bpe_bins(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        BPE_PACK_BUDGET,
+        bpe_pack_efficiency,
+        bpe_seq_pack_bins,
+    )
+
+    eff = bpe_pack_efficiency(spark, sf_dir).collect()
+    bins = bpe_seq_pack_bins(spark, sf_dir).collect()
+    used = {}
+    for r in bins:
+        k = (r["lang"], r["bin"])
+        n, u = used.get(k, (0, 0))
+        used[k] = (n + 1, u + r["n_units"])
+    assert {(r["lang"], r["bin"]): (r["n_docs"], r["used_units"]) for r in eff} == used
+    for r in eff:
+        assert r["overflow_units"] == max(0, r["used_units"] - BPE_PACK_BUDGET)
+
+
+def test_bpe_merge_stability_agrees_with_per_half_learns(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        BPE_MERGE_ROUNDS,
+        _bpe_vocab,
+        _learn_merges,
+        bpe_merge_stability,
+    )
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    e = _learn_merges(_bpe_vocab(docs.filter(F.col("doc_id") % 2 == 0)))
+    o = _learn_merges(_bpe_vocab(docs.filter(F.col("doc_id") % 2 == 1)))
+    rows = {r["step"]: r for r in bpe_merge_stability(spark, sf_dir).collect()}
+    assert len(rows) == BPE_MERGE_ROUNDS
+    for k in range(BPE_MERGE_ROUNDS):
+        r = rows[k + 1]
+        we = e[k][0] + e[k][1] if k < len(e) else None
+        wo = o[k][0] + o[k][1] if k < len(o) else None
+        assert r["merged_even"] == we and r["merged_odd"] == wo
+        assert r["agree"] == (we == wo)
+    # the synthetic halves share a distribution: step 1 must agree
+    assert rows[1]["agree"] is True

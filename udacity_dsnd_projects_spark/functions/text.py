@@ -1255,7 +1255,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bpe_stages(
-    rounds: int = BPE_MERGE_ROUNDS, train_where: str = ""
+    rounds: int = BPE_MERGE_ROUNDS, train_where: str = "", prefix: str = ""
 ) -> str:
     """The shared CTE pyramid both BPE oracles build on: words → v0
     (char segmentation as SEP-delimited strings) → per-stage pair
@@ -1264,44 +1264,46 @@ def _oracle_bpe_stages(
     and inlining would blow up the plan exponentially in rounds.
     ``train_where`` optionally restricts which documents TRAIN the
     merges (e.g. ``" WHERE doc_id % 2 = 0"`` for the drift report's
-    snapshot split); the default empty string keeps the SQL
-    byte-identical for the whole-corpus faces."""
+    snapshot split); ``prefix`` renames every CTE so TWO pyramids can
+    coexist in one query (the stability face). The defaults keep the
+    SQL byte-identical for the whole-corpus faces."""
     sep = "chr(31)"
     sep2 = f"{sep}||{sep}"
+    p = prefix
     parts = [
-        f"""words AS MATERIALIZED (
+        f"""{p}words AS MATERIALIZED (
   SELECT w, COUNT(*) AS cnt FROM (
     SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
     FROM documents{train_where}
   ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || {sep} || '%'
   GROUP BY w
-), v0 AS MATERIALIZED (
+), {p}v0 AS MATERIALIZED (
   SELECT {sep} || array_to_string(
            list_transform(range(1, len(w)+1),
                           i -> w[CAST(i AS INTEGER)]),
            {sep2}) || {sep} AS seg,
          cnt
-  FROM words
+  FROM {p}words
 )"""
     ]
     for k in range(rounds):
         parts.append(
-            f"""p{k} AS (
+            f"""{p}p{k} AS (
   SELECT p.x AS x, p.y AS y, CAST(SUM(cnt) AS BIGINT) AS n FROM (
     SELECT cnt,
            unnest(list_transform(range(1, len(l)),
                                  i -> {{'x': l[CAST(i AS INTEGER)],
                                        'y': l[CAST(i AS INTEGER)+1]}})) AS p
     FROM (SELECT str_split(substr(seg, 2, len(seg)-2), {sep2}) AS l, cnt
-          FROM v{k}) s
+          FROM {p}v{k}) s
   ) q GROUP BY 1, 2
-), m{k} AS MATERIALIZED (
+), {p}m{k} AS MATERIALIZED (
   SELECT CAST({k + 1} AS BIGINT) AS step, x, y, n
-  FROM p{k} ORDER BY n DESC, x, y LIMIT 1
-), v{k + 1} AS MATERIALIZED (
+  FROM {p}p{k} ORDER BY n DESC, x, y LIMIT 1
+), {p}v{k + 1} AS MATERIALIZED (
   SELECT replace(seg, {sep}||m.x||{sep2}||m.y||{sep}, {sep}||m.x||m.y||{sep}) AS seg,
          cnt
-  FROM v{k} CROSS JOIN m{k} m
+  FROM {p}v{k} CROSS JOIN {p}m{k} m
 )"""
         )
     return ",\n".join(parts)
@@ -1836,6 +1838,107 @@ FROM d GROUP BY source
 
 
 ORACLE_TOKENIZER_DRIFT_REPORT = _oracle_tokenizer_drift_report()
+
+
+def bpe_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting face of :func:`bpe_seq_pack_bins` — the exact twin of
+    ``pack_efficiency``/``seq_pack_bins``, on MERGE-AWARE units: per
+    (lang, bin) the document count, used units, fill ratio against
+    :data:`BPE_PACK_BUDGET`, and the straddle overflow (a document
+    belongs to the bin it STARTS in, so a bin can exceed the budget by
+    up to one document). Together with the whitespace twin this shows
+    how much padding waste the honest token denominator removes.
+
+    Scale shape: rides :func:`bpe_seq_pack_bins`' distributed
+    prefix-sum and adds ONE map-side-combined groupBy on (lang, bin);
+    output is bin-count-sized. NOTE: construction runs the training
+    loop (the documented eager exception)."""
+    bins = bpe_seq_pack_bins(spark, sf_dir)
+    per = bins.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_units").alias("used_units"),
+    )
+    return per.select(
+        "lang",
+        "bin",
+        "n_docs",
+        "used_units",
+        F.round(F.col("used_units") / F.lit(float(BPE_PACK_BUDGET)), 6).alias(
+            "fill_ratio"
+        ),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("used_units") - F.lit(BPE_PACK_BUDGET)).cast("long"),
+        ).alias("overflow_units"),
+    )
+
+
+def _oracle_bpe_pack_efficiency(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    return f"""
+WITH z AS ({_oracle_bpe_seq_pack_bins(rounds)})
+SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_units) AS BIGINT) AS used_units,
+       ROUND(SUM(n_units) / {BPE_PACK_BUDGET}.0, 6) AS fill_ratio,
+       GREATEST(0, CAST(SUM(n_units) - {BPE_PACK_BUDGET} AS BIGINT))
+         AS overflow_units
+FROM z GROUP BY lang, bin
+"""
+
+
+ORACLE_BPE_PACK_EFFICIENCY = _oracle_bpe_pack_efficiency()
+
+
+def bpe_merge_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer REPRODUCIBILITY gate — the resample-stability twin of
+    :func:`tokenizer_drift_report`: merges are learned INDEPENDENTLY on
+    the even-doc and odd-doc halves, and the two learned rule tables
+    are compared step by step. A tokenizer whose early merges already
+    disagree across halves is fit to sampling noise, not the corpus —
+    the go/no-go a pipeline reads before shipping the artifact. One
+    row per budgeted step: (step, merged_even, merged_odd, agree),
+    NULL where a half stopped early (fully merged), ``agree`` NULL-safe
+    so two exhausted halves agree.
+
+    Scale shape: both learn loops iterate on their half's vocab frame
+    (one filtered corpus scan each — see :func:`_learn_merges`); the
+    comparison is the two driver-side merge lists (metadata — the
+    trained artifacts), emitted as a BPE_MERGE_ROUNDS-row frame. NOTE:
+    construction runs BOTH training loops (the documented eager
+    exception, twice)."""
+    docs = load_table(spark, "documents", sf_dir)
+    m_even = _learn_merges(_bpe_vocab(docs.filter(F.col("doc_id") % 2 == 0)))
+    m_odd = _learn_merges(_bpe_vocab(docs.filter(F.col("doc_id") % 2 == 1)))
+    rows = []
+    for k in range(BPE_MERGE_ROUNDS):
+        e = m_even[k][0] + m_even[k][1] if k < len(m_even) else None
+        o = m_odd[k][0] + m_odd[k][1] if k < len(m_odd) else None
+        rows.append((k + 1, e, o, e == o))
+    return spark.createDataFrame(
+        rows,
+        "step long, merged_even string, merged_odd string, agree boolean",
+    )
+
+
+def _oracle_bpe_merge_stability(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    e_union = " UNION ALL ".join(f"SELECT * FROM e_m{k}" for k in range(rounds))
+    o_union = " UNION ALL ".join(f"SELECT * FROM o_m{k}" for k in range(rounds))
+    return f"""
+WITH {_oracle_bpe_stages(rounds, " WHERE doc_id % 2 = 0", "e_")},
+{_oracle_bpe_stages(rounds, " WHERE doc_id % 2 = 1", "o_")},
+steps AS (SELECT unnest(range(1, {rounds + 1})) AS step),
+em AS (SELECT step, x || y AS merged FROM ({e_union}) t),
+om AS (SELECT step, x || y AS merged FROM ({o_union}) t)
+SELECT CAST(s.step AS BIGINT) AS step,
+       em.merged AS merged_even,
+       om.merged AS merged_odd,
+       (em.merged IS NOT DISTINCT FROM om.merged) AS agree
+FROM steps s
+LEFT JOIN em ON s.step = em.step
+LEFT JOIN om ON s.step = om.step
+"""
+
+
+ORACLE_BPE_MERGE_STABILITY = _oracle_bpe_merge_stability()
 
 
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -198,6 +198,20 @@ register(
     _text.tokenizer_drift_report,
     _text.ORACLE_TOKENIZER_DRIFT_REPORT,
 )
+# NEW (round 12): the packing accounting twin on merge-aware units
+# (same eager-loop exception)
+register(
+    "bpe_pack_efficiency",
+    _text.bpe_pack_efficiency,
+    _text.ORACLE_BPE_PACK_EFFICIENCY,
+)
+# NEW (round 12): tokenizer reproducibility — merges learned
+# independently per half, compared step by step (eager, TWO loops)
+register(
+    "bpe_merge_stability",
+    _text.bpe_merge_stability,
+    _text.ORACLE_BPE_MERGE_STABILITY,
+)
 register(
     "split_leakage_report",
     _cur.split_leakage_report,
@@ -1679,9 +1693,14 @@ _ROUND12_WINDOW = _ROUND12_NEEDS_VERDICT + _ROUND12_STALE_BACKLOG
 #: - deleak_split / quarantine_drifting_sources: NEW round-12
 #:   operators (the leakage and drift reports' action faces) — first
 #:   verdicts pending.
+#: - bpe_pack_efficiency / bpe_merge_stability: NEW round-12 operators
+#:   (packing accounting on merge-aware units; per-half merge
+#:   reproducibility) — first verdicts pending.
 _ROUND13_ROTATION_CANDIDATES: tuple[str, ...] = (
     "deleak_split",
     "quarantine_drifting_sources",
+    "bpe_pack_efficiency",
+    "bpe_merge_stability",
     "bpe_learn_merges",
     "bpe_apply_merges",
     "markup_strip",
