@@ -793,3 +793,24 @@ def test_bpe_merge_stability_agrees_with_per_half_learns(spark, sf_dir):
         assert r["agree"] == (we == wo)
     # the synthetic halves share a distribution: step 1 must agree
     assert rows[1]["agree"] is True
+
+
+def test_quarantine_release_join_is_broadcast(spark, sf_dir):
+    """The release join (corpus × metadata-sized report) must execute
+    as a broadcast hash join — the TOPMOST join in the executed plan
+    (parents print first); the report's internal grid joins below it
+    may legitimately sort-merge on the metadata frame."""
+    from udacity_dsnd_projects_spark.functions.curation import (
+        quarantine_drifting_sources,
+    )
+
+    plan = (
+        quarantine_drifting_sources(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    i_b = plan.find("BroadcastHashJoin")
+    i_s = plan.find("SortMergeJoin")
+    assert i_b != -1
+    assert i_s == -1 or i_b < i_s, plan
