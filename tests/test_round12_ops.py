@@ -814,3 +814,22 @@ def test_quarantine_release_join_is_broadcast(spark, sf_dir):
     i_s = plan.find("SortMergeJoin")
     assert i_b != -1
     assert i_s == -1 or i_b < i_s, plan
+
+
+def test_ann_probe_agreement_vacuous_on_empty_warehouse(spark, tmp_path):
+    """No embeddings → both readouts count 0 hits; vacuous agreement
+    must read agree=true (0 == 0 hits, NULL == NULL recall), not a
+    spurious 0-vs-NULL disagreement."""
+    from udacity_dsnd_projects_spark.functions.similarity import (
+        ann_probe_agreement,
+    )
+
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = ann_probe_agreement(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sweep_n_hits"] == 0 and r["report_n_hits"] == 0
+    assert r["sweep_mean_recall"] is None and r["report_mean_recall"] is None
+    assert r["agree"] is True

@@ -1130,7 +1130,12 @@ def ann_probe_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rep = ann_recall_report(spark, sf_dir).agg(
-        F.sum("n_hits").cast("long").alias("report_n_hits")
+        # COALESCE to 0, not NULL: an empty query set hits nothing on
+        # BOTH readouts, and vacuous agreement must read agree=true
+        # (the sweep side counts 0 — the sum over no rows must too)
+        F.coalesce(F.sum("n_hits"), F.lit(0))
+        .cast("long")
+        .alias("report_n_hits")
     )
     bfn = cosine_topk_bruteforce(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("__n_exact")
@@ -1158,7 +1163,7 @@ WITH sw AS (
   FROM ({ORACLE_IVF_PROBE_SWEEP}) zsw
   WHERE probe_hamming = {PROBE_HAMMING}
 ), rep AS (
-  SELECT CAST(SUM(n_hits) AS BIGINT) AS report_n_hits
+  SELECT CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS report_n_hits
   FROM ({ORACLE_ANN_RECALL_REPORT}) zrep
 ), bfn AS (
   SELECT COUNT(*) AS n_exact FROM ({ORACLE_COSINE_TOPK_BRUTEFORCE}) zbf
