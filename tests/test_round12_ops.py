@@ -833,3 +833,90 @@ def test_ann_probe_agreement_vacuous_on_empty_warehouse(spark, tmp_path):
     assert r["sweep_n_hits"] == 0 and r["report_n_hits"] == 0
     assert r["sweep_mean_recall"] is None and r["report_mean_recall"] is None
     assert r["agree"] is True
+
+
+# --------------------------------------------------------------------------
+# Independent-referee property tests for the BPE machinery. The DuckDB
+# oracles run the SAME delimited-string replace trick as the Spark
+# plan, so a subtle flaw in that trick would agree cross-engine and
+# slip the hash gate. A pure-Python Sennrich implementation (symbol
+# lists, no string tricks) is the independent referee: learning
+# (count-overlapping pairs, (n DESC, x, y) argmax, greedy single-pass
+# rewrite) and unit counting must match it on arbitrary tiny vocabs.
+# --------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _py_apply_one(syms, x, y):
+    out = []
+    for s in syms:
+        if out and out[-1] == x and s == y:
+            out[-1] = x + y
+        else:
+            out.append(s)
+    return out
+
+
+def _py_learn(vocab_items, rounds):
+    from collections import Counter
+
+    segs = [(list(w), c) for w, c in vocab_items]
+    merges = []
+    for _ in range(rounds):
+        stats = Counter()
+        for syms, cnt in segs:
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += cnt
+        if not stats:
+            break
+        (x, y), n = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((x, y, n))
+        segs = [(_py_apply_one(s, x, y), c) for s, c in segs]
+    return merges, segs
+
+
+_VOCABS = st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=4),
+    min_size=1,
+    max_size=6,
+)
+
+
+@pytest.mark.slow
+@given(_VOCABS)
+@settings(max_examples=6, deadline=None)
+def test_learn_merges_matches_pure_python_reference(spark, vocab):
+    from udacity_dsnd_projects_spark.functions.text import _learn_merges
+
+    items = sorted(vocab.items())
+    got = _learn_merges(
+        spark.createDataFrame(items, ["w", "cnt"]), rounds=4
+    )
+    want, _ = _py_learn(items, rounds=4)
+    assert got == want
+
+
+@pytest.mark.slow
+@given(_VOCABS)
+@settings(max_examples=6, deadline=None)
+def test_word_units_fn_matches_pure_python_apply(spark, vocab):
+    """The baked replace-chain unit counter (what bpe_apply_merges,
+    the packing faces, the mixture face, and token_budget_stream all
+    share) must equal symbol-list BPE applied rule by rule."""
+    from udacity_dsnd_projects_spark.functions.text import _word_units_fn
+
+    items = sorted(vocab.items())
+    merges, segs = _py_learn(items, rounds=4)
+    fn = _word_units_fn(merges)
+    got = {
+        r["w"]: r["u"]
+        for r in spark.createDataFrame(items, ["w", "cnt"])
+        .select("w", fn(F.col("w")).alias("u"))
+        .collect()
+    }
+    assert got == {w: len(s) for (w, _), (s, _) in zip(items, segs)}
