@@ -118,6 +118,16 @@ ROUND12_ADDITIONS: tuple[str, ...] = (
     "markup_strip",
 )
 
+#: Round-13 additions: the BPE consumer closing the loop to the
+#: training artifact — within-document chunking on merge-aware unit
+#: budgets (row-local prefix-sum + chunk rollup, zero exchanges).
+#: Counted in ``value``, NOT ``legacy17_sec``. NOTE: the learn loop is
+#: memoized per (session, vocab plan) since round 13, so under
+#: best-of-2 every BPE face's number measures ITS OWN plan (the apply/
+#: chunk scan), with the one-time training cost amortized into
+#: whichever BPE query runs first.
+ROUND13_ADDITIONS: tuple[str, ...] = ("bpe_encode_chunks",)
+
 #: Queries timed by the bench. Grows as the registry grows; keep this
 #: the set of headline operators rather than every micro-query, so the
 #: number stays interpretable.
@@ -127,6 +137,7 @@ HEADLINE: tuple[str, ...] = (
     + ROUND10_ADDITIONS
     + ROUND11_ADDITIONS
     + ROUND12_ADDITIONS
+    + ROUND13_ADDITIONS
 )
 
 

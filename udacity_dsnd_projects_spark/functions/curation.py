@@ -1030,19 +1030,29 @@ def deleak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__n_cross"))
     )
-    return (
-        planted.select("doc_id")
-        .join(leaks, "doc_id", "left")
-        .select(
-            "doc_id",
-            split_assign(F.col("doc_id")).alias("split"),
-            F.coalesce(F.col("__n_cross"), F.lit(0))
-            .cast("long")
-            .alias("n_cross_pairs"),
-            F.when(F.col("__n_cross").isNull(), F.lit("keep"))
-            .otherwise(F.lit("dropped_leak"))
-            .alias("action"),
-        )
+    return _deleak_release(planted.select("doc_id"), leaks)
+
+
+def _deleak_release(ids: DataFrame, leaks: DataFrame) -> DataFrame:
+    """The release join of :func:`deleak_split` over explicit frames:
+    ``ids`` (doc_id — batch corpus scan OR an arriving crawl stream)
+    left-joined against the pair-bounded leak frame (doc_id,
+    __n_cross). Shared verbatim by the batch face and the streaming
+    probe (:func:`~udacity_dsnd_projects_spark.streaming.stateful.
+    deleak_probe_stream`), so stream == batch by construction. The
+    split label is pure modular arithmetic on the row's own id — no
+    second corpus scan, stateless under a readStream."""
+    from udacity_dsnd_projects_spark.functions.pipeline import split_assign
+
+    return ids.join(leaks, "doc_id", "left").select(
+        "doc_id",
+        split_assign(F.col("doc_id")).alias("split"),
+        F.coalesce(F.col("__n_cross"), F.lit(0))
+        .cast("long")
+        .alias("n_cross_pairs"),
+        F.when(F.col("__n_cross").isNull(), F.lit("keep"))
+        .otherwise(F.lit("dropped_leak"))
+        .alias("action"),
     )
 
 
@@ -1430,6 +1440,18 @@ def quarantine_drifting_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source"
     )
+    return _quarantine_release(docs, rep)
+
+
+def _quarantine_release(docs: DataFrame, rep: DataFrame) -> DataFrame:
+    """The release join of :func:`quarantine_drifting_sources` over
+    explicit frames: ``docs`` (doc_id, lang, source — batch corpus
+    scan OR an arriving crawl stream) broadcast-left-joined against
+    the metadata-sized drift report (lang, source, drifted). Shared
+    verbatim by the batch face and the streaming probe
+    (:func:`~udacity_dsnd_projects_spark.streaming.stateful.
+    quarantine_probe_stream`), so stream == batch by construction —
+    stateless, one broadcast join, no shuffle of the document side."""
     return docs.join(F.broadcast(rep), ["lang", "source"], "left").select(
         "doc_id",
         "lang",

@@ -1071,6 +1071,31 @@ def _learn_merges_with_vocab(
     return merges, stages[-1]
 
 
+#: Memo for the BPE training loop:
+#: {(id(session), vocab-analyzed-plan semanticHash, rounds):
+#: (merges, stages)}. The loop is ~2 Spark actions per round (argmax
+#: TakeOrdered + eager localCheckpoint) plus the corpus scan that
+#: builds the vocab, and EIGHT faces construct it over the same corpus
+#: — without the memo a registry sweep re-trains the identical
+#: tokenizer per face. The trained artifact is ideal cache material: a
+#: driver-side list of BPE_MERGE_ROUNDS string pairs plus the
+#: localCheckpoint'ed stage frames (session-lifetime by construction,
+#: same as the cache key). semanticHash is computed on the
+#: already-analyzed logical plan (analysis is cached by Spark), so
+#: distinct corpora — half-corpus learns in bpe_merge_stability,
+#: train-half in tokenizer_drift_report, planted-dup test frames —
+#: key separately for free; identical plans hit. Never invalidated:
+#: the learn is deterministic for a given input plan (fixed tie
+#: order). Bounded like _SPREAD_PROBE_CACHE: cleared past
+#: _BPE_LEARN_CAP entries (dropping frame references merely lets the
+#: checkpointed RDDs be GC-unpersisted).
+_BPE_LEARN_CACHE: dict[
+    tuple[int, int, int],
+    tuple[list[tuple[str, str, int]], list[DataFrame]],
+] = {}
+_BPE_LEARN_CAP = 32
+
+
 def _learn_merges_with_stages(
     vocab: DataFrame, rounds: int = BPE_MERGE_ROUNDS
 ) -> tuple[list[tuple[str, str, int]], list[DataFrame]]:
@@ -1080,7 +1105,17 @@ def _learn_merges_with_stages(
     localCheckpoint'ed by the loop so per-stage readouts
     (:func:`bpe_compression_sweep`) aggregate the materialized frames
     instead of re-running any merge. ``len(stages) == len(merges)+1``;
-    the loop stops early when no adjacent pair remains."""
+    the loop stops early when no adjacent pair remains. MEMOIZED per
+    (session, vocab plan, rounds) — see :data:`_BPE_LEARN_CACHE` — so
+    the eight BPE faces train once per corpus per session."""
+    key = (
+        id(vocab.sparkSession),
+        vocab._jdf.queryExecution().analyzed().semanticHash(),
+        rounds,
+    )
+    hit = _BPE_LEARN_CACHE.get(key)
+    if hit is not None:
+        return hit
     v = vocab.select(_char_syms(F.col("w")).alias("syms"), "cnt").localCheckpoint(
         eager=True
     )
@@ -1131,6 +1166,9 @@ def _learn_merges_with_stages(
             "cnt",
         ).localCheckpoint(eager=True)
         stages.append(v)
+    if len(_BPE_LEARN_CACHE) >= _BPE_LEARN_CAP:
+        _BPE_LEARN_CACHE.clear()
+    _BPE_LEARN_CACHE[key] = (merges, stages)
     return merges, stages
 
 
@@ -1309,6 +1347,31 @@ def _oracle_bpe_stages(
     return ",\n".join(parts)
 
 
+def _oracle_seg_chain(rounds: int, prefix: str = "", w: str = "w") -> str:
+    """The SEP-delimited replace chain applying every learned merge in
+    order to a word column ``w`` — the oracle twin of
+    :func:`_word_units_fn`'s baked chain. Each merge is read via a
+    scalar subquery against its ``m{k}`` CTE and COALESCE'd to ``''``:
+    DuckDB's ``replace`` with an empty pattern is a no-op, so a stage
+    left empty by early stop (fully merged vocab) SKIPS its replace —
+    matching the Spark side's shorter learned chain — instead of
+    annihilating the row set the way the former
+    ``docwords CROSS JOIN m{k}`` did (ADVICE r12: the train-half
+    restriction in the drift report makes empty stages likelier)."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    p = prefix
+    seg = (
+        f"{sep} || array_to_string(list_transform(range(1, len({w})+1), "
+        f"i -> {w}[CAST(i AS INTEGER)]), {sep2}) || {sep}"
+    )
+    for k in range(rounds):
+        pat = f"COALESCE((SELECT {sep}||x||{sep2}||y||{sep} FROM {p}m{k}), '')"
+        rep = f"COALESCE((SELECT {sep}||x||y||{sep} FROM {p}m{k}), '')"
+        seg = f"replace({seg}, {pat}, {rep})"
+    return seg
+
+
 def _oracle_bpe_learn_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(rounds))
     return f"""
@@ -1322,18 +1385,7 @@ ORACLE_BPE_LEARN_MERGES = _oracle_bpe_learn_merges()
 
 
 def _oracle_bpe_apply_merges(rounds: int = BPE_MERGE_ROUNDS) -> str:
-    sep = "chr(31)"
-    sep2 = f"{sep}||{sep}"
-    seg = (
-        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
-        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
-    )
-    for k in range(rounds):
-        seg = (
-            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
-            f"{sep}||m{k}.x||m{k}.y||{sep})"
-        )
-    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    seg = _oracle_seg_chain(rounds)
     return f"""
 WITH {_oracle_bpe_stages(rounds)},
 docwords AS (
@@ -1349,7 +1401,7 @@ counted AS (
          CAST(SUM(len(w)) AS BIGINT) AS n_char_units,
          CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
               AS BIGINT) AS n_merged_units
-  FROM (SELECT doc_id, w, {seg} AS seg FROM docwords {crosses}) s
+  FROM (SELECT doc_id, w, {seg} AS seg FROM docwords) s
   GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1420,18 +1472,7 @@ def _oracle_bpe_token_mixture_weights(rounds: int = BPE_MERGE_ROUNDS) -> str:
         MIXTURE_TOKEN_BUDGET,
     )
 
-    sep = "chr(31)"
-    sep2 = f"{sep}||{sep}"
-    seg = (
-        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
-        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
-    )
-    for k in range(rounds):
-        seg = (
-            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
-            f"{sep}||m{k}.x||m{k}.y||{sep})"
-        )
-    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    seg = _oracle_seg_chain(rounds)
     return f"""
 WITH {_oracle_bpe_stages(rounds)},
 docwords AS (
@@ -1445,7 +1486,7 @@ perdoc AS (
   SELECT doc_id,
          CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
               AS BIGINT) AS units
-  FROM (SELECT doc_id, {seg} AS seg FROM docwords {crosses}) s
+  FROM (SELECT doc_id, {seg} AS seg FROM docwords) s
   GROUP BY doc_id
 ),
 s AS (
@@ -1678,18 +1719,7 @@ def bpe_seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bpe_seq_pack_bins(rounds: int = BPE_MERGE_ROUNDS) -> str:
-    sep = "chr(31)"
-    sep2 = f"{sep}||{sep}"
-    seg = (
-        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
-        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
-    )
-    for k in range(rounds):
-        seg = (
-            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
-            f"{sep}||m{k}.x||m{k}.y||{sep})"
-        )
-    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    seg = _oracle_seg_chain(rounds)
     return f"""
 WITH {_oracle_bpe_stages(rounds)},
 docwords AS (
@@ -1703,7 +1733,7 @@ perdoc AS (
   SELECT doc_id,
          CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
               AS BIGINT) AS units
-  FROM (SELECT doc_id, {seg} AS seg FROM docwords {crosses}) s
+  FROM (SELECT doc_id, {seg} AS seg FROM docwords) s
   GROUP BY doc_id
 ),
 c AS (
@@ -1785,18 +1815,7 @@ def _tokenizer_drift_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def _oracle_tokenizer_drift_report(rounds: int = BPE_MERGE_ROUNDS) -> str:
-    sep = "chr(31)"
-    sep2 = f"{sep}||{sep}"
-    seg = (
-        f"{sep} || array_to_string(list_transform(range(1, len(w)+1), "
-        f"i -> w[CAST(i AS INTEGER)]), {sep2}) || {sep}"
-    )
-    for k in range(rounds):
-        seg = (
-            f"replace({seg}, {sep}||m{k}.x||{sep2}||m{k}.y||{sep}, "
-            f"{sep}||m{k}.x||m{k}.y||{sep})"
-        )
-    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(rounds))
+    seg = _oracle_seg_chain(rounds)
     return f"""
 WITH {_oracle_bpe_stages(rounds, train_where=" WHERE doc_id % 2 = 0")},
 docwords AS (
@@ -1811,7 +1830,7 @@ perdoc AS (
          COUNT(*) AS w,
          CAST(SUM(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1)
               AS BIGINT) AS u
-  FROM (SELECT doc_id, w, {seg} AS seg FROM docwords {crosses}) s
+  FROM (SELECT doc_id, w, {seg} AS seg FROM docwords) s
   GROUP BY doc_id
 ),
 d AS (
@@ -1939,6 +1958,172 @@ LEFT JOIN om ON s.step = om.step
 
 
 ORACLE_BPE_MERGE_STABILITY = _oracle_bpe_merge_stability()
+
+
+#: Merge-aware unit budget per within-document training chunk. Narrower
+#: than BPE_PACK_BUDGET (which packs WHOLE documents into bins) so the
+#: corpus' longer documents exercise the multi-chunk path at every SF —
+#: the same reasoning as training.WINDOW_TOKS.
+BPE_CHUNK_BUDGET = 128
+
+
+def bpe_encode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing BPE consumer (VERDICT r12 task 3): cut each document
+    into training chunks of at most :data:`BPE_CHUNK_BUDGET` MERGE-AWARE
+    units — ``sliding_window_chunks``' job done in the unit every other
+    token-budget face in the repo now speaks, closing the loop from
+    tokenizer induction to the training artifact. Words stream in
+    document order and a word belongs to the chunk it STARTS in (the
+    :func:`bpe_seq_pack_bins` straddle arithmetic applied
+    within-document), so a chunk can exceed the budget by part of one
+    word — observable in ``n_units``, never silently split mid-word.
+    One row per (doc, chunk): (doc_id, chunk_id, n_words, n_units,
+    start_word) with ``start_word`` the 0-based index of the chunk's
+    first eligible word; documents with no eligible words yield no rows
+    (the ``window_chunks`` convention).
+
+    Scale shape: the learned merges bake into the plan as the literal
+    replace chain (see :func:`bpe_apply_merges`); per-word unit costs,
+    the running prefix sum, chunk assignment, and the per-chunk rollup
+    are ALL row-local array folds inside the documents scan — zero
+    exchanges in the whole plan (plan-asserted), embarrassingly
+    parallel at any corpus size. NOTE: construction runs the training
+    loop (the documented eager exception; memoized —
+    :data:`_BPE_LEARN_CACHE`)."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = _learn_merges(_bpe_vocab(docs))
+    return encode_chunks_frame(docs, merges)
+
+
+def encode_chunks_frame(docs: DataFrame, merges) -> DataFrame:
+    """:func:`bpe_encode_chunks`' transform over an explicit documents
+    frame and an already-learned merge list — stateless and row-local,
+    so it runs unchanged under a ``readStream`` (the streaming face
+    :func:`~udacity_dsnd_projects_spark.streaming.monitor.encode_chunks_stream`
+    applies it verbatim to crawl micro-batches with the PUBLISHED
+    tokenizer artifact; stream == batch by shared-helper identity).
+
+    The whole chunking is ONE linear fold: a struct accumulator
+    carries (finished chunks, running unit total, word index, open
+    chunk) and each word either extends the open chunk or flushes it
+    and starts the next — the per-word unit cost (the baked replace
+    chain, expensive) is evaluated EXACTLY once per word inside the
+    fold's input. An earlier draft staged us/cums/cs as separate
+    projected columns and rolled chunks up by re-filtering them;
+    Catalyst's projection collapse then inlined the replace chain into
+    every reference (~20× the work — measured 29 s vs 1.6 s at
+    sf 0.1). Chunk ids can SKIP past a word bigger than the budget —
+    the fold naturally emits no empty filler chunk (a dense 0..last
+    sequence would), matching the oracle's GROUP BY."""
+    n_units = _word_units_fn(merges)
+    b = float(BPE_CHUNK_BUDGET)
+    d = docs.select("doc_id", _eligible_words().alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    chunk_t = (
+        "array<struct<chunk_id:bigint,n_words:bigint,"
+        "n_units:bigint,start_word:bigint>>"
+    )
+
+    def fin_chunk(acc):
+        return F.struct(
+            acc["ck"].alias("chunk_id"),
+            acc["cw"].alias("n_words"),
+            acc["cu"].alias("n_units"),
+            acc["st"].alias("start_word"),
+        )
+
+    zero = F.struct(
+        F.array().cast(chunk_t).alias("done"),
+        F.lit(0).cast("long").alias("cum"),  # units before current word
+        F.lit(0).cast("long").alias("idx"),  # 0-based current word index
+        F.lit(-1).cast("long").alias("ck"),  # open chunk id (-1 = none)
+        F.lit(0).cast("long").alias("cw"),  # words in open chunk
+        F.lit(0).cast("long").alias("cu"),  # units in open chunk
+        F.lit(0).cast("long").alias("st"),  # start_word of open chunk
+    )
+
+    def step(acc, u):
+        # the chunk THIS word starts in: floor(units_before / budget)
+        k = F.floor(acc["cum"] / F.lit(b)).cast("long")
+        fresh = acc["ck"] != k  # first word included (ck = -1)
+        return F.struct(
+            F.when(
+                fresh & (acc["ck"] >= 0),
+                F.concat(acc["done"], F.array(fin_chunk(acc))),
+            )
+            .otherwise(acc["done"])
+            .alias("done"),
+            (acc["cum"] + u).alias("cum"),
+            (acc["idx"] + 1).alias("idx"),
+            k.alias("ck"),
+            F.when(fresh, F.lit(1).cast("long"))
+            .otherwise(acc["cw"] + 1)
+            .alias("cw"),
+            F.when(fresh, u).otherwise(acc["cu"] + u).alias("cu"),
+            F.when(fresh, acc["idx"]).otherwise(acc["st"]).alias("st"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["ck"] >= 0, F.concat(acc["done"], F.array(fin_chunk(acc)))
+        ).otherwise(acc["done"])
+
+    chunks = F.aggregate(
+        F.transform("ws", lambda w: n_units(w).cast("long")),
+        zero,
+        step,
+        finish,
+    )
+    return d.select("doc_id", F.explode(chunks).alias("__c")).select(
+        "doc_id",
+        "__c.chunk_id",
+        "__c.n_words",
+        "__c.n_units",
+        "__c.start_word",
+    )
+
+
+def _oracle_bpe_encode_chunks(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    seg = _oracle_seg_chain(rounds, w="p.w")
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+dw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)+1),
+                i -> {{'i': i, 'w': ws[CAST(i AS INTEGER)]}})) AS p
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       w -> len(w) >= 1
+                        AND w NOT LIKE '%' || chr(31) || '%') AS ws
+    FROM documents
+  ) t WHERE len(ws) >= 1
+),
+u AS (
+  SELECT doc_id, i,
+         CAST(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1
+              AS BIGINT) AS u
+  FROM (SELECT doc_id, p.i AS i, {seg} AS seg FROM dw) s
+),
+c AS (
+  SELECT doc_id, i, u,
+         SUM(u) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM u
+)
+SELECT doc_id,
+       CAST(FLOOR((cum - u) / {BPE_CHUNK_BUDGET}.0) AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(u) AS BIGINT) AS n_units,
+       CAST(MIN(i) - 1 AS BIGINT) AS start_word
+FROM c
+GROUP BY doc_id, CAST(FLOOR((cum - u) / {BPE_CHUNK_BUDGET}.0) AS BIGINT)
+"""
+
+
+ORACLE_BPE_ENCODE_CHUNKS = _oracle_bpe_encode_chunks()
 
 
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

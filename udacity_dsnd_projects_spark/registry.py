@@ -190,6 +190,14 @@ register(
     _text.bpe_seq_pack_bins,
     _text.ORACLE_BPE_SEQ_PACK_BINS,
 )
+# NEW (round 13): within-document chunking on merge-aware unit budgets
+# — the BPE consumer the family stopped short of (VERDICT r12 task 3):
+# the training-chunk artifact itself, all row-local (zero exchanges)
+register(
+    "bpe_encode_chunks",
+    _text.bpe_encode_chunks,
+    _text.ORACLE_BPE_ENCODE_CHUNKS,
+)
 # NEW (round 12): tokenizer train/eval drift — merges learned on the
 # snapshot half only, fertility compared across halves per source
 # (same eager-loop exception)
@@ -1735,9 +1743,108 @@ for _q in _ROUND13_ROTATION_CANDIDATES + _ROUND13_R8_LEFTOVERS:
             "displace a round-12 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND12_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND12_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 13) — the 13 _ROUND13_ROTATION_CANDIDATES lead
+# (every round-12 operator gets its FIRST driver verdict; VERDICT r12
+# task 1), then the 34 _ROUND13_R8_LEFTOVERS (the stalest cohort — r8
+# greens the round-12 window could not hold), then the 3
+# alphabetically-first of the 40 r9-era greens (staleness derived by
+# unioning CORRECTNESS_r{1..12}.json; every r9 candidate shares the
+# same last-verdict round, so alphabetical is the declared tiebreak).
+# The 37 r9 greens the window cannot hold are declared at
+# _ROUND14_R9_LEFTOVERS. The two r1-era estimators stay OUT by design
+# (tolerance-tested, no oracle).
+# ==========================================================================
+
+_ROUND13_NEEDS_VERDICT = _ROUND13_ROTATION_CANDIDATES
+
+#: 34 r8 leftovers first (the stalest greens anywhere), then the 3
+#: alphabetically-first r9 greens.
+_ROUND13_STALE_BACKLOG = _ROUND13_R8_LEFTOVERS + (
+    "corr_panel",
+    "cosine_scores_pandas",
+    "customer_rfm",
+)
+
+#: The 37 r9 greens the 3 stale slots could not hold — they MUST head
+#: round 14's stale backlog (stalest remaining cohort after this
+#: round's verdicts land).
+_ROUND14_R9_LEFTOVERS = (
+    "daily_type_anomaly",
+    "decayed_user_score",
+    "embedding_centroids",
+    "embedding_quantize",
+    "exact_dedup",
+    "frame_sample_stats",
+    "hash_split",
+    "hourly_event_rollup",
+    "interval_count_join",
+    "iqr_outliers",
+    "kmeans_assign",
+    "language_id",
+    "media_byte_stats",
+    "media_resize_stats",
+    "ngram_contamination",
+    "passage_dedup",
+    "passage_source_matrix",
+    "perplexity_score",
+    "pii_scrub",
+    "price_histogram",
+    "pricing_summary",
+    "quality_score",
+    "redis_envelope_decode",
+    "repetition_score",
+    "risk_join",
+    "rolling_avg_24h",
+    "salted_supplier_rollup",
+    "scd2_history",
+    "sessionize",
+    "source_mixture_weights",
+    "stratified_sample",
+    "substring_dedup",
+    "tfidf_top_terms",
+    "timestamp_convert",
+    "token_stats",
+    "weekly_retention",
+    "word_entropy",
+)
+
+#: Queries added or CHANGED after the round-13 window filled. Round 14
+#: MUST rotate these to the window front before re-verifying anything
+#: else — build the round-14 guard from this list, not hand-collected.
+#: - bpe_encode_chunks: NEW round-13 operator (within-document chunking
+#:   on merge-aware unit budgets — VERDICT r12 task 3) — first verdict
+#:   pending.
+_ROUND14_ROTATION_CANDIDATES: tuple[str, ...] = ("bpe_encode_chunks",)
+
+_ROUND13_WINDOW = _ROUND13_NEEDS_VERDICT + _ROUND13_STALE_BACKLOG
+
+if len(_ROUND13_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-13 window holds {len(_ROUND13_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND13_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-13 window")
+for _q in (
+    _ROUND13_WINDOW + _ROUND14_ROTATION_CANDIDATES + _ROUND14_R9_LEFTOVERS
+):
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND13_NEEDS_VERDICT + _ROUND13_STALE_BACKLOG:
+    if _q not in _ROUND13_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND14_ROTATION_CANDIDATES + _ROUND14_R9_LEFTOVERS:
+    if _q in _ROUND13_WINDOW:
+        raise RuntimeError(
+            f"round-13 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-13 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND13_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND13_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND12_WINDOW)
+    if name not in set(_ROUND13_WINDOW)
 }

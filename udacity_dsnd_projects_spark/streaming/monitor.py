@@ -193,3 +193,25 @@ def token_budget_stream(docs: DataFrame, merges) -> DataFrame:
         F.sum("w").alias("n_words"),
         F.sum("u").alias("n_merged_units"),
     )
+
+
+def encode_chunks_stream(docs: DataFrame, merges) -> DataFrame:
+    """Streaming within-document chunking under the SHIPPED tokenizer —
+    the ingest-time face of
+    :func:`~udacity_dsnd_projects_spark.functions.text.bpe_encode_chunks`:
+    each arriving crawl document is cut into
+    :data:`~udacity_dsnd_projects_spark.functions.text.BPE_CHUNK_BUDGET`-unit
+    training chunks the moment it lands, so the training-data writer
+    downstream consumes chunk rows, not raw documents. ``merges`` is
+    the published driver-side artifact (the same baked replace chain as
+    :func:`token_budget_stream`).
+
+    Stream == batch by shared-helper identity
+    (:func:`~udacity_dsnd_projects_spark.functions.text.encode_chunks_frame`
+    — applied verbatim). STATELESS: per-word costs, the prefix sum,
+    chunk assignment, and the per-chunk rollup are all row-local array
+    folds — no state store, no watermark, append mode; a micro-batch's
+    output depends on nothing outside its own rows."""
+    from udacity_dsnd_projects_spark.functions.text import encode_chunks_frame
+
+    return encode_chunks_frame(docs, merges)

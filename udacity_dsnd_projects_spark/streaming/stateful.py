@@ -547,3 +547,52 @@ def substring_match_stream(
     return matched.unionByName(unscreened).dropDuplicates(
         ["doc_id", "hist_doc_id"]
     )
+
+
+def deleak_probe_stream(new_docs: DataFrame, leak_ids: DataFrame) -> DataFrame:
+    """Streaming LEAK screen against the PUBLISHED leak-id table — the
+    fourth crawl-loop probe next to :func:`incremental_dedup_stream`
+    (exact), :func:`near_dup_stream` (similarity) and
+    :func:`substring_match_stream` (substring): once the batch
+    decontamination pass
+    (:func:`~udacity_dsnd_projects_spark.functions.curation.deleak_split`)
+    has published its pair-bounded leak frame (doc_id, __n_cross), every
+    newly crawled document is screened against it stream-static, so a
+    re-crawl of a known test-set near-duplicate is flagged at INGEST
+    instead of waiting for the next batch pass — the
+    ``strip_against_index`` pattern applied to decontamination. Emits
+    the same release row as the batch face: (doc_id, split,
+    n_cross_pairs, action).
+
+    Stream == batch by shared-helper identity (``_deleak_release`` —
+    the select is the same object code). Stateless: one broadcast
+    stream-static left join per micro-batch, split labels are modular
+    arithmetic on the row's own id; no state store, no watermark
+    needed. At scale the leak frame is pair-bounded (tiny at sane dup
+    rates) — the broadcast is the right plan at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark.functions.curation import _deleak_release
+
+    return _deleak_release(new_docs.select("doc_id"), F.broadcast(leak_ids))
+
+
+def quarantine_probe_stream(new_docs: DataFrame, strata: DataFrame) -> DataFrame:
+    """Streaming DRIFT-quarantine screen against the PUBLISHED drift
+    verdicts — the ingest-time face of
+    :func:`~udacity_dsnd_projects_spark.functions.curation.quarantine_drifting_sources`:
+    once the batch EMD gate has published its (lang, source, drifted)
+    strata table, every newly crawled document is routed keep /
+    quarantined at arrival, completing the crawl-loop action set
+    (VERDICT r12 task 8). Emits the same release row as the batch
+    face: (doc_id, lang, source, action).
+
+    Stream == batch by shared-helper identity (``_quarantine_release``).
+    Stateless: the strata table is (langs × sources)-sized — metadata —
+    broadcast-left-joined onto each micro-batch; no state store, no
+    shuffle of the document side, same plan shape at any scale."""
+    from udacity_dsnd_projects_spark.functions.curation import (
+        _quarantine_release,
+    )
+
+    return _quarantine_release(new_docs.select("doc_id", "lang", "source"), strata)
