@@ -913,10 +913,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the underlying top-k faces, each of which is already scale-shaped
     (bounded query set, bucket-pruned probes)."""
     bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    ivf = cosine_topk_ivf(spark, sf_dir).select(
-        "query_id", "vec_id", F.lit(1).alias("__hit")
-    )
-    j = bf.join(F.broadcast(ivf), ["query_id", "vec_id"], "left")
+    return _recall_frame(bf, cosine_topk_ivf(spark, sf_dir))
+
+
+def _recall_frame(bf: DataFrame, ivf: DataFrame) -> DataFrame:
+    """:func:`ann_recall_report` over explicit top-k frames — lets
+    :func:`ann_probe_agreement` thread ONE shared brute-force frame
+    through every readout instead of re-running the exact scan per
+    consumer (ADVICE r12)."""
+    hits = ivf.select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    j = bf.join(F.broadcast(hits), ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
         F.count("__hit").alias("n_hits"),
         F.round(F.count("__hit") / F.lit(float(TOP_K)), 6).alias("recall"),
@@ -938,7 +944,9 @@ GROUP BY bf.query_id
 """
 
 
-def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_probe_sweep(
+    spark: SparkSession, sf_dir: str, _bf: DataFrame | None = None
+) -> DataFrame:
     """The probe-depth tuning CURVE :func:`ann_recall_report`'s
     docstring promises: recall-vs-cost at every hamming probe depth
     0..PROBE_HAMMING, one row per depth — (probe_hamming, n_probes,
@@ -975,6 +983,8 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_bruteforce(spark, sf_dir)
         .select("query_id", "vec_id")
         .localCheckpoint(eager=False)
+        if _bf is None
+        else _bf
     )
     from pyspark.sql import Window
 
@@ -1119,9 +1129,18 @@ def ann_probe_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every input is already metadata-sized — the sweep
     reduces each depth to one row, the report is (queries)-sized, the
     brute-force denominator is (queries × K)-sized — so the face is
-    three broadcast-joined single-row aggregates."""
+    three broadcast-joined single-row aggregates. The exact
+    O(queries × corpus) brute-force scan runs ONCE: a single lazily
+    checkpointed frame is threaded through the sweep, the per-query
+    report, and the denominator count (ADVICE r12 — formerly each
+    readout re-ran its own scan)."""
+    bf = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     sweep = (
-        ivf_probe_sweep(spark, sf_dir)
+        ivf_probe_sweep(spark, sf_dir, _bf=bf)
         .filter(F.col("probe_hamming") == PROBE_HAMMING)
         .select(
             "probe_hamming",
@@ -1129,7 +1148,7 @@ def ann_probe_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_recall").alias("sweep_mean_recall"),
         )
     )
-    rep = ann_recall_report(spark, sf_dir).agg(
+    rep = _recall_frame(bf, cosine_topk_ivf(spark, sf_dir)).agg(
         # COALESCE to 0, not NULL: an empty query set hits nothing on
         # BOTH readouts, and vacuous agreement must read agree=true
         # (the sweep side counts 0 — the sum over no rows must too)
@@ -1137,9 +1156,7 @@ def ann_probe_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("report_n_hits")
     )
-    bfn = cosine_topk_bruteforce(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("__n_exact")
-    )
+    bfn = bf.agg(F.count(F.lit(1)).alias("__n_exact"))
     j = sweep.crossJoin(F.broadcast(rep)).crossJoin(F.broadcast(bfn))
     report_recall = F.round(
         F.col("report_n_hits") / F.nullif(F.col("__n_exact"), F.lit(0)), 6
