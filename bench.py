@@ -44,6 +44,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: SPARK_GRAFT_BENCH_FLOOR to that box's recorded subtotal instead.
 BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.64"))
 
+#: Floor for the STREAM section subtotal (every ``*_sec`` value in the
+#: output's ``stream`` dict, including the join_risk replay's ``sec``)
+#: — added in round 13 after the r12 driver reading inflated ~4×
+#: (join_risk replay 29.4→126 s) with bit-identical state counters:
+#: stream regressions now get the same 2× guard batch queries have
+#: (`tests/test_bench_floor.py`). Value = the round-13 quiet-box
+#: reading (join_risk 29.87 + gap_fill 11.33 + transition 10.37 +
+#: strip_index 2.76 + dedup 3.35 + substring 4.69 + token_budget
+#: 4.11 = 66.49 s at sf 0.1, local[32]); BASELINE.md lineage.
+STREAM_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "66.49"))
+
+
+def stream_total_sec(stream: dict) -> float:
+    """The stream-section subtotal the floor gates: every wall-clock
+    reading in the ``stream`` dict (state counters excluded)."""
+    return round(
+        sum(
+            v
+            for k, v in stream.items()
+            if k == "sec" or k.endswith("_sec")
+        ),
+        4,
+    )
+
 #: The original headline set, benched unchanged since round 2 — keep
 #: frozen so `legacy17_sec` stays comparable across every recorded
 #: round (one per §2 category rather than every micro-query).
@@ -502,6 +526,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     legacy17 = round(sum(timings[n] for n in LEGACY17 if n in timings), 4)
+    stream = {**stream_state_bench(spark), **crawl_loop_bench(spark)}
+    stream["stream_total_sec"] = stream_total_sec(stream)
     print(
         json.dumps(
             {
@@ -517,11 +543,9 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 # bounded-state regression metrics for the streaming
                 # faces — not part of `value`, which stays the batch
-                # headline total
-                "stream": {
-                    **stream_state_bench(spark),
-                    **crawl_loop_bench(spark),
-                },
+                # headline total; stream_total_sec is the subtotal the
+                # round-13 stream floor gates
+                "stream": stream,
             }
         )
     )

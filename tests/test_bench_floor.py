@@ -38,11 +38,18 @@ def _run_bench_once() -> dict:
     return rec
 
 
-def test_bench_total_within_2x_floor():
+@pytest.fixture(scope="module")
+def bench_rec():
+    """ONE shared bench run for every floor gate — a second full run
+    only happens as a per-test retry on a hot reading."""
     sys.path.insert(0, str(REPO))
+    return _run_bench_once()
+
+
+def test_bench_total_within_2x_floor(bench_rec):
     from bench import BENCH_FLOOR_SEC
 
-    rec = _run_bench_once()
+    rec = bench_rec
     if rec["legacy17_sec"] > 2 * BENCH_FLOOR_SEC:
         # One retry: shared-host CPU contention can inflate identical
         # plans 2-3x run-to-run (observed: the same commit measuring
@@ -61,3 +68,37 @@ def test_bench_total_within_2x_floor():
     assert set(rec["queries"]) == set(HEADLINE)
     extra = sum(v for k, v in rec["queries"].items() if k not in LEGACY17)
     assert abs(rec["value"] - (rec["legacy17_sec"] + extra)) < 0.01
+
+
+def test_stream_total_within_3x_floor(bench_rec):
+    """Round-13 guard (VERDICT r12 task 4): the stream-section wall
+    clock gets a ratchet like batch queries have — the r12 driver
+    reading inflated ~4× (join_risk replay 29.4→126 s) with
+    bit-identical state counters and nothing gated it. Gate is 3×
+    (not the batch 2×): each stream replay is SINGLE-SHOT — a
+    micro-batch sequence can't take a best-of-2 min the way the batch
+    queries do — so environmental swings hit it at full amplitude
+    (observed 66.5 s quiet vs 126 s under shared-host load on
+    identical code, same day)."""
+    from bench import STREAM_FLOOR_SEC
+
+    rec = bench_rec
+    if rec["stream"]["stream_total_sec"] > 3 * STREAM_FLOOR_SEC:
+        rec = _run_bench_once()  # same hot-box retry as the batch gate
+    got = rec["stream"]["stream_total_sec"]
+    assert got <= 3 * STREAM_FLOOR_SEC, (
+        f"stream bench regression: {got:.2f}s > 3x floor "
+        f"({STREAM_FLOOR_SEC}s); section: "
+        f"{ {k: v for k, v in rec['stream'].items() if k.endswith('_sec') or k == 'sec'} }"
+    )
+    # the recorded subtotal must decompose into the per-face readings
+    parts = sum(
+        v
+        for k, v in rec["stream"].items()
+        if (k == "sec" or k.endswith("_sec")) and k != "stream_total_sec"
+    )
+    assert abs(got - parts) < 0.01
+    # bit-stable state counters are the stream section's correctness
+    # half: identical plans must hold them exactly (BASELINE.md)
+    assert rec["stream"]["join_risk_peak_state_rows"] > 0
+    assert rec["stream"]["join_risk_output_rows"] > 0
