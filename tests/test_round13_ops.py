@@ -179,6 +179,29 @@ def test_drift_report_oracle_survives_full_merge(spark, degenerate_dir):
         con.close()
 
 
+def test_whole_bpe_family_survives_full_merge(spark, degenerate_dir):
+    """Every BPE face must agree with its oracle on the fully-merging
+    corpus — including the stage-frame readers (vocab_table reads the
+    FINAL stage, which must carry forward past the early stop;
+    compression_sweep must NULL-pad the post-stop steps on both
+    engines; merge_stability's two half-learns both stop early)."""
+    from udacity_dsnd_projects_spark.functions import text as t
+
+    con = _duck_on(degenerate_dir)
+    try:
+        for face, sql in [
+            (t.bpe_learn_merges, t.ORACLE_BPE_LEARN_MERGES),
+            (t.bpe_vocab_table, t.ORACLE_BPE_VOCAB_TABLE),
+            (t.bpe_compression_sweep, t.ORACLE_BPE_COMPRESSION_SWEEP),
+            (t.bpe_merge_stability, t.ORACLE_BPE_MERGE_STABILITY),
+            (t.bpe_pack_efficiency, t.ORACLE_BPE_PACK_EFFICIENCY),
+            (t.bpe_encode_chunks, t.ORACLE_BPE_ENCODE_CHUNKS),
+        ]:
+            _assert_matches_oracle(face(spark, degenerate_dir), con, sql)
+    finally:
+        con.close()
+
+
 def test_seq_pack_and_mixture_oracles_survive_full_merge(spark, degenerate_dir):
     from udacity_dsnd_projects_spark.functions import text as t
 
@@ -419,3 +442,51 @@ def test_encode_chunks_stream_equals_batch(spark, tmp_path):
         map(tuple, run_to_memory(encode_chunks_stream(stream, merges), "ecs").collect())
     )
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# VERDICT r12 task 8 (second half) — the tokenizer family's
+# cross-machinery gate: the loop world's final stage frame and the
+# baked replace chain must report the SAME corpus unit total.
+# --------------------------------------------------------------------------
+
+
+def test_unit_total_agreement_holds(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_unit_total_agreement,
+    )
+
+    rows = bpe_unit_total_agreement(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["agree"] is True
+    assert r["vocab_total_units"] == r["corpus_total_units"] > 0
+
+
+def test_unit_total_agreement_on_degenerate_corpus(spark, degenerate_dir):
+    from udacity_dsnd_projects_spark.functions import text as t
+
+    con = _duck_on(degenerate_dir)
+    try:
+        df = t.bpe_unit_total_agreement(spark, degenerate_dir)
+        r = df.collect()[0]
+        # fully merged: every word is ONE unit → total = word count (9:
+        # 3 + 1 + 2 + 3 across the four docs)
+        assert r["agree"] is True and r["vocab_total_units"] == 9
+        _assert_matches_oracle(df, con, t.ORACLE_BPE_UNIT_TOTAL_AGREEMENT)
+    finally:
+        con.close()
+
+
+def test_unit_total_agreement_vacuous_on_empty_corpus(spark, tmp_path):
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_unit_total_agreement,
+    )
+
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = bpe_unit_total_agreement(spark, str(tmp_path)).collect()[0]
+    assert r["vocab_total_units"] is None
+    assert r["corpus_total_units"] is None
+    assert r["agree"] is True

@@ -1303,8 +1303,13 @@ def _oracle_bpe_stages(
     ``train_where`` optionally restricts which documents TRAIN the
     merges (e.g. ``" WHERE doc_id % 2 = 0"`` for the drift report's
     snapshot split); ``prefix`` renames every CTE so TWO pyramids can
-    coexist in one query (the stability face). The defaults keep the
-    SQL byte-identical for the whole-corpus faces."""
+    coexist in one query (the stability face). Degenerate-proof
+    (ADVICE r12): each stage rewrite reads its merge via a
+    COALESCE'd scalar subquery, so when a vocab fully merges before
+    ``rounds`` the later stages CARRY FORWARD (``v{k+1} = v{k}``,
+    empty-pattern replace is a no-op) instead of collapsing to empty
+    through a CROSS JOIN — final-stage readers (``bpe_vocab_table``)
+    see what the Spark side's early-stopped loop returns."""
     sep = "chr(31)"
     sep2 = f"{sep}||{sep}"
     p = prefix
@@ -1339,9 +1344,11 @@ def _oracle_bpe_stages(
   SELECT CAST({k + 1} AS BIGINT) AS step, x, y, n
   FROM {p}p{k} ORDER BY n DESC, x, y LIMIT 1
 ), {p}v{k + 1} AS MATERIALIZED (
-  SELECT replace(seg, {sep}||m.x||{sep2}||m.y||{sep}, {sep}||m.x||m.y||{sep}) AS seg,
+  SELECT replace(seg,
+           COALESCE((SELECT {sep}||x||{sep2}||y||{sep} FROM {p}m{k}), ''),
+           COALESCE((SELECT {sep}||x||y||{sep} FROM {p}m{k}), '')) AS seg,
          cnt
-  FROM {p}v{k} CROSS JOIN {p}m{k} m
+  FROM {p}v{k}
 )"""
         )
     return ",\n".join(parts)
@@ -1579,8 +1586,9 @@ def bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (rounds+1)-row union, and the character baseline rides a 1-row
     broadcast join rather than a driver-side count. If the vocabulary
     fully merges before the budget (early stop), the remaining steps
-    pad with NULL rows — exactly what the oracle's empty stage CTEs
-    yield, so the curve length is fixed either way. NOTE: construction
+    pad with NULL rows — the oracle guards each post-stop step on its
+    merge CTE being non-empty, so the curve length is fixed either
+    way. NOTE: construction
     runs the training loop (the documented eager exception, like
     :func:`bpe_learn_merges`)."""
     return _compression_sweep_frame(spark, load_table(spark, "documents", sf_dir))
@@ -1646,9 +1654,19 @@ def _oracle_bpe_compression_sweep(rounds: int = BPE_MERGE_ROUNDS) -> str:
         merged = (
             "CAST(NULL AS VARCHAR)" if k == 0 else f"(SELECT x || y FROM m{k - 1})"
         )
+        # steps past an early stop (m{k-1} empty — fully merged vocab)
+        # must read NULL, matching the Spark side's NULL padding; the
+        # stage frames themselves CARRY FORWARD (v{k+1} = v{k}) since
+        # the round-13 degenerate-proofing, so the guard is explicit
+        # instead of riding a collapsed-empty-stage artifact
+        total = (
+            units
+            if k == 0
+            else f"CASE WHEN EXISTS (SELECT 1 FROM m{k - 1}) THEN {units} END"
+        )
         blocks.append(
             f"SELECT CAST({k} AS BIGINT) AS step, {merged} AS merged, "
-            f"{units} AS total_units FROM v{k}"
+            f"{total} AS total_units FROM v{k}"
         )
     union = " UNION ALL ".join(blocks)
     return f"""
@@ -2124,6 +2142,83 @@ GROUP BY doc_id, CAST(FLOOR((cum - u) / {BPE_CHUNK_BUDGET}.0) AS BIGINT)
 
 
 ORACLE_BPE_ENCODE_CHUNKS = _oracle_bpe_encode_chunks()
+
+
+def bpe_unit_total_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer family's :func:`~udacity_dsnd_projects_spark.functions.similarity.ann_probe_agreement`-style
+    consistency gate (VERDICT r12 task 8): the corpus-wide unit total
+    computed TWO independent ways must match exactly —
+    ``vocab_total_units`` reads the learn loop's FINAL segmented stage
+    frame (count-weighted symbol total: array-segmentation world, what
+    :func:`bpe_compression_sweep`'s last step reports), while
+    ``corpus_total_units`` re-tokenizes every document through the
+    BAKED replace chain (string-replace world, what
+    :func:`bpe_apply_merges` and every downstream budget face count
+    with). The two machineries share nothing past the learned merge
+    list, so a greedy-pass divergence between the loop's array rewrite
+    and the literal-replace bake shows up here as ``agree = false`` at
+    corpus scale — the same blind spot the pure-Python Sennrich
+    referee pins on tiny vocabs, self-graded as a registry face. One
+    row: (vocab_total_units, corpus_total_units, agree), null-safe so
+    an empty corpus agrees vacuously.
+
+    Scale shape: side one aggregates the already-checkpointed
+    vocab-sized stage frame; side two is the shuffle-free baked
+    projection reduced map-side to one row; the compare is a 1×1-row
+    broadcast cross join. NOTE: construction runs the training loop
+    (the documented eager exception; memoized —
+    :data:`_BPE_LEARN_CACHE`)."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges, v = _learn_merges_with_vocab(_bpe_vocab(docs))
+    a = v.agg(
+        F.sum(F.col("cnt") * F.size("syms"))
+        .cast("long")
+        .alias("vocab_total_units")
+    )
+    b = (
+        docs.select(_eligible_words().alias("ws"))
+        .select(_sum_over_words(_word_units_fn(merges)).alias("u"))
+        .agg(F.sum("u").cast("long").alias("corpus_total_units"))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "vocab_total_units",
+        "corpus_total_units",
+        F.col("vocab_total_units")
+        .eqNullSafe(F.col("corpus_total_units"))
+        .alias("agree"),
+    )
+
+
+def _oracle_bpe_unit_total_agreement(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    units = f"len(seg) - len(replace(seg, {sep2}, {sep})) + 1"
+    seg = _oracle_seg_chain(rounds)
+    return f"""
+WITH {_oracle_bpe_stages(rounds)},
+a AS (
+  SELECT CAST(SUM(cnt * ({units})) AS BIGINT) AS vocab_total_units
+  FROM v{rounds}
+),
+docwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) t WHERE len(w) >= 1 AND w NOT LIKE '%' || chr(31) || '%'
+),
+b AS (
+  SELECT CAST(SUM({units}) AS BIGINT) AS corpus_total_units
+  FROM (SELECT {seg} AS seg FROM docwords) s
+)
+SELECT a.vocab_total_units, b.corpus_total_units,
+       (a.vocab_total_units IS NOT DISTINCT FROM b.corpus_total_units)
+         AS agree
+FROM a CROSS JOIN b
+"""
+
+
+ORACLE_BPE_UNIT_TOTAL_AGREEMENT = _oracle_bpe_unit_total_agreement()
 
 
 def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

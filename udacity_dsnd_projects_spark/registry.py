@@ -198,6 +198,14 @@ register(
     _text.bpe_encode_chunks,
     _text.ORACLE_BPE_ENCODE_CHUNKS,
 )
+# NEW (round 13): the tokenizer family's consistency gate — corpus
+# unit total via the final stage frame vs via the baked replace chain
+# (the ann_probe_agreement pattern; VERDICT r12 task 8)
+register(
+    "bpe_unit_total_agreement",
+    _text.bpe_unit_total_agreement,
+    _text.ORACLE_BPE_UNIT_TOTAL_AGREEMENT,
+)
 # NEW (round 12): tokenizer train/eval drift — merges learned on the
 # snapshot half only, fertility compared across halves per source
 # (same eager-loop exception)
@@ -1815,7 +1823,13 @@ _ROUND14_R9_LEFTOVERS = (
 #: - bpe_encode_chunks: NEW round-13 operator (within-document chunking
 #:   on merge-aware unit budgets — VERDICT r12 task 3) — first verdict
 #:   pending.
-_ROUND14_ROTATION_CANDIDATES: tuple[str, ...] = ("bpe_encode_chunks",)
+#: - bpe_unit_total_agreement: NEW round-13 operator (loop-world vs
+#:   baked-replace-world corpus unit total, the ann_probe_agreement
+#:   pattern — VERDICT r12 task 8) — first verdict pending.
+_ROUND14_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "bpe_encode_chunks",
+    "bpe_unit_total_agreement",
+)
 
 _ROUND13_WINDOW = _ROUND13_NEEDS_VERDICT + _ROUND13_STALE_BACKLOG
 
