@@ -490,3 +490,78 @@ def test_unit_total_agreement_vacuous_on_empty_corpus(spark, tmp_path):
     assert r["vocab_total_units"] is None
     assert r["corpus_total_units"] is None
     assert r["agree"] is True
+
+
+# --------------------------------------------------------------------------
+# Independent referee for the chunking fold (the Sennrich-referee
+# doctrine): the DuckDB oracle chunks via a window cumsum — a different
+# formulation, but both engines share the delimited-replace unit
+# counter, so a pure-Python symbol-list implementation referees BOTH
+# the unit costs and the accumulator state machine on arbitrary tiny
+# corpora and budgets.
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _py_units(w, merges):
+    syms = list(w)
+    for x, y, _ in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == x and s == y:
+                out[-1] = x + y
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+def _py_chunks(words, merges, budget):
+    out, cum, cur = [], 0, None
+    for i, w in enumerate(words):
+        u = _py_units(w, merges)
+        k = cum // budget
+        if cur is None or cur[0] != k:
+            if cur is not None:
+                out.append(tuple(cur))
+            cur = [k, 0, 0, i]
+        cur[1] += 1
+        cur[2] += u
+        cum += u
+    if cur is not None:
+        out.append(tuple(cur))
+    return out
+
+
+_DOCS = st.lists(
+    st.lists(st.text(alphabet="abcé", min_size=1, max_size=5), min_size=1, max_size=8),
+    min_size=1,
+    max_size=4,
+)
+
+
+@pytest.mark.slow
+@given(_DOCS)
+@settings(max_examples=8, deadline=None)
+def test_encode_chunks_fold_matches_pure_python(spark, docs):
+    from udacity_dsnd_projects_spark.functions import text as t
+
+    # a fixed merge chain (incl. a chained merge and a non-ASCII pair)
+    # exercises the counter + fold identically to a learned one
+    merges = [("a", "b", 0), ("ab", "c", 0), ("é", "é", 0)]
+    frame = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    saved = t.BPE_CHUNK_BUDGET
+    t.BPE_CHUNK_BUDGET = 5  # tiny budget → multi-chunk + skip paths
+    try:
+        got = {}
+        for r in t.encode_chunks_frame(frame, merges).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["n_words"], r["n_units"], r["start_word"])
+            )
+    finally:
+        t.BPE_CHUNK_BUDGET = saved
+    for i, d in enumerate(docs):
+        assert sorted(got[i]) == _py_chunks(d, merges, 5), (d, merges)
