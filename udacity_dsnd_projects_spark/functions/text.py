@@ -1088,7 +1088,12 @@ def _learn_merges_with_vocab(
 #: the learn is deterministic for a given input plan (fixed tie
 #: order). Bounded like _SPREAD_PROBE_CACHE: cleared past
 #: _BPE_LEARN_CAP entries (dropping frame references merely lets the
-#: checkpointed RDDs be GC-unpersisted).
+#: checkpointed RDDs be GC-unpersisted). Memory class: each entry
+#: pins rounds+1 VOCAB-sized stage frames (never corpus-sized — the
+#: loop's whole premise), so the cap bounds block-manager residency
+#: at cap × (rounds+1) vocab frames; a long-lived session cycling
+#: many corpora evicts via the clear-on-cap, and callers may clear
+#: explicitly after a corpus is retired.
 _BPE_LEARN_CACHE: dict[
     tuple[int, int, int],
     tuple[list[tuple[str, str, int]], list[DataFrame]],
