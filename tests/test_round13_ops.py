@@ -557,11 +557,19 @@ def test_encode_chunks_fold_matches_pure_python(spark, docs):
     t.BPE_CHUNK_BUDGET = 5  # tiny budget → multi-chunk + skip paths
     try:
         got = {}
+        hashes = {}
         for r in t.encode_chunks_frame(frame, merges).collect():
             got.setdefault(r["doc_id"], []).append(
                 (r["chunk_id"], r["n_words"], r["n_units"], r["start_word"])
             )
+            hashes[(r["doc_id"], r["chunk_id"])] = r["chunk_hash"]
     finally:
         t.BPE_CHUNK_BUDGET = saved
+    import hashlib
+
     for i, d in enumerate(docs):
-        assert sorted(got[i]) == _py_chunks(d, merges, 5), (d, merges)
+        want = _py_chunks(d, merges, 5)
+        assert sorted(got[i]) == want, (d, merges)
+        for k, nw, _nu, st in want:
+            ref = hashlib.md5(" ".join(d[st : st + nw]).encode()).hexdigest()
+            assert hashes[(i, k)] == ref

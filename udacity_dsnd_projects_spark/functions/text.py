@@ -2001,9 +2001,12 @@ def bpe_encode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-document), so a chunk can exceed the budget by part of one
     word — observable in ``n_units``, never silently split mid-word.
     One row per (doc, chunk): (doc_id, chunk_id, n_words, n_units,
-    start_word) with ``start_word`` the 0-based index of the chunk's
-    first eligible word; documents with no eligible words yield no rows
-    (the ``window_chunks`` convention).
+    start_word, chunk_hash) with ``start_word`` the 0-based index of
+    the chunk's first eligible word and ``chunk_hash`` the md5 of the
+    chunk's space-joined words — the identity column that makes chunk
+    rows dedup-able downstream (``win_hash``'s role in
+    ``sliding_window_chunks``); documents with no eligible words yield
+    no rows (the ``window_chunks`` convention).
 
     Scale shape: the learned merges bake into the plan as the literal
     replace chain (see :func:`bpe_apply_merges`); per-word unit costs,
@@ -2098,12 +2101,25 @@ def encode_chunks_frame(docs: DataFrame, merges) -> DataFrame:
         step,
         finish,
     )
-    return d.select("doc_id", F.explode(chunks).alias("__c")).select(
+    # chunk identity: md5 of the chunk's space-joined words, computed
+    # from the (start_word, n_words) span against the retained word
+    # array — cheap string ops (no replace chain), still row-local
+    return d.select("doc_id", "ws", F.explode(chunks).alias("__c")).select(
         "doc_id",
         "__c.chunk_id",
         "__c.n_words",
         "__c.n_units",
         "__c.start_word",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "ws",
+                    (F.col("__c.start_word") + 1).cast("int"),
+                    F.col("__c.n_words").cast("int"),
+                ),
+            )
+        ).alias("chunk_hash"),
     )
 
 
@@ -2124,13 +2140,13 @@ dw AS (
   ) t WHERE len(ws) >= 1
 ),
 u AS (
-  SELECT doc_id, i,
+  SELECT doc_id, i, w,
          CAST(len(seg) - len(replace(seg, chr(31)||chr(31), chr(31))) + 1
               AS BIGINT) AS u
-  FROM (SELECT doc_id, p.i AS i, {seg} AS seg FROM dw) s
+  FROM (SELECT doc_id, p.i AS i, p.w AS w, {seg} AS seg FROM dw) s
 ),
 c AS (
-  SELECT doc_id, i, u,
+  SELECT doc_id, i, w, u,
          SUM(u) OVER (PARTITION BY doc_id ORDER BY i
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum
@@ -2140,7 +2156,8 @@ SELECT doc_id,
        CAST(FLOOR((cum - u) / {BPE_CHUNK_BUDGET}.0) AS BIGINT) AS chunk_id,
        COUNT(*) AS n_words,
        CAST(SUM(u) AS BIGINT) AS n_units,
-       CAST(MIN(i) - 1 AS BIGINT) AS start_word
+       CAST(MIN(i) - 1 AS BIGINT) AS start_word,
+       md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash
 FROM c
 GROUP BY doc_id, CAST(FLOOR((cum - u) / {BPE_CHUNK_BUDGET}.0) AS BIGINT)
 """
