@@ -196,6 +196,7 @@ def test_whole_bpe_family_survives_full_merge(spark, degenerate_dir):
             (t.bpe_merge_stability, t.ORACLE_BPE_MERGE_STABILITY),
             (t.bpe_pack_efficiency, t.ORACLE_BPE_PACK_EFFICIENCY),
             (t.bpe_encode_chunks, t.ORACLE_BPE_ENCODE_CHUNKS),
+            (t.chunk_dedup, t.ORACLE_CHUNK_DEDUP),
         ]:
             _assert_matches_oracle(face(spark, degenerate_dir), con, sql)
     finally:
@@ -573,3 +574,51 @@ def test_encode_chunks_fold_matches_pure_python(spark, docs):
         for k, nw, _nu, st in want:
             ref = hashlib.md5(" ".join(d[st : st + nw]).encode()).hexdigest()
             assert hashes[(i, k)] == ref
+
+
+# --------------------------------------------------------------------------
+# chunk_dedup — exact dedup of the training sequences: keeper is the
+# lexicographic (doc_id, chunk_id) minimum, the budget saving is
+# observable, and the one shuffle carries no text.
+# --------------------------------------------------------------------------
+
+
+def test_chunk_dedup_keeper_and_savings(spark, sf_dir):
+    from udacity_dsnd_projects_spark.functions.text import (
+        bpe_encode_chunks,
+        chunk_dedup,
+    )
+
+    chunks = {}
+    for r in bpe_encode_chunks(spark, sf_dir).collect():
+        chunks.setdefault(r["chunk_hash"], []).append(r)
+    out = {r["chunk_hash"]: r for r in chunk_dedup(spark, sf_dir).collect()}
+    assert set(out) == set(chunks)
+    multi = 0
+    for h, members in chunks.items():
+        r = out[h]
+        keeper = min((m["doc_id"], m["chunk_id"]) for m in members)
+        assert (r["canonical_doc_id"], r["canonical_chunk_id"]) == keeper
+        assert r["n_copies"] == len(members)
+        # identical content → identical unit counts across copies
+        assert {m["n_units"] for m in members} == {r["n_units"]}
+        assert r["saved_units"] == (len(members) - 1) * r["n_units"]
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0, "corpus planted no duplicate chunks — test is vacuous"
+
+
+def test_chunk_dedup_shuffle_carries_no_text(spark, sf_dir):
+    """The exchange must move hash + ints only: the chunk frame the
+    groupBy consumes has already dropped every text-sized column."""
+    from udacity_dsnd_projects_spark.functions.text import chunk_dedup
+
+    plan = (
+        chunk_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    ex = plan[plan.find("Exchange"):]
+    assert "text" not in ex[:500] and "ws#" not in ex[:500], ex[:500]

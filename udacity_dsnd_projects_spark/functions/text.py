@@ -2166,6 +2166,69 @@ GROUP BY doc_id, CAST(FLOOR((cum - u) / {BPE_CHUNK_BUDGET}.0) AS BIGINT)
 ORACLE_BPE_ENCODE_CHUNKS = _oracle_bpe_encode_chunks()
 
 
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — ``exact_dedup``'s recipe applied to
+    the TRAINING SEQUENCES themselves (the step a pretraining pipeline
+    runs right after chunking: repeated boilerplate passages produce
+    byte-identical chunks across documents, and every duplicate chunk
+    is wasted compute AND a memorization amplifier). One row per
+    distinct chunk content: (chunk_hash, canonical_doc_id,
+    canonical_chunk_id, n_copies, n_units, saved_units) with the
+    keeper the lexicographic minimum (doc_id, chunk_id) — deterministic
+    even when one document repeats the same content — and
+    ``saved_units`` = (n_copies − 1) × n_units, the token budget the
+    dedup returns to the mixture planner.
+
+    Scale shape: rides :func:`bpe_encode_chunks` (zero-exchange chunk
+    construction), then ONE map-side-combined groupBy on the 32-char
+    md5 — the shuffle carries hash + four small ints, never a word of
+    text (the hash-before-shuffle doctrine of ``exact_dedup``, here
+    with the text column never even reaching the exchange). NOTE:
+    construction runs the training loop (the documented eager
+    exception; memoized — :data:`_BPE_LEARN_CACHE`)."""
+    chunks = bpe_encode_chunks(spark, sf_dir)
+    agg = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("__k"),
+        F.count(F.lit(1)).alias("n_copies"),
+        # identical words → identical unit count; min is the compat
+        # reduction, not a choice
+        F.min("n_units").alias("n_units"),
+    )
+    return agg.select(
+        "chunk_hash",
+        F.col("__k.doc_id").alias("canonical_doc_id"),
+        F.col("__k.chunk_id").alias("canonical_chunk_id"),
+        "n_copies",
+        "n_units",
+        ((F.col("n_copies") - 1) * F.col("n_units"))
+        .cast("long")
+        .alias("saved_units"),
+    )
+
+
+def _oracle_chunk_dedup(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    return f"""
+WITH z AS ({_oracle_bpe_encode_chunks(rounds)}),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, chunk_id) AS rn,
+         COUNT(*) OVER (PARTITION BY chunk_hash) AS n_copies
+  FROM z
+)
+SELECT chunk_hash,
+       doc_id AS canonical_doc_id,
+       chunk_id AS canonical_chunk_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       n_units,
+       CAST((n_copies - 1) * n_units AS BIGINT) AS saved_units
+FROM r WHERE rn = 1
+"""
+
+
+ORACLE_CHUNK_DEDUP = _oracle_chunk_dedup()
+
+
 def bpe_unit_total_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer family's :func:`~udacity_dsnd_projects_spark.functions.similarity.ann_probe_agreement`-style
     consistency gate (VERDICT r12 task 8): the corpus-wide unit total

@@ -206,6 +206,13 @@ register(
     _text.bpe_unit_total_agreement,
     _text.ORACLE_BPE_UNIT_TOTAL_AGREEMENT,
 )
+# NEW (round 13): exact dedup of the training SEQUENCES — the
+# hash-before-shuffle recipe on chunk_hash, no text ever shuffled
+register(
+    "chunk_dedup",
+    _text.chunk_dedup,
+    _text.ORACLE_CHUNK_DEDUP,
+)
 # NEW (round 12): tokenizer train/eval drift — merges learned on the
 # snapshot half only, fertility compared across halves per source
 # (same eager-loop exception)
@@ -1826,9 +1833,12 @@ _ROUND14_R9_LEFTOVERS = (
 #: - bpe_unit_total_agreement: NEW round-13 operator (loop-world vs
 #:   baked-replace-world corpus unit total, the ann_probe_agreement
 #:   pattern — VERDICT r12 task 8) — first verdict pending.
+#: - chunk_dedup: NEW round-13 operator (exact dedup of the training
+#:   sequences over chunk_hash) — first verdict pending.
 _ROUND14_ROTATION_CANDIDATES: tuple[str, ...] = (
     "bpe_encode_chunks",
     "bpe_unit_total_agreement",
+    "chunk_dedup",
 )
 
 _ROUND13_WINDOW = _ROUND13_NEEDS_VERDICT + _ROUND13_STALE_BACKLOG
