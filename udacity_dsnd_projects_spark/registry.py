@@ -1866,9 +1866,111 @@ for _q in _ROUND14_ROTATION_CANDIDATES + _ROUND14_R9_LEFTOVERS:
             "displace a round-13 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND13_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND13_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 14) — the 3 _ROUND14_ROTATION_CANDIDATES lead
+# (every round-13 operator gets its FIRST driver verdict; VERDICT r13
+# task 1), then the 37 _ROUND14_R9_LEFTOVERS (the stalest cohort — the
+# r9 greens rounds 10–13 could not hold; this EMPTIES the r9 cohort),
+# then the 10 alphabetically-first of the 45 r10-era greens (staleness
+# derived by unioning CORRECTNESS_r{1..13}.json; every r10 candidate
+# shares the same last-verdict round, so alphabetical is the declared
+# tiebreak). The 35 r10 greens the window cannot hold are declared at
+# _ROUND15_R10_LEFTOVERS. The two r1-era estimators stay OUT by design
+# (tolerance-tested, no oracle).
+# ==========================================================================
+
+_ROUND14_NEEDS_VERDICT = _ROUND14_ROTATION_CANDIDATES
+
+#: 37 r9 leftovers first (the stalest greens anywhere — emptying the
+#: r9 cohort), then the 10 alphabetically-first r10 greens.
+_ROUND14_STALE_BACKLOG = _ROUND14_R9_LEFTOVERS + (
+    "ann_recall_report",
+    "bm25_search",
+    "boilerplate_strip",
+    "ccnet_perplexity_bucket",
+    "cdc_merge",
+    "cluster_quality",
+    "curriculum_order",
+    "customer_order_distribution",
+    "decile_stats",
+    "decontaminate_corpus",
+)
+
+#: The 35 r10 greens the 10 stale slots could not hold — they MUST
+#: head round 15's stale backlog (stalest remaining cohort after this
+#: round's verdicts land).
+_ROUND15_R10_LEFTOVERS = (
+    "domain_quality_filter",
+    "domain_stats",
+    "dsir_importance_weights",
+    "fuzzy_name_pairs",
+    "gopher_quality_filter",
+    "hybrid_retrieval_fusion",
+    "idle_customer_balance",
+    "k_anonymity_report",
+    "knn_graph",
+    "l_diversity_report",
+    "lang_zscore",
+    "lang_zscore_pandas",
+    "late_order_priorities",
+    "lone_late_supplier_orders",
+    "media_dedup",
+    "mixture_sample",
+    "mixture_sample_accounting",
+    "mixture_upsample",
+    "nation_trade_volume",
+    "nfc_normalize",
+    "pack_efficiency",
+    "quality_topk_filter",
+    "quantized_cosine_topk",
+    "robust_scale",
+    "semantic_dedup",
+    "seq_pack_bins",
+    "seq_pack_concat",
+    "session_window_rollup",
+    "shard_assign",
+    "small_quantity_revenue",
+    "snapshot_diff",
+    "t_closeness_report",
+    "timeseries_gap_fill",
+    "token_bigram_pmi",
+    "vocab_coverage",
+)
+
+#: Queries added or CHANGED after the round-14 window filled. Round 15
+#: MUST rotate these to the window front before re-verifying anything
+#: else — build the round-15 guard from this list, not hand-collected.
+#: (Populated as round-14 work lands.)
+_ROUND15_ROTATION_CANDIDATES: tuple[str, ...] = ()
+
+_ROUND14_WINDOW = _ROUND14_NEEDS_VERDICT + _ROUND14_STALE_BACKLOG
+
+if len(_ROUND14_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-14 window holds {len(_ROUND14_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND14_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-14 window")
+for _q in (
+    _ROUND14_WINDOW + _ROUND15_ROTATION_CANDIDATES + _ROUND15_R10_LEFTOVERS
+):
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND14_NEEDS_VERDICT + _ROUND14_STALE_BACKLOG:
+    if _q not in _ROUND14_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND15_ROTATION_CANDIDATES + _ROUND15_R10_LEFTOVERS:
+    if _q in _ROUND14_WINDOW:
+        raise RuntimeError(
+            f"round-14 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-14 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND14_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND14_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND13_WINDOW)
+    if name not in set(_ROUND14_WINDOW)
 }
