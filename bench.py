@@ -48,8 +48,10 @@ BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.64"))
 #: output's ``stream`` dict, including the join_risk replay's ``sec``)
 #: — added in round 13 after the r12 driver reading inflated ~4×
 #: (join_risk replay 29.4→126 s) with bit-identical state counters:
-#: stream regressions now get the same 2× guard batch queries have
-#: (`tests/test_bench_floor.py`). Value = the round-13 quiet-box
+#: stream regressions are gated at 3× this floor — wider than the
+#: batch section's 2× because every stream number is a SINGLE-SHOT
+#: replay (no best-of-2 to shed a cold run), so scheduler noise lands
+#: undamped (`tests/test_bench_floor.py`). Value = the round-13 quiet-box
 #: reading (join_risk 29.87 + gap_fill 11.33 + transition 10.37 +
 #: strip_index 2.76 + dedup 3.35 + substring 4.69 + token_budget
 #: 4.11 = 66.49 s at sf 0.1, local[32]); BASELINE.md lineage.
@@ -146,10 +148,13 @@ ROUND12_ADDITIONS: tuple[str, ...] = (
 #: training artifact — within-document chunking on merge-aware unit
 #: budgets (row-local prefix-sum + chunk rollup, zero exchanges).
 #: Counted in ``value``, NOT ``legacy17_sec``. NOTE: the learn loop is
-#: memoized per (session, vocab plan) since round 13, so under
+#: memoized per (applicationId, vocab plan) since round 13, so under
 #: best-of-2 every BPE face's number measures ITS OWN plan (the apply/
-#: chunk scan), with the one-time training cost amortized into
-#: whichever BPE query runs first.
+#: chunk scan). The one-time training cost is EXCLUDED from every
+#: headline number entirely: whichever BPE query runs first pays it in
+#: its first (cold) run, and min() keeps the warm second run. Pre-r13
+#: BPE numbers included per-face training, so they are not directly
+#: comparable across the r12→r13 boundary (BASELINE.md lineage note).
 ROUND13_ADDITIONS: tuple[str, ...] = ("bpe_encode_chunks",)
 
 #: Queries timed by the bench. Grows as the registry grows; keep this

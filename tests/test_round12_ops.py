@@ -798,9 +798,13 @@ def test_bpe_merge_stability_agrees_with_per_half_learns(spark, sf_dir):
 def _preorder_join_names(node):
     """Node names of every *Join* node in preorder (parents before
     children) — plan-TREE walk, not print-order string positions, so
-    the assertion survives AQE re-planning and plan-format changes.
-    AdaptiveSparkPlan is a LEAF whose wrapped plan hangs off
-    inputPlan(), not children() — unwrap it explicitly."""
+    the assertion survives plan-FORMAT changes. AdaptiveSparkPlan is a
+    LEAF whose wrapped plan hangs off inputPlan(), not children() —
+    unwrap it explicitly. NOTE: inputPlan() is the pre-AQE initial
+    physical plan; a runtime AQE join-strategy swap would only be
+    visible in executedPlan() after an action. The broadcast-hint
+    check in the optimized LOGICAL plan is what actually pins the
+    strategy across AQE."""
     out = []
     name = node.nodeName()
     if "Join" in name:

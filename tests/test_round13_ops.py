@@ -7,6 +7,8 @@ the shorter learned chain)."""
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,9 +61,10 @@ def test_bpe_learn_cache_distinguishes_filtered_corpora(spark):
     t._BPE_LEARN_CACHE.clear()
 
 
-class _MissCountingCache(dict):
+class _MissCountingCache(OrderedDict):
     """A learn-cache stand-in that counts misses (a miss = the loop
-    ran and stored its result)."""
+    ran and stored its result). OrderedDict, not dict: the real cache
+    is LRU (hits call move_to_end)."""
 
     def __init__(self):
         super().__init__()

@@ -213,6 +213,22 @@ register(
     _text.chunk_dedup,
     _text.ORACLE_CHUNK_DEDUP,
 )
+# NEW (round 14): the training writer consuming chunk_dedup's keepers
+# — deduped chunks fill fixed unit bins (the report→action step;
+# VERDICT r13 task 2; eager-loop + prefix-sum exception)
+register(
+    "pack_deduped_chunks",
+    _text.pack_deduped_chunks,
+    _text.ORACLE_PACK_DEDUPED_CHUNKS,
+)
+# NEW (round 14): the chunk path's conservation gate — packed units +
+# saved units must equal the pre-dedup chunk total, each side from a
+# different frame (the bpe_unit_total_agreement pattern on the writer)
+register(
+    "chunk_dedup_accounting",
+    _text.chunk_dedup_accounting,
+    _text.ORACLE_CHUNK_DEDUP_ACCOUNTING,
+)
 # NEW (round 12): tokenizer train/eval drift — merges learned on the
 # snapshot half only, fertility compared across halves per source
 # (same eager-loop exception)
@@ -1940,8 +1956,16 @@ _ROUND15_R10_LEFTOVERS = (
 #: Queries added or CHANGED after the round-14 window filled. Round 15
 #: MUST rotate these to the window front before re-verifying anything
 #: else — build the round-15 guard from this list, not hand-collected.
-#: (Populated as round-14 work lands.)
-_ROUND15_ROTATION_CANDIDATES: tuple[str, ...] = ()
+#: - pack_deduped_chunks: NEW round-14 operator (the training writer
+#:   consuming chunk_dedup's keepers — VERDICT r13 task 2) — first
+#:   verdict pending.
+#: - chunk_dedup_accounting: NEW round-14 operator (packed + saved =
+#:   pre-dedup conservation gate on the writer) — first verdict
+#:   pending.
+_ROUND15_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "pack_deduped_chunks",
+    "chunk_dedup_accounting",
+)
 
 _ROUND14_WINDOW = _ROUND14_NEEDS_VERDICT + _ROUND14_STALE_BACKLOG
 

@@ -82,6 +82,37 @@ def incremental_dedup_stream(
     )
 
 
+def chunk_dedup_stream(
+    new_chunks: DataFrame, hist_hashes: DataFrame
+) -> DataFrame:
+    """Streaming CHUNK screen against the published ``chunk_hash``
+    index — :func:`incremental_dedup_stream`'s recipe at training-chunk
+    granularity (VERDICT r13 task 2): once the batch pass has
+    published its keeper hash table
+    (:func:`~udacity_dsnd_projects_spark.functions.text.chunk_dedup`),
+    every chunk the ingest-time chunker emits
+    (:func:`~udacity_dsnd_projects_spark.streaming.monitor.encode_chunks_stream`)
+    is deduped within the stream (first-seen wins across micro-batches
+    — a boilerplate passage recrawled twice in one day flows once) and
+    anti-joined against the snapshot index, so only chunks the
+    training set has never seen reach the writer.
+
+    ``new_chunks`` already carries ``chunk_hash``
+    (:func:`~udacity_dsnd_projects_spark.functions.text.encode_chunks_frame`
+    computes it row-locally — no hashing here, stream == batch by
+    construction); ``hist_hashes`` is a batch frame with a
+    ``chunk_hash`` column (the dedup report, or any projection of it).
+    State shape: the within-stream dedup's store keyed by the 32-char
+    md5 (bounded by a watermark when the caller composes
+    :func:`dedup_stream`'s event-time form); the history probe is a
+    stream-static left-anti join — at scale a bucketed/Z-ordered hash
+    table the join prunes against, exactly
+    :func:`incremental_dedup_stream`'s shape."""
+    return new_chunks.dropDuplicates(["chunk_hash"]).join(
+        hist_hashes.select("chunk_hash"), "chunk_hash", "left_anti"
+    )
+
+
 def near_dup_stream(
     new_docs: DataFrame,
     index_bands: DataFrame,
