@@ -157,6 +157,12 @@ ROUND12_ADDITIONS: tuple[str, ...] = (
 #: comparable across the r12→r13 boundary (BASELINE.md lineage note).
 ROUND13_ADDITIONS: tuple[str, ...] = ("bpe_encode_chunks",)
 
+#: Round-14 addition: the training writer — deduped chunks packed into
+#: unit bins (chunk construction + hash-groupBy dedup + distributed
+#: prefix-sum). Counted in ``value``, NOT ``legacy17_sec``; same
+#: warm-learn measurement semantics as the other BPE faces.
+ROUND14_ADDITIONS: tuple[str, ...] = ("pack_deduped_chunks",)
+
 #: Queries timed by the bench. Grows as the registry grows; keep this
 #: the set of headline operators rather than every micro-query, so the
 #: number stays interpretable.
@@ -167,6 +173,7 @@ HEADLINE: tuple[str, ...] = (
     + ROUND11_ADDITIONS
     + ROUND12_ADDITIONS
     + ROUND13_ADDITIONS
+    + ROUND14_ADDITIONS
 )
 
 

@@ -196,6 +196,42 @@ def test_chunk_dedup_text_never_reaches_packer_shuffle(spark, dup_dir):
             assert "text" not in line and "ws#" not in line, line
 
 
+def test_shard_packed_chunks_deals_bins_round_robin(spark, sf_dir):
+    """The chunk spine's last writer step: every packed bin lands in
+    exactly one shard, shards are dealt round-robin over the md5 order
+    (doc counts balanced to ±1), and the sharded unit total equals the
+    packed unit total (nothing dropped between pack and shard)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import N_SHARDS
+    from udacity_dsnd_projects_spark.functions.text import (
+        pack_deduped_chunks,
+        shard_packed_chunks,
+    )
+
+    packed = pack_deduped_chunks(spark, sf_dir).collect()
+    rows = shard_packed_chunks(spark, sf_dir).collect()
+    # one row per bin, all bins present
+    assert sorted(r["bin"] for r in rows) == sorted(
+        {r["bin"] for r in packed}
+    )
+    assert sum(r["n_units"] for r in rows) == sum(
+        r["n_units"] for r in packed
+    )
+    # round-robin over (sort_key, bin): shard i gets ranks i, i+N, ...
+    order = sorted(rows, key=lambda r: (r["sort_key"], r["bin"]))
+    for i, r in enumerate(order):
+        assert r["shard"] == i % N_SHARDS
+        assert r["pos"] == i // N_SHARDS
+    # doc-count balance: ±1 by construction
+    from collections import Counter
+
+    per = Counter(r["shard"] for r in rows)
+    if len(per) > 1:
+        assert max(per.values()) - min(per.values()) <= 1
+    # deterministic: a rerun is bit-identical (no RNG state)
+    again = shard_packed_chunks(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 # --------------------------------------------------------------------------
 # VERDICT r13 task 2 (stream face) — arriving chunks are screened
 # against the published chunk_hash index at INGEST.

@@ -2269,14 +2269,23 @@ def pack_deduped_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_cumsum`
     (bucketed distributed prefix-sum over the KEEPER frame — already
     corpus-dedup-compressed before the prefix-sum machinery touches
-    it), never a single-task global window. NOTE: construction runs
-    the training loop and the prefix-sum's two metadata-sized actions
-    (the documented eager exception; memoized —
-    :data:`_BPE_LEARN_CACHE`)."""
+    it), never a single-task global window. The keeper frame is
+    lazily localCheckpoint'ed (the ``ann_probe_agreement`` one-frame
+    doctrine): the prefix-sum machinery takes three passes over it
+    (quantile probe, per-bucket partials, the ranked output itself),
+    and without the checkpoint each pass would re-run the baked
+    replace chain over the whole corpus — measured 10.3 s vs 3.1 s at
+    sf 0.1. NOTE: construction runs the training loop and the
+    prefix-sum's two metadata-sized actions (the documented eager
+    exception; memoized — :data:`_BPE_LEARN_CACHE`)."""
     from udacity_dsnd_projects_spark.operators.ranks import exact_group_cumsum
 
-    keepers = chunk_dedup_frame(bpe_encode_chunks(spark, sf_dir)).select(
-        "chunk_hash", "canonical_doc_id", "canonical_chunk_id", "n_units"
+    keepers = (
+        chunk_dedup_frame(bpe_encode_chunks(spark, sf_dir))
+        .select(
+            "chunk_hash", "canonical_doc_id", "canonical_chunk_id", "n_units"
+        )
+        .localCheckpoint(eager=False)
     )
     c = exact_group_cumsum(
         keepers,
@@ -2394,6 +2403,84 @@ FROM p CROSS JOIN s CROSS JOIN r
 
 
 ORACLE_CHUNK_DEDUP_ACCOUNTING = _oracle_chunk_dedup_accounting()
+
+
+def shard_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last writer step on the chunk spine (VERDICT r13 task 8):
+    deal the PACKED BINS — the training sequences
+    :func:`pack_deduped_chunks` filled — round-robin into
+    :data:`~udacity_dsnd_projects_spark.functions.pipeline.N_SHARDS`
+    epoch shards under the same deterministic md5 shuffle
+    ``shard_assign`` applies to raw documents, making
+    documents → chunks → dedup → pack → shards one oracle-checked
+    path end-to-end. One row per bin: (bin, n_chunks, n_units,
+    sort_key, shard, pos) with ``sort_key`` the first 60 bits of
+    ``md5(bin)`` (pseudo-random but bit-reproducible — no RNG state),
+    ``shard = (rank−1) mod N`` and ``pos`` the within-shard position,
+    so every shard draws a uniform sample of the bin stream and the
+    per-bin ``n_units`` mass makes shard balance observable
+    (``shard_balance_report``'s readout, here at sequence granularity
+    where bins are budget-equalized by construction).
+
+    Scale shape: the bin rollup is ONE map-side-combined groupBy on a
+    long; the global order is
+    :func:`~udacity_dsnd_projects_spark.operators.ranks.exact_group_rank`
+    with no group key (range-bucketed distributed total sort — never a
+    single-task window). NOTE: construction runs the training loop and
+    the pack/rank metadata actions (the documented eager exception;
+    memoized — :data:`_BPE_LEARN_CACHE`)."""
+    from udacity_dsnd_projects_spark.functions.pipeline import N_SHARDS
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+
+    bins = (
+        pack_deduped_chunks(spark, sf_dir)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_units").cast("long").alias("n_units"),
+        )
+        .select(
+            "bin",
+            "n_chunks",
+            "n_units",
+            F.conv(F.substring(F.md5(F.col("bin").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sort_key"),
+        )
+    )
+    ranked = exact_group_rank(bins, [], "sort_key", ["bin"], rank_col="rk")
+    return ranked.select(
+        "bin",
+        "n_chunks",
+        "n_units",
+        "sort_key",
+        ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
+        ((F.col("rk") - 1) / N_SHARDS).cast("long").alias("pos"),
+    )
+
+
+def _oracle_shard_packed_chunks(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    from udacity_dsnd_projects_spark.functions.pipeline import N_SHARDS
+
+    return f"""
+WITH p AS ({_oracle_pack_deduped_chunks(rounds)}),
+b AS (
+  SELECT bin, COUNT(*) AS n_chunks, CAST(SUM(n_units) AS BIGINT) AS n_units,
+         CAST(concat('0x', substr(md5(CAST(bin AS VARCHAR)), 1, 15))
+              AS BIGINT) AS sort_key
+  FROM p GROUP BY bin
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sort_key, bin) AS rk FROM b
+)
+SELECT bin, n_chunks, n_units, sort_key,
+       CAST((rk - 1) % {N_SHARDS} AS BIGINT) AS shard,
+       CAST((rk - 1) // {N_SHARDS} AS BIGINT) AS pos
+FROM r
+"""
+
+
+ORACLE_SHARD_PACKED_CHUNKS = _oracle_shard_packed_chunks()
 
 
 def bpe_unit_total_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,6 +229,14 @@ register(
     _text.chunk_dedup_accounting,
     _text.ORACLE_CHUNK_DEDUP_ACCOUNTING,
 )
+# NEW (round 14): the packed bins dealt round-robin into epoch shards
+# under shard_assign's deterministic md5 shuffle — the chunk spine's
+# last writer step (documents → chunks → dedup → pack → shards)
+register(
+    "shard_packed_chunks",
+    _text.shard_packed_chunks,
+    _text.ORACLE_SHARD_PACKED_CHUNKS,
+)
 # NEW (round 12): tokenizer train/eval drift — merges learned on the
 # snapshot half only, fertility compared across halves per source
 # (same eager-loop exception)
@@ -1962,9 +1970,13 @@ _ROUND15_R10_LEFTOVERS = (
 #: - chunk_dedup_accounting: NEW round-14 operator (packed + saved =
 #:   pre-dedup conservation gate on the writer) — first verdict
 #:   pending.
+#: - shard_packed_chunks: NEW round-14 operator (packed bins dealt
+#:   into epoch shards — the chunk spine's last writer step) — first
+#:   verdict pending.
 _ROUND15_ROTATION_CANDIDATES: tuple[str, ...] = (
     "pack_deduped_chunks",
     "chunk_dedup_accounting",
+    "shard_packed_chunks",
 )
 
 _ROUND14_WINDOW = _ROUND14_NEEDS_VERDICT + _ROUND14_STALE_BACKLOG
