@@ -52,12 +52,14 @@ def test_bench_headline_decomposes_into_legacy17_plus_additions():
         "markup_strip",
     }
     assert set(bench.ROUND13_ADDITIONS) == {"bpe_encode_chunks"}
+    assert set(bench.ROUND14_ADDITIONS) == {"pack_deduped_chunks"}
     adds = (
         bench.ROUND9_ADDITIONS
         + bench.ROUND10_ADDITIONS
         + bench.ROUND11_ADDITIONS
         + bench.ROUND12_ADDITIONS
         + bench.ROUND13_ADDITIONS
+        + bench.ROUND14_ADDITIONS
     )
     assert not set(bench.LEGACY17) & set(adds)
     assert len(set(adds)) == len(adds)
