@@ -55,7 +55,37 @@ BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.64"))
 #: reading (join_risk 29.87 + gap_fill 11.33 + transition 10.37 +
 #: strip_index 2.76 + dedup 3.35 + substring 4.69 + token_budget
 #: 4.11 = 66.49 s at sf 0.1, local[32]); BASELINE.md lineage.
+#: The floor stays at the r13 quiet 32-partition observation even
+#: though the section now runs state-sized (8) partitions: the best
+#: clean 8-partition total observed in r14 (72.58 s, cold session,
+#: mostly-quiet window) sits just above it, every loaded 8-partition
+#: excursion (98.9-138.6 s) is far inside the 3x gate where the
+#: 32-partition config was brushing it (194 s = 2.92x), and this
+#: box's external load regime (spikes to 20-30 on a ~15-min period)
+#: gave r14 no window long enough to establish a lower quiet
+#: distribution to re-base onto. Re-base in r15 if quiet readings
+#: land materially below 66.49.
 STREAM_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "66.49"))
+
+#: Shuffle partitions for the STREAM section only. A stateful
+#: streaming query pays per-micro-batch fixed cost proportional to
+#: partitions × state stores (a stream-stream join maintains FOUR
+#: stores per partition; every one is snapshotted/committed each
+#: batch even when near-empty), so `spark.sql.shuffle.partitions`
+#: for a streaming query must be sized to STATE VOLUME, never
+#: inherited from the batch-tuned session default. At the bench's
+#: ~4k peak state rows, 32 partitions is pure store-commit overhead:
+#: measured 132.9 s vs 14.1 s (32 vs 8 partitions, same quiet-window
+#: A/B, bit-identical counters 4162/700/11) — and the overhead is
+#: what scheduler contention amplifies, which explains every hot
+#: join_risk excursion in the lineage (29.9 s quiet → 126-130 s
+#: loaded at 32 partitions). At 100 TB the SAME sizing rule points
+#: the other way: thousands of partitions, because state volume —
+#: not CPU count — sets the number. Batch queries keep the session
+#: default (32): their shuffles carry real data.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
 
 
 def stream_total_sec(stream: dict) -> float:
@@ -538,7 +568,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     legacy17 = round(sum(timings[n] for n in LEGACY17 if n in timings), 4)
-    stream = {**stream_state_bench(spark), **crawl_loop_bench(spark)}
+    # Stream section under state-sized partitioning (see
+    # STREAM_SHUFFLE_PARTITIONS): each streaming query locks in the
+    # session conf at planning time, so the override scopes cleanly to
+    # the section and the batch numbers above are untouched.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        stream = {**stream_state_bench(spark), **crawl_loop_bench(spark)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     stream["stream_total_sec"] = stream_total_sec(stream)
     print(
         json.dumps(
