@@ -196,6 +196,41 @@ def test_chunk_dedup_text_never_reaches_packer_shuffle(spark, dup_dir):
             assert "text" not in line and "ws#" not in line, line
 
 
+def test_chunk_writer_faces_survive_empty_chunk_corpus(spark, tmp_path_factory):
+    """A corpus with NO eligible words (empty / whitespace-only texts)
+    yields an EMPTY chunk frame; the writer, the conservation gate,
+    and the sharder must all agree with their oracles on it — pack and
+    shard empty, accounting vacuously true (sums coalesce to 0) — and
+    in particular the prefix-sum/rank machinery must tolerate an empty
+    input frame."""
+    import duckdb
+
+    from udacity_dsnd_projects_spark.functions.text import (
+        ORACLE_CHUNK_DEDUP_ACCOUNTING,
+        chunk_dedup_accounting,
+        pack_deduped_chunks,
+        shard_packed_chunks,
+    )
+
+    d = tmp_path_factory.mktemp("nowords")
+    spark.createDataFrame(
+        [(0, "   ", "en", "web", 3), (1, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    assert pack_deduped_chunks(spark, str(d)).count() == 0
+    assert shard_packed_chunks(spark, str(d)).count() == 0
+    (r,) = chunk_dedup_accounting(spark, str(d)).collect()
+    assert (r["packed_units"], r["saved_units"], r["pre_dedup_units"]) == (0, 0, 0)
+    assert r["agree"] is True
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    (orc,) = con.sql(ORACLE_CHUNK_DEDUP_ACCOUNTING).fetchall()
+    assert orc == (0, 0, 0, True)
+
+
 def test_shard_packed_chunks_deals_bins_round_robin(spark, sf_dir):
     """The chunk spine's last writer step: every packed bin lands in
     exactly one shard, shards are dealt round-robin over the md5 order
