@@ -231,7 +231,8 @@ register(
 )
 # NEW (round 14): the packed bins dealt round-robin into epoch shards
 # under shard_assign's deterministic md5 shuffle — the chunk spine's
-# last writer step (documents → chunks → dedup → pack → shards)
+# last writer step (documents → chunks → dedup → pack → shards; same
+# eager-loop + prefix-sum/rank exception as the packer it consumes)
 register(
     "shard_packed_chunks",
     _text.shard_packed_chunks,
