@@ -28,7 +28,10 @@ def _run_bench_once() -> dict:
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
         text=True,
-        timeout=560,
+        # full bench wall time: ~6-8 min loaded even after the r14
+        # stream-section fix; a TimeoutExpired here reads as a test
+        # ERROR, so keep real headroom over the worst observed run
+        timeout=840,
         cwd=REPO,
         env=env,
     )
