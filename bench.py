@@ -425,6 +425,9 @@ def crawl_loop_bench(spark) -> dict:
     3. ``substring_stream`` — ``substring_match_stream`` against the
        published winnowing index (stream-static probe, row-local
        containment scoring); output rows pin the flagged-pair count.
+    4. ``token_budget`` / 5. ``chunk_screen`` — see inline notes: the
+       shipped-tokenizer accounting replay and the chunk spine's
+       ingest screen against the published keeper index.
 
     All static sides are read back from parquet, not reused as
     in-memory frames — at scale they are stored tables, and reading
@@ -522,6 +525,45 @@ def crawl_loop_bench(spark) -> dict:
         progresses, elapsed = _run_stream(budget, "update")
         out["token_budget_peak_state_rows"] = _peak_state(progresses)
         out["token_budget_sec"] = elapsed
+
+        # 5. ``chunk_screen`` — the chunk spine's ingest boundary
+        #    (VERDICT r14 task 3): each arriving crawl doc is cut into
+        #    training chunks the moment it lands (encode_chunks_stream,
+        #    stateless row-local folds) and screened against the
+        #    PUBLISHED keeper hash index (chunk_dedup_stream —
+        #    within-stream dedup + stream-static anti-join). Output
+        #    rows pin the never-seen-chunk count, peak state pins the
+        #    within-stream dedup store (bounded by the stream's
+        #    distinct chunk hashes). The index is read back from
+        #    parquet like every other static side, keeping the slim
+        #    probe plan honest.
+        from udacity_dsnd_projects_spark.functions.text import (
+            chunk_dedup_frame,
+            encode_chunks_frame,
+        )
+        from udacity_dsnd_projects_spark.streaming.monitor import (
+            encode_chunks_stream,
+        )
+        from udacity_dsnd_projects_spark.streaming.stateful import (
+            chunk_dedup_stream,
+        )
+
+        chunk_dedup_frame(encode_chunks_frame(hist, merges)).select(
+            "chunk_hash"
+        ).write.parquet(f"{root}/keepers")
+        keepers = spark.read.parquet(f"{root}/keepers")
+        screened = chunk_dedup_stream(
+            encode_chunks_stream(
+                file_stream(spark, f"{root}/new", docs.schema), merges
+            ),
+            keepers,
+        )
+        progresses, elapsed = _run_stream(screened)
+        out["chunk_screen_peak_state_rows"] = _peak_state(progresses)
+        out["chunk_screen_output_rows"] = int(
+            sum(p["sink"]["numOutputRows"] for p in progresses)
+        )
+        out["chunk_screen_sec"] = elapsed
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -179,24 +179,43 @@ def test_chunk_dedup_accounting_conserves_units(spark, dup_dir, sf_dir):
     assert r2["packed_units"] > 0
 
 
+def _preorder_node_names(node):
+    """Physical-plan node names in preorder — plan-TREE walk, not a
+    rendered-string match, so the assertion survives plan-format
+    changes across Spark versions (ADVICE r14; the
+    _preorder_join_names doctrine from the round-12 tests).
+    AdaptiveSparkPlan is a LEAF whose wrapped plan hangs off
+    inputPlan(), not children() — unwrap it explicitly."""
+    out = [node.nodeName()]
+    if node.nodeName() == "AdaptiveSparkPlan":
+        out.extend(_preorder_node_names(node.inputPlan()))
+    kids = node.children()
+    for i in range(kids.length()):
+        out.extend(_preorder_node_names(kids.apply(i)))
+    return out
+
+
 def test_packer_materializes_keepers_once(spark, dup_dir):
     """The keeper frame must enter the prefix-sum machinery as a
     materialized checkpoint (Scan ExistingRDD), not as the live
     chunk-fold subtree: the machinery takes three passes, and losing
     the checkpoint re-runs the baked replace chain per pass (measured
-    10.3 s vs 3.1 s at sf 0.1)."""
+    10.3 s vs 3.1 s at sf 0.1). Asserted structurally on the plan
+    TREE: every leaf scan is the checkpointed RDD — no parquet scan of
+    documents (the fold's only possible input) survives anywhere in
+    the consumable plan."""
     from udacity_dsnd_projects_spark.functions.text import pack_deduped_chunks
 
-    plan = (
-        pack_deduped_chunks(spark, dup_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    names = _preorder_node_names(
+        pack_deduped_chunks(spark, dup_dir)._jdf.queryExecution().executedPlan()
     )
-    assert "ExistingRDD" in plan
+    scans = [n for n in names if "Scan" in n]
+    assert scans, names
+    assert any("ExistingRDD" in n for n in scans), scans
     # the expensive fold ran at construction; the consumable plan must
-    # not re-derive chunks from the documents scan
-    assert "aggregate(" not in plan
+    # not re-derive chunks from the documents scan — a live fold would
+    # re-introduce a parquet file scan below the prefix-sum machinery
+    assert not any("parquet" in n.lower() or "FileScan" in n for n in scans), scans
 
 
 def test_chunk_dedup_text_never_reaches_packer_shuffle(spark, dup_dir):

@@ -1,0 +1,203 @@
+"""Round-15 tests: the chunk-spine invariants VERDICT r14 asked to
+pin — ``n_units`` as a pure function of ``chunk_hash`` (task 4) — and
+the ADVICE r14 fixes (chunk_dedup_stream's bounded watermark form,
+shard_packed_chunks' integer-DIV position)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------------------
+# VERDICT r14 task 4 — chunk_dedup_frame reduces n_units with min() on
+# the comment-level claim "identical words → identical count". Pin the
+# claim itself: if a future face ever makes n_units depend on anything
+# outside chunk_hash, this fails loudly instead of being silently
+# min'd (the accounting gate would only catch the sum-level effect).
+# --------------------------------------------------------------------------
+
+
+def test_chunk_units_are_pure_function_of_hash(spark, sf_dir):
+    """Over the real corpus: every chunk_hash group in the raw chunk
+    frame carries exactly one distinct n_units value (min == max)."""
+    from udacity_dsnd_projects_spark.functions.text import bpe_encode_chunks
+
+    drift = (
+        bpe_encode_chunks(spark, sf_dir)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("n_units").alias("lo"),
+            F.max("n_units").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+    )
+    assert drift.count() == 0, drift.limit(5).collect()
+
+
+def test_chunk_units_invariant_on_planted_duplicates(spark, tmp_path):
+    """The invariant on a corpus DESIGNED to stress it: the same chunk
+    content planted across documents of different langs/sources and in
+    documents of different total length must still agree on n_units."""
+    from udacity_dsnd_projects_spark.functions.text import encode_chunks_frame
+
+    boiler = "standard footer text repeated on every page"
+    rows = [
+        (0, boiler, "en", "web"),
+        (1, boiler, "fr", "books"),
+        (2, boiler + " plus a unique continuation here", "en", "web"),
+        (3, boiler, "de", "news"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    chunks = encode_chunks_frame(docs, [("s", "t", 0), ("st", "a", 0)])
+    agg = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.min("n_units").alias("lo"), F.max("n_units").alias("hi"))
+        .collect()
+    )
+    assert agg and all(r["lo"] == r["hi"] for r in agg)
+
+
+# --------------------------------------------------------------------------
+# ADVICE r14 — chunk_dedup_stream mirrors dedup_stream's signature:
+# the event-time form bounds state with dropDuplicatesWithinWatermark
+# instead of forcing callers to bypass the screen for bounded state.
+# --------------------------------------------------------------------------
+
+
+def test_chunk_dedup_stream_watermark_form_matches_compat(spark, tmp_path):
+    """The bounded (event-time) form emits the same survivors as the
+    compat unbounded form when duplicates arrive within the delay —
+    and still screens against the static history index."""
+    from udacity_dsnd_projects_spark.streaming.sources import (
+        file_stream,
+        run_to_memory,
+    )
+    from udacity_dsnd_projects_spark.streaming.stateful import (
+        chunk_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("chunk_hash", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 6, 1)
+    # h_hist is known to history; h_dup arrives twice within the delay
+    b1 = [("h_hist", base, 0), ("h_dup", base, 1), ("h_new", base, 2)]
+    b2 = [("h_dup", base + dt.timedelta(minutes=10), 3)]
+    path = str(tmp_path / "chunks")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+    hist = spark.createDataFrame([("h_hist",)], ["chunk_hash"])
+
+    compat = run_to_memory(
+        chunk_dedup_stream(file_stream(spark, path, schema), hist),
+        "cds_compat",
+    ).collect()
+    bounded = run_to_memory(
+        chunk_dedup_stream(
+            file_stream(spark, path, schema), hist, "ts", "2 hours"
+        ),
+        "cds_bounded",
+    ).collect()
+    assert sorted(r["chunk_hash"] for r in compat) == ["h_dup", "h_new"]
+    assert sorted(r["chunk_hash"] for r in bounded) == sorted(
+        r["chunk_hash"] for r in compat
+    )
+
+
+# --------------------------------------------------------------------------
+# VERDICT r14 task 5 — curriculum ordering over the packed bins: the
+# chunk spine's ordering policy (documents → chunks → dedup → pack →
+# order), curriculum_order's NTILE recipe at sequence granularity.
+# --------------------------------------------------------------------------
+
+
+def test_curriculum_pack_order_phases_and_positions(spark, sf_dir):
+    """Every packed bin appears exactly once; phases partition the
+    bins into CURRICULUM_PHASES NTILE-sized groups ordered
+    easy-to-hard by max_units; positions are a 1..n permutation inside
+    each phase; and a rerun is bit-identical (no RNG state)."""
+    from collections import Counter
+
+    from udacity_dsnd_projects_spark.functions.text import (
+        curriculum_pack_order,
+        pack_deduped_chunks,
+    )
+    from udacity_dsnd_projects_spark.functions.training import (
+        CURRICULUM_PHASES,
+    )
+
+    packed = pack_deduped_chunks(spark, sf_dir).collect()
+    rows = curriculum_pack_order(spark, sf_dir).collect()
+    assert sorted(r["bin"] for r in rows) == sorted({r["bin"] for r in packed})
+    # NTILE sizing: phase sizes differ by at most 1, earlier phases
+    # take the remainder
+    per = Counter(r["phase"] for r in rows)
+    n = len(rows)
+    k = min(CURRICULUM_PHASES, n)
+    assert sorted(per) == list(range(1, k + 1))
+    for ph, cnt in per.items():
+        assert cnt == n // CURRICULUM_PHASES + (
+            1 if ph <= n % CURRICULUM_PHASES else 0
+        )
+    # easy-to-hard: every bin in phase p has max_units <= every bin in
+    # phase p+1 (up to NTILE's boundary ties broken by bin id)
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r["max_units"])
+    phases = sorted(by_phase)
+    for a, b in zip(phases, phases[1:]):
+        assert max(by_phase[a]) <= min(by_phase[b]) or sorted(
+            by_phase[a]
+        )[-1] == sorted(by_phase[b])[0]
+    # positions: 1..len permutation per phase
+    pos = {}
+    for r in rows:
+        pos.setdefault(r["phase"], []).append(r["position"])
+    for ph, ps in pos.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # deterministic
+    again = curriculum_pack_order(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_curriculum_pack_order_matches_oracle(spark, sf_dir, duck):
+    """Full value agreement with the DuckDB oracle at the test SF —
+    the same compare the driver runs."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        ORACLE_CURRICULUM_PACK_ORDER,
+        curriculum_pack_order,
+    )
+
+    sdf = curriculum_pack_order(spark, sf_dir).toPandas()
+    ddf = duck.sql(ORACLE_CURRICULUM_PACK_ORDER).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    a = sorted(map(tuple, sdf[cols].itertuples(index=False, name=None)))
+    b = sorted(map(tuple, ddf[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+def test_curriculum_pack_order_empty_corpus(spark, tmp_path_factory):
+    """The ordering face survives an empty chunk frame (the writer
+    trio's degenerate contract extends to the scheduler)."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        curriculum_pack_order,
+    )
+
+    d = tmp_path_factory.mktemp("noword2")
+    spark.createDataFrame(
+        [(0, "  ", "en", "web", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    assert curriculum_pack_order(spark, str(d)).count() == 0

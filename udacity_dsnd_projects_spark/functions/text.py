@@ -2455,7 +2455,10 @@ def shard_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_units",
         "sort_key",
         ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
-        ((F.col("rk") - 1) / N_SHARDS).cast("long").alias("pos"),
+        # integer DIV, not double /-then-truncate: exact over the full
+        # long domain, matching the oracle's `//` (ADVICE r14 — double
+        # rounding could diverge once rk-1 exceeds 2^53)
+        F.expr(f"CAST((rk - 1) DIV {N_SHARDS} AS LONG)").alias("pos"),
     )
 
 
@@ -2481,6 +2484,105 @@ FROM r
 
 
 ORACLE_SHARD_PACKED_CHUNKS = _oracle_shard_packed_chunks()
+
+
+def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over the PACKED BINS (VERDICT r14 task 5 —
+    the chunk spine's ordering policy, closing the writer path:
+    documents → chunks → dedup → pack → order):
+    :func:`~udacity_dsnd_projects_spark.functions.training.curriculum_order`'s
+    NTILE-phase recipe applied at training-sequence granularity. Bins
+    are ordered easy-to-hard by ``max_units`` — the longest single
+    sequence a bin contains, an integer-exact difficulty proxy (bins
+    are budget-equalized in TOTAL units by construction, so the total
+    cannot rank them; the longest member can) — cut into
+    :data:`~udacity_dsnd_projects_spark.functions.training.CURRICULUM_PHASES`
+    equal phases, then deterministically shuffled WITHIN each phase by
+    ``md5(bin)`` (no RNG state — a resumed run replays the identical
+    order). One row per bin: (bin, n_chunks, n_units, max_units,
+    phase, position) with ``position`` 1-based inside the phase.
+
+    Scale shape: the bin rollup is ONE map-side-combined groupBy on a
+    long; both orderings ride the distributed exact-rank primitive
+    (range-bucketed parallel windows + broadcast bucket offsets —
+    never a one-task global window); the phase frame is one slim row
+    per bin, localCheckpoint'ed so the length-rank pass runs once, not
+    3× under the position pass's triple scan. NOTE: construction runs
+    the training loop and the pack/rank metadata actions (the
+    documented eager exception; memoized — :data:`_BPE_LEARN_CACHE`)."""
+    from udacity_dsnd_projects_spark.functions.training import CURRICULUM_PHASES
+    from udacity_dsnd_projects_spark.operators.ranks import (
+        exact_group_rank,
+        ntile_from_rank,
+    )
+
+    bins = (
+        pack_deduped_chunks(spark, sf_dir)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_units").cast("long").alias("n_units"),
+            F.max("n_units").cast("long").alias("max_units"),
+        )
+        .withColumn("__k", F.md5(F.col("bin").cast("string")))
+    )
+    ranked = exact_group_rank(
+        bins, [], "max_units", ["bin"], rank_col="__rk", count_col="__cnt"
+    )
+    # same 60-bit-prefix trick as curriculum_order: equal-length
+    # lowercase-hex strings sort like their numeric value, so the
+    # prefix is the rank primitive's numeric bucket key and the full
+    # digest breaks its (vanishingly rare) prefix collisions
+    phased = ranked.select(
+        "bin",
+        "n_chunks",
+        "n_units",
+        "max_units",
+        "__k",
+        F.conv(F.substring("__k", 1, 15), 16, 10).cast("long").alias("__kn"),
+        ntile_from_rank(F.col("__rk"), F.col("__cnt"), CURRICULUM_PHASES)
+        .cast("int")
+        .alias("phase"),
+    ).localCheckpoint(eager=True)
+    return exact_group_rank(
+        phased,
+        ["phase"],
+        "__kn",
+        ["__k", "bin"],
+        rank_col="position",
+    ).select(
+        "bin",
+        "n_chunks",
+        "n_units",
+        "max_units",
+        "phase",
+        F.col("position").cast("long").alias("position"),
+    )
+
+
+def _oracle_curriculum_pack_order(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    from udacity_dsnd_projects_spark.functions.training import CURRICULUM_PHASES
+
+    return f"""
+WITH p AS ({_oracle_pack_deduped_chunks(rounds)}),
+b AS (
+  SELECT bin, COUNT(*) AS n_chunks, CAST(SUM(n_units) AS BIGINT) AS n_units,
+         CAST(MAX(n_units) AS BIGINT) AS max_units,
+         md5(CAST(bin AS VARCHAR)) AS k
+  FROM p GROUP BY bin
+),
+phased AS (
+  SELECT *, CAST(NTILE({CURRICULUM_PHASES})
+                 OVER (ORDER BY max_units, bin) AS INTEGER) AS phase
+  FROM b
+)
+SELECT bin, n_chunks, n_units, max_units, phase,
+       row_number() OVER (PARTITION BY phase ORDER BY k, bin) AS position
+FROM phased
+"""
+
+
+ORACLE_CURRICULUM_PACK_ORDER = _oracle_curriculum_pack_order()
 
 
 def bpe_unit_total_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

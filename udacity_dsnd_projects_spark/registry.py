@@ -238,6 +238,15 @@ register(
     _text.shard_packed_chunks,
     _text.ORACLE_SHARD_PACKED_CHUNKS,
 )
+# NEW (round 15): curriculum ordering over the packed bins —
+# easy-to-hard by the bin's longest sequence, NTILE phases with a
+# deterministic md5 within-phase shuffle (VERDICT r14 task 5; the
+# chunk spine's ordering policy; same eager-loop + rank exception)
+register(
+    "curriculum_pack_order",
+    _text.curriculum_pack_order,
+    _text.ORACLE_CURRICULUM_PACK_ORDER,
+)
 # NEW (round 12): tokenizer train/eval drift — merges learned on the
 # snapshot half only, fertility compared across halves per source
 # (same eager-loop exception)
@@ -2005,9 +2014,120 @@ for _q in _ROUND15_ROTATION_CANDIDATES + _ROUND15_R10_LEFTOVERS:
             "displace a round-14 verdict"
         )
 
-# Reorder so the driver's first-50 truncation sees exactly _ROUND14_WINDOW.
-_REGISTRY = {name: _REGISTRY[name] for name in _ROUND14_WINDOW} | {
+# ==========================================================================
+# DRIVER WINDOW (round 15) — the 3 _ROUND15_ROTATION_CANDIDATES lead
+# (every round-14 chunk-writer operator gets its FIRST driver verdict;
+# VERDICT r14 task 1), then the 35 _ROUND15_R10_LEFTOVERS (the stalest
+# cohort — this EMPTIES the r10 cohort), then the 12 alphabetically-
+# first of the 50 r11-era greens (staleness derived by unioning
+# CORRECTNESS_r{1..14}.json; every r11 candidate shares the same
+# last-verdict round, so alphabetical is the declared tiebreak). The
+# 38 r11 greens the window cannot hold are declared at
+# _ROUND16_R11_LEFTOVERS. The two r1-era estimators stay OUT by design
+# (tolerance-tested, no oracle).
+# ==========================================================================
+
+_ROUND15_NEEDS_VERDICT = _ROUND15_ROTATION_CANDIDATES
+
+#: 35 r10 leftovers first (the stalest greens anywhere — emptying the
+#: r10 cohort), then the 12 alphabetically-first r11 greens.
+_ROUND15_STALE_BACKLOG = _ROUND15_R10_LEFTOVERS + (
+    "arithmetic_rounding",
+    "bpe_pair_counts",
+    "bracket_revenue",
+    "char_bigram_lm",
+    "contamination_method_agreement",
+    "corpus_datacard",
+    "dedup_method_agreement",
+    "dominant_part_suppliers",
+    "dow_seasonality",
+    "dup_cluster_histogram",
+    "embedding_drift_by_source",
+    "embedding_health_report",
+)
+
+#: The 38 r11 greens the 12 stale slots could not hold — they MUST
+#: head round 16's stale backlog (stalest remaining cohort after this
+#: round's verdicts land).
+_ROUND16_R11_LEFTOVERS = (
+    "event_transition_matrix",
+    "exact_quantiles",
+    "forecast_revenue",
+    "funnel_conversion",
+    "grouping_sets_agg",
+    "grouping_sets_agg_df",
+    "guard_metrics_report",
+    "important_part_value",
+    "ivf_index_upsert",
+    "ivf_staleness_report",
+    "knn_label_agreement",
+    "label_separation_report",
+    "language_confusion_matrix",
+    "large_volume_orders",
+    "market_basket_pairs",
+    "media_feature_pipeline",
+    "min_cost_supplier",
+    "minhash_calibration_report",
+    "nation_supplier_hhi",
+    "national_market_share",
+    "near_dup_triangles",
+    "ngram_jaccard_pairs",
+    "ngram_novelty",
+    "part_supplier_diversity",
+    "pii_prevalence_report",
+    "product_profit",
+    "quality_drift_report",
+    "semantic_contamination",
+    "shard_balance_report",
+    "top_revenue_suppliers",
+    "trade_pagerank",
+    "url_dedup",
+    "url_normalize",
+    "vocab_oov_rate",
+    "weighted_reservoir_sample",
+    "winnowing_density_report",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+)
+
+#: Queries added or CHANGED after the round-15 window filled. Round 16
+#: MUST rotate these to the window front before re-verifying anything
+#: else — build the round-16 guard from this list, not hand-collected.
+#: - curriculum_pack_order: NEW round-15 operator (NTILE curriculum
+#:   phases over the packed bins — VERDICT r14 task 5) — first verdict
+#:   pending.
+_ROUND16_ROTATION_CANDIDATES: tuple[str, ...] = (
+    "curriculum_pack_order",
+)
+
+_ROUND15_WINDOW = _ROUND15_NEEDS_VERDICT + _ROUND15_STALE_BACKLOG
+
+if len(_ROUND15_WINDOW) != _WINDOW:
+    raise RuntimeError(
+        f"round-15 window holds {len(_ROUND15_WINDOW)} entries, need {_WINDOW}"
+    )
+if len(set(_ROUND15_WINDOW)) != _WINDOW:
+    raise RuntimeError("duplicate name in the round-15 window")
+for _q in (
+    _ROUND15_WINDOW + _ROUND16_ROTATION_CANDIDATES + _ROUND16_R11_LEFTOVERS
+):
+    if _q not in _REGISTRY:
+        raise RuntimeError(f"window/rotation query not registered: {_q}")
+for _q in _ROUND15_NEEDS_VERDICT + _ROUND15_STALE_BACKLOG:
+    if _q not in _ROUND15_WINDOW:
+        raise RuntimeError(
+            f"changed/stale query outside the {_WINDOW}-entry window: {_q}"
+        )
+for _q in _ROUND16_ROTATION_CANDIDATES + _ROUND16_R11_LEFTOVERS:
+    if _q in _ROUND15_WINDOW:
+        raise RuntimeError(
+            f"round-15 overflow query {_q} sits INSIDE the window — it would "
+            "displace a round-15 verdict"
+        )
+
+# Reorder so the driver's first-50 truncation sees exactly _ROUND15_WINDOW.
+_REGISTRY = {name: _REGISTRY[name] for name in _ROUND15_WINDOW} | {
     name: entry
     for name, entry in _REGISTRY.items()
-    if name not in set(_ROUND14_WINDOW)
+    if name not in set(_ROUND15_WINDOW)
 }

@@ -83,7 +83,10 @@ def incremental_dedup_stream(
 
 
 def chunk_dedup_stream(
-    new_chunks: DataFrame, hist_hashes: DataFrame
+    new_chunks: DataFrame,
+    hist_hashes: DataFrame,
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
 ) -> DataFrame:
     """Streaming CHUNK screen against the published ``chunk_hash``
     index — :func:`incremental_dedup_stream`'s recipe at training-chunk
@@ -102,13 +105,16 @@ def chunk_dedup_stream(
     computes it row-locally — no hashing here, stream == batch by
     construction); ``hist_hashes`` is a batch frame with a
     ``chunk_hash`` column (the dedup report, or any projection of it).
-    State shape: the within-stream dedup's store keyed by the 32-char
-    md5 (bounded by a watermark when the caller composes
-    :func:`dedup_stream`'s event-time form); the history probe is a
-    stream-static left-anti join — at scale a bucketed/Z-ordered hash
-    table the join prunes against, exactly
+    State shape mirrors :func:`dedup_stream`'s signature (ADVICE r14):
+    without ``event_time_col`` the within-stream dedup's store keyed
+    by the 32-char md5 grows with every hash ever seen — the compat
+    form; with it, ``dropDuplicatesWithinWatermark`` bounds state to
+    the watermark horizon — the 100 TB form, correct whenever a
+    recrawled chunk re-arrives within ``delay``. The history probe is
+    a stream-static left-anti join either way — at scale a
+    bucketed/Z-ordered hash table the join prunes against, exactly
     :func:`incremental_dedup_stream`'s shape."""
-    return new_chunks.dropDuplicates(["chunk_hash"]).join(
+    return dedup_stream(new_chunks, ["chunk_hash"], event_time_col, delay).join(
         hist_hashes.select("chunk_hash"), "chunk_hash", "left_anti"
     )
 
