@@ -51,21 +51,20 @@ BENCH_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR", "13.64"))
 #: stream regressions are gated at 3× this floor — wider than the
 #: batch section's 2× because every stream number is a SINGLE-SHOT
 #: replay (no best-of-2 to shed a cold run), so scheduler noise lands
-#: undamped (`tests/test_bench_floor.py`). Value = the round-13 quiet-box
-#: reading (join_risk 29.87 + gap_fill 11.33 + transition 10.37 +
-#: strip_index 2.76 + dedup 3.35 + substring 4.69 + token_budget
-#: 4.11 = 66.49 s at sf 0.1, local[32]); BASELINE.md lineage.
-#: The floor stays at the r13 quiet 32-partition observation even
-#: though the section now runs state-sized (8) partitions: the best
-#: clean 8-partition total observed in r14 (72.58 s, cold session,
-#: mostly-quiet window) sits just above it, every loaded 8-partition
-#: excursion (98.9-138.6 s) is far inside the 3x gate where the
-#: 32-partition config was brushing it (194 s = 2.92x), and this
-#: box's external load regime (spikes to 20-30 on a ~15-min period)
-#: gave r14 no window long enough to establish a lower quiet
-#: distribution to re-base onto. Re-base in r15 if quiet readings
-#: land materially below 66.49.
-STREAM_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "66.49"))
+#: undamped (`tests/test_bench_floor.py`). RE-BASED in round 15
+#: (VERDICT r14 task 2): the old 66.49 s floor was a 32-partition-era
+#: minimum over SEVEN faces; the section now runs state-sized
+#: partitions (STREAM_SHUFFLE_PARTITIONS=8) and gained an eighth face
+#: (``chunk_screen``), and a full-trough round-15 reading landed the
+#: whole section inside one quiet window: join_risk 12.77 + gap_fill
+#: 13.56 + transition 12.86 + strip_index 3.64 + dedup 2.14 +
+#: substring 3.65 + token_budget 2.93 + chunk_screen 3.31 = 54.87 s
+#: at sf 0.1, local[32], every state counter bit-identical. Quiet-epoch
+#: distribution under the new config/composition: {54.87, 76.36,
+#: 80.57, 82.40} with loaded excursions 130.6/228.0 (counters exact —
+#: environment; the gate's one-retry allowance exists for those);
+#: BASELINE.md lineage.
+STREAM_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "54.87"))
 
 #: Shuffle partitions for the STREAM section only. A stateful
 #: streaming query pays per-micro-batch fixed cost proportional to
