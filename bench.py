@@ -568,6 +568,38 @@ def crawl_loop_bench(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def stream_main() -> None:
+    """``python bench.py --stream-only``: just the stream section,
+    same session/warmup/partition scoping as :func:`main` — the
+    section alone is ~70-110 s wall, short enough to fit this box's
+    2-4 minute external-load troughs where the 8-minute full bench
+    never can, which is how the round-15 floor re-base caught its
+    full-quiet 54.87 s reading (BASELINE.md lineage). Prints ONE JSON
+    line: the ``stream`` dict plus ``wall_sec``. The no-argument
+    driver contract (one headline JSON line) is untouched."""
+    from udacity_dsnd_projects_spark import registry
+    from udacity_dsnd_projects_spark.session import get_spark
+
+    spark = get_spark("engine-bench-stream")
+    qs = registry.queries()
+    for w in ("risk_join", "minhash_lsh_pairs", "simhash_near_dup_pairs"):
+        if w in qs:
+            qs[w](spark, "/root/testdata/sf0.001").count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    t0 = time.perf_counter()
+    try:
+        stream = {**stream_state_bench(spark), **crawl_loop_bench(spark)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    stream["stream_total_sec"] = stream_total_sec(stream)
+    stream["wall_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(stream))
+    spark.stop()
+
+
 def main() -> None:
     from udacity_dsnd_projects_spark import registry
     from udacity_dsnd_projects_spark.session import get_spark
@@ -647,4 +679,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--stream-only" in sys.argv[1:]:
+        stream_main()
+    else:
+        main()

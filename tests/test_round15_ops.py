@@ -188,6 +188,26 @@ def test_curriculum_pack_order_matches_oracle(spark, sf_dir, duck):
     assert a == b
 
 
+def test_curriculum_pack_order_rides_checkpointed_frames(spark, sf_dir):
+    """The consumable plan must read only materialized checkpoints
+    (the packer's keeper frame and the one-row-per-bin phase frame) —
+    a parquet scan anywhere in the plan tree would mean the training
+    fold or the pack machinery re-runs under the position pass's
+    triple scan (the packer's single-materialization doctrine extended
+    to the scheduler)."""
+    from tests.test_round14_ops import _preorder_node_names
+    from udacity_dsnd_projects_spark.functions.text import (
+        curriculum_pack_order,
+    )
+
+    names = _preorder_node_names(
+        curriculum_pack_order(spark, sf_dir)._jdf.queryExecution().executedPlan()
+    )
+    scans = [n for n in names if "Scan" in n]
+    assert scans and any("ExistingRDD" in n for n in scans), scans
+    assert not any("parquet" in n.lower() or "FileScan" in n for n in scans), scans
+
+
 def test_curriculum_pack_order_empty_corpus(spark, tmp_path_factory):
     """The ordering face survives an empty chunk frame (the writer
     trio's degenerate contract extends to the scheduler)."""
