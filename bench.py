@@ -192,6 +192,13 @@ ROUND13_ADDITIONS: tuple[str, ...] = ("bpe_encode_chunks",)
 #: warm-learn measurement semantics as the other BPE faces.
 ROUND14_ADDITIONS: tuple[str, ...] = ("pack_deduped_chunks",)
 
+#: Round-15 addition: the chunk spine's ordering policy — packed bins
+#: ranked by longest sequence into NTILE curriculum phases via the
+#: distributed exact-rank primitive (two rank passes over the
+#: one-row-per-bin rollup). Counted in ``value``, NOT ``legacy17_sec``;
+#: same warm-learn measurement semantics as the other BPE faces.
+ROUND15_ADDITIONS: tuple[str, ...] = ("curriculum_pack_order",)
+
 #: Queries timed by the bench. Grows as the registry grows; keep this
 #: the set of headline operators rather than every micro-query, so the
 #: number stays interpretable.
@@ -203,6 +210,7 @@ HEADLINE: tuple[str, ...] = (
     + ROUND12_ADDITIONS
     + ROUND13_ADDITIONS
     + ROUND14_ADDITIONS
+    + ROUND15_ADDITIONS
 )
 
 
