@@ -208,6 +208,49 @@ def test_curriculum_pack_order_rides_checkpointed_frames(spark, sf_dir):
     assert not any("parquet" in n.lower() or "FileScan" in n for n in scans), scans
 
 
+def test_curriculum_pack_order_fewer_bins_than_phases(
+    spark, tmp_path_factory
+):
+    """NTILE's n<k edge: a corpus packing into fewer bins than
+    CURRICULUM_PHASES must still agree with the DuckDB oracle —
+    each bin becomes its own phase (SQL NTILE semantics), positions
+    all 1."""
+    import duckdb
+
+    from udacity_dsnd_projects_spark.functions.text import (
+        ORACLE_CURRICULUM_PACK_ORDER,
+        curriculum_pack_order,
+    )
+    from udacity_dsnd_projects_spark.functions.training import (
+        CURRICULUM_PHASES,
+    )
+
+    d = tmp_path_factory.mktemp("tinybins")
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web", 22),
+        (1, "epsilon zeta eta theta", "en", "web", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    sdf = curriculum_pack_order(spark, str(d)).toPandas()
+    n_bins = len(sdf)
+    assert 0 < n_bins < CURRICULUM_PHASES
+    assert sorted(sdf["phase"]) == list(range(1, n_bins + 1))
+    assert set(sdf["position"]) == {1}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    ddf = con.sql(ORACLE_CURRICULUM_PACK_ORDER).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    assert sorted(map(tuple, sdf[cols].itertuples(index=False, name=None))) == sorted(
+        map(tuple, ddf[cols].itertuples(index=False, name=None))
+    )
+
+
 def test_curriculum_pack_order_empty_corpus(spark, tmp_path_factory):
     """The ordering face survives an empty chunk frame (the writer
     trio's degenerate contract extends to the scheduler)."""
