@@ -53,6 +53,7 @@ def test_bench_headline_decomposes_into_legacy17_plus_additions():
     }
     assert set(bench.ROUND13_ADDITIONS) == {"bpe_encode_chunks"}
     assert set(bench.ROUND14_ADDITIONS) == {"pack_deduped_chunks"}
+    assert set(bench.ROUND15_ADDITIONS) == {"curriculum_pack_order"}
     adds = (
         bench.ROUND9_ADDITIONS
         + bench.ROUND10_ADDITIONS
@@ -60,6 +61,7 @@ def test_bench_headline_decomposes_into_legacy17_plus_additions():
         + bench.ROUND12_ADDITIONS
         + bench.ROUND13_ADDITIONS
         + bench.ROUND14_ADDITIONS
+        + bench.ROUND15_ADDITIONS
     )
     assert not set(bench.LEGACY17) & set(adds)
     assert len(set(adds)) == len(adds)

@@ -97,9 +97,12 @@ def _probe_partitions(sel: DataFrame) -> int:
     return n
 
 
-def _spread_for_hashing(docs: DataFrame) -> DataFrame:
+def _spread_for_hashing(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, text) projected and, ONLY when the incoming layout
-    under-parallelizes, hash-repartitioned on doc_id.
+    under-parallelizes, hash-repartitioned on doc_id. ``keep_cols``
+    rides extra columns through (see :func:`_shingled_docs`).
 
     The repartition decouples CPU parallelism from the input file
     layout: a corpus delivered as few large files would otherwise
@@ -120,16 +123,22 @@ def _spread_for_hashing(docs: DataFrame) -> DataFrame:
     stable within a session for a given input). Streaming frames
     cannot be probed (``.rdd`` is undefined pre-query); micro-batches
     are small and latency-bound, so they always take the spread."""
-    sel = docs.select("doc_id", "text")
+    sel = docs.select("doc_id", *keep_cols, "text")
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     if not sel.isStreaming and _probe_partitions(sel) >= n_parts:
         return sel
     return sel.repartition(n_parts, F.col("doc_id"))
 
 
-def _shingled_docs(docs: DataFrame) -> DataFrame:
+def _shingled_docs(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, sh): distinct word-3-gram shingle hashes of normalized
     text, as array<long>. Docs with <3 tokens (no 3-gram) are dropped.
+    ``keep_cols`` rides extra columns through unchanged (e.g. an
+    event-time column for a streaming caller's watermark — ADVICE r14
+    doctrine); the default () keeps every batch face's schema
+    byte-identical.
 
     Each token is char-hashed ONCE into a ``th`` column, then the
     shingle hash combines three consecutive token hashes —
@@ -145,11 +154,11 @@ def _shingled_docs(docs: DataFrame) -> DataFrame:
     splits (the 100 TB regime)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
-        _spread_for_hashing(docs)
-        .select("doc_id", toks.alias("toks"))
+        _spread_for_hashing(docs, keep_cols)
+        .select("doc_id", *keep_cols, toks.alias("toks"))
         .filter(F.size("toks") >= 3)
     )
-    d = d.select("doc_id", F.transform("toks", _token_hash).alias("th"))
+    d = d.select("doc_id", *keep_cols, F.transform("toks", _token_hash).alias("th"))
     th = F.col("th")
     sh = F.transform(
         F.sequence(F.lit(1), F.size("th") - 2),
@@ -161,7 +170,7 @@ def _shingled_docs(docs: DataFrame) -> DataFrame:
         )
         % HASH_MOD,
     )
-    return d.select("doc_id", F.array_distinct(sh).alias("sh"))
+    return d.select("doc_id", *keep_cols, F.array_distinct(sh).alias("sh"))
 
 
 def _oracle_shingles(src: str = "documents") -> str:
@@ -520,16 +529,20 @@ WHERE p.common * 1.0 / (sa.n + sb.n - p.common) > {JACCARD_THRESHOLD}
 """
 
 
-def signatures_for(docs: DataFrame) -> DataFrame:
+def signatures_for(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """MinHash signatures over an arbitrary (doc_id, text) frame:
     mh[i] = min over shingle hashes of (A[i]*h + B[i]) mod HASH_MOD.
-    16 permutations as one array column — one scan, no shuffle."""
-    sh = _shingled_docs(docs)
+    16 permutations as one array column — one scan, no shuffle.
+    ``keep_cols`` rides extra columns through (see
+    :func:`_shingled_docs`)."""
+    sh = _shingled_docs(docs, keep_cols)
     def perm_min(a: int, b: int) -> Column:
         return F.array_min(F.transform(F.col("sh"), lambda h: (h * a + b) % HASH_MOD))
 
     mh = F.array(*[perm_min(a, b) for a, b in zip(PERM_A, PERM_B)])
-    return sh.select("doc_id", mh.alias("mh"))
+    return sh.select("doc_id", *keep_cols, mh.alias("mh"))
 
 
 def signatures_vectorized(docs: DataFrame) -> DataFrame:
@@ -723,12 +736,16 @@ def oversize_buckets(bands: DataFrame) -> DataFrame:
     )
 
 
-def bands_for_sigs(sigs: DataFrame) -> DataFrame:
+def bands_for_sigs(
+    sigs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, mh, band, key) exploded banding rows from any
     (doc_id, mh) signature frame — batch or streaming (pure JVM
-    expressions, no state)."""
+    expressions, no state). ``keep_cols`` rides extra columns through
+    (see :func:`_shingled_docs`)."""
     return sigs.select(
         "doc_id",
+        *keep_cols,
         "mh",
         F.explode(
             F.array(
@@ -747,7 +764,7 @@ def bands_for_sigs(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "mh", "bk.band", "bk.key")
+    ).select("doc_id", *keep_cols, "mh", "bk.band", "bk.key")
 
 
 def minhash_bands_for(docs: DataFrame) -> DataFrame:

@@ -57,6 +57,8 @@ def incremental_dedup_stream(
     hist_hashes: DataFrame,
     text_col: str = "text",
     hash_col: str = "content_md5",
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
 ) -> DataFrame:
     """Streaming face of
     :func:`~udacity_dsnd_projects_spark.functions.dedup.incremental_dedup`:
@@ -69,15 +71,19 @@ def incremental_dedup_stream(
     ``hist_hashes`` must be a batch frame with column ``hash_col``
     (distinct md5s of the snapshot). At scale that frame is a
     bucketed/Z-ordered table the join prunes against; the per-stream
-    state is the within-stream dedup's (bounded by a watermark when
-    the caller composes :func:`dedup_stream` with an event-time
-    column instead of the compat form used here)."""
+    state is the within-stream dedup's, and mirrors
+    :func:`dedup_stream`'s signature (the ADVICE r14 doctrine applied
+    family-wide): without ``event_time_col`` the store grows with
+    every hash ever seen — the compat form; with it,
+    ``dropDuplicatesWithinWatermark`` bounds state to the watermark
+    horizon (the md5 projection preserves every input column, so the
+    event-time column rides through untouched)."""
     from pyspark.sql import functions as F
 
     hashed = new_docs.withColumn(
         hash_col, F.md5(F.col(text_col).cast("binary"))
     )
-    return hashed.dropDuplicates([hash_col]).join(
+    return dedup_stream(hashed, [hash_col], event_time_col, delay).join(
         hist_hashes, hash_col, "left_anti"
     )
 
@@ -123,6 +129,8 @@ def near_dup_stream(
     new_docs: DataFrame,
     index_bands: DataFrame,
     threshold: float | None = None,
+    event_time_col: str | None = None,
+    delay: str = "1 hour",
 ) -> DataFrame:
     """Streaming NEAR-dup detection against a static MinHash-LSH band
     index — the fuzzy sibling of :func:`incremental_dedup_stream`: a
@@ -138,9 +146,13 @@ def near_dup_stream(
     ``index_bands`` is ``minhash_bands_for(history)`` materialized —
     at scale a bucketed table keyed on (band, key) so the stream-side
     probe prunes. Band collisions produce duplicate candidate rows
-    across micro-batches; ``dropDuplicates`` keeps the first (compat
-    unbounded state — compose with a watermark column for the bounded
-    form, as in :func:`dedup_stream`)."""
+    across micro-batches; the pair dedup mirrors
+    :func:`dedup_stream`'s signature (ADVICE r14 doctrine): without
+    ``event_time_col`` it keeps the first pair forever (compat
+    unbounded state); with it, the event-time column rides through the
+    signature/banding projections (``keep_cols``) so
+    ``dropDuplicatesWithinWatermark`` can bound the pair store to the
+    watermark horizon."""
     from pyspark.sql import functions as F
 
     from udacity_dsnd_projects_spark.functions.dedup import (
@@ -153,7 +165,8 @@ def near_dup_stream(
         from udacity_dsnd_projects_spark.functions.dedup import JACCARD_THRESHOLD
 
         threshold = JACCARD_THRESHOLD
-    bands = bands_for_sigs(signatures_for(new_docs))
+    keep = (event_time_col,) if event_time_col is not None else ()
+    bands = bands_for_sigs(signatures_for(new_docs, keep), keep)
     hist = index_bands.select(
         "band",
         "key",
@@ -168,13 +181,15 @@ def near_dup_stream(
         )
         / NUM_PERM
     )
-    return (
+    pairs = (
         bands.join(hist, ["band", "key"])
         .withColumn("est_jaccard", F.round(est, 5))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id", "hist_doc_id", "est_jaccard")
-        .dropDuplicates(["doc_id", "hist_doc_id"])
+        .select("doc_id", "hist_doc_id", "est_jaccard", *keep)
     )
+    return dedup_stream(
+        pairs, ["doc_id", "hist_doc_id"], event_time_col, delay
+    ).select("doc_id", "hist_doc_id", "est_jaccard")
 
 
 def latest_per_key_stateful(
