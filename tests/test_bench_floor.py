@@ -22,6 +22,26 @@ pytestmark = pytest.mark.slow  # full bench.py subprocess at sf 0.1
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _wait_for_trough(max_wait_s: int = 300, threshold: float = 1.0) -> None:
+    """Best-effort: delay a RETRY until the host's 1-min load drops
+    under ``threshold`` (this box's external load spikes to 20-30 on a
+    ~15-min period with 2-4 min troughs — BASELINE.md lineage). The
+    retry exists to shed transient contention; launching it INTO the
+    same spike defeats it. Gives up after ``max_wait_s`` and runs
+    anyway — the gate must never hang on a busy host."""
+    import time
+
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        try:
+            load1 = float(Path("/proc/loadavg").read_text().split()[0])
+        except (OSError, ValueError, IndexError):
+            return
+        if load1 < threshold:
+            return
+        time.sleep(15)
+
+
 def _run_bench_once() -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
     out = subprocess.run(
@@ -58,7 +78,8 @@ def test_bench_total_within_2x_floor(bench_rec):
         # plans 2-3x run-to-run (observed: the same commit measuring
         # 18.8s, 27.6s and 32.1s back-to-back). A genuine plan
         # regression is systematic and fails BOTH runs; a transient
-        # spike fails only one.
+        # spike fails only one — so wait out the spike before retrying.
+        _wait_for_trough()
         rec = _run_bench_once()
     assert rec["legacy17_sec"] <= 2 * BENCH_FLOOR_SEC, (
         f"bench regression: legacy17 {rec['legacy17_sec']:.2f}s > 2x floor "
@@ -87,7 +108,12 @@ def test_stream_total_within_3x_floor(bench_rec):
 
     rec = bench_rec
     if rec["stream"]["stream_total_sec"] > 3 * STREAM_FLOOR_SEC:
-        rec = _run_bench_once()  # same hot-box retry as the batch gate
+        # same hot-box retry as the batch gate, trough-waited: under
+        # the re-based 54.87 floor a full external spike can read
+        # ~4x (228 s observed, counters exact), so the retry must not
+        # launch into the same spike
+        _wait_for_trough()
+        rec = _run_bench_once()
     got = rec["stream"]["stream_total_sec"]
     assert got <= 3 * STREAM_FLOOR_SEC, (
         f"stream bench regression: {got:.2f}s > 3x floor "
