@@ -440,15 +440,26 @@ def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (component, n_members, keep_doc_id, keep_quality).
 
     Scale shape: the component frame is pair-graph-sized (near-dup
-    docs only, orders of magnitude under the corpus); the quality join
-    keys on doc_id (high-cardinality); the argmax is a single
-    map-side-combined ``max(struct(quality, -doc_id))`` groupBy on the
-    component label — no window, no collect."""
-    from udacity_dsnd_projects_spark.functions.text import quality_score
+    docs only, orders of magnitude under the corpus), so it broadcasts
+    onto the documents scan and the regex-heavy quality score
+    evaluates ONLY on member rows (the winnowing_strip member-scoring
+    shape — identical values, non-members dropped before the scoring
+    expressions run, no text through any exchange); the argmax is a
+    single map-side-combined ``max(struct(quality, -doc_id))`` groupBy
+    on the component label — no window, no collect."""
+    from udacity_dsnd_projects_spark.functions.text import quality_score_expr
 
     comp = near_dup_components(spark, sf_dir)
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    j = comp.join(q, "doc_id")
+    j = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .join(F.broadcast(comp), "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            quality_score_expr(F.col("text")).alias("quality"),
+        )
+    )
     best = j.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max(
@@ -525,16 +536,33 @@ def winnowing_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (component-cardinality, not corpus-cardinality) and the
     cluster-sized build side broadcasts."""
     from udacity_dsnd_projects_spark.functions.dedup import winnowing_pairs_for
-    from udacity_dsnd_projects_spark.functions.text import quality_score
+    from udacity_dsnd_projects_spark.functions.text import quality_score_expr
 
     docs = load_table(spark, "documents", sf_dir)
     comp = connected_components(
         winnowing_pairs_for(docs).select("doc_a", "doc_b")
     )
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    # Score quality only for COMPONENT MEMBERS: the regex-heavy
+    # composite score used to run over the whole corpus and then join
+    # slim, discarding all non-member rows. The component label frame
+    # is node-sized over the MATCH GRAPH only (near-dup docs, orders
+    # of magnitude under the corpus) and already materialized by the
+    # CC loop's checkpoint, so broadcasting it onto the documents scan
+    # (the §3.2 semi-join pre-filter; same O(matched-nodes) broadcast
+    # regime as pagerank's rank state) drops non-members BEFORE the
+    # scoring expressions evaluate — identical quality values on the
+    # surviving rows, no text column through any exchange.
+    scored = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(comp), "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            quality_score_expr(F.col("text")).alias("quality"),
+        )
+    )
     best = (
-        comp.join(q, "doc_id")
-        .groupBy("component")
+        scored.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.max(

@@ -460,8 +460,18 @@ def _capped_pair_counts(ex: DataFrame, key: str) -> DataFrame:
     hint forces a sort-merge self-join: both sides then need the SAME
     shuffle exchange on the key, which ReuseExchange computes once
     (a broadcast self-join would re-evaluate the expensive posting
-    subtree to build the hash relation)."""
-    kept = _df_capped(ex, key)
+    subtree to build the hash relation).
+
+    The kept posting frame is eagerly checkpointed: ReuseExchange
+    only covers the two SELF-JOIN sides (their exchange subtrees are
+    canonically identical), but the ``sizes`` branch hangs different
+    pushed filters under its exchange, so un-checkpointed it
+    re-evaluates the whole hashing subtree (tokenize → per-char hash
+    fold → window cap) a second time. Postings are (doc_id, key) slim
+    — no text — so the materialization is cheap at any scale (on a
+    cluster this is the published inverted index being persisted,
+    exactly what winnowing_index_for ships)."""
+    kept = _df_capped(ex, key).localCheckpoint(eager=True)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
     return (

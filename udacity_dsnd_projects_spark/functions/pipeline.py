@@ -1197,7 +1197,11 @@ def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select(
         "doc_id", "lang", F.size(_toks()).cast("long").alias("n_tok")
-    )
+        # slim one-row-per-doc frame; the cumsum primitive scans its
+        # input 3× (sketch, partials, final window — ranks.py
+        # prescribes the caller persists it), and un-checkpointed each
+        # scan re-tokenizes the whole corpus
+    ).localCheckpoint(eager=True)
     c = exact_group_cumsum(
         d, ["lang"], "doc_id", [], "n_tok", cumsum_col="cum_tok"
     )

@@ -839,7 +839,11 @@ def ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ppl = perplexity_score(spark, sf_dir)
     langs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    d = ppl.join(langs, "doc_id")
+    # slim (doc_id, cross_entropy, lang) rows; the rank primitive scans
+    # its input 3× (sketch, counts, final — ranks.py prescribes the
+    # caller persists it), and un-checkpointed each scan re-runs the
+    # bigram-LM scoring join over the corpus
+    d = ppl.join(langs, "doc_id").localCheckpoint(eager=True)
     ranked = exact_group_rank(
         d,
         ["lang"],
@@ -1734,7 +1738,11 @@ def bpe_seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         _sum_over_words(_word_units_fn(merges)).alias("n_units"),
-    )
+        # slim one-row-per-doc frame; the cumsum primitive scans its
+        # input 3× (sketch, partials, final window — ranks.py
+        # prescribes the caller persists it), and un-checkpointed each
+        # scan re-runs the baked replace chain over every word
+    ).localCheckpoint(eager=True)
     c = exact_group_cumsum(
         d, ["lang"], "doc_id", [], "n_units", cumsum_col="cum_units"
     )
@@ -2278,10 +2286,19 @@ def pack_deduped_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf 0.1. NOTE: construction runs the training loop and the
     prefix-sum's two metadata-sized actions (the documented eager
     exception; memoized — :data:`_BPE_LEARN_CACHE`)."""
+    return pack_deduped_chunks_frame(bpe_encode_chunks(spark, sf_dir))
+
+
+def pack_deduped_chunks_frame(chunks: DataFrame) -> DataFrame:
+    """:func:`pack_deduped_chunks`' transform over an explicit chunk
+    frame (the :func:`encode_chunks_frame` schema) — factored so
+    :func:`chunk_dedup_accounting` can grade the writer over the SAME
+    materialized chunk frame its other two totals read, instead of
+    re-running the whole encode fold once per total."""
     from udacity_dsnd_projects_spark.operators.ranks import exact_group_cumsum
 
     keepers = (
-        chunk_dedup_frame(bpe_encode_chunks(spark, sf_dir))
+        chunk_dedup_frame(chunks)
         .select(
             "chunk_hash", "canonical_doc_id", "canonical_chunk_id", "n_units"
         )
@@ -2349,17 +2366,23 @@ def chunk_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: three map-side-reduced single-row aggregates joined
     by broadcast cross joins — the compare costs nothing beyond the
-    frames it grades. NOTE: construction runs the training loop and
-    the packer's prefix-sum actions (the documented eager exception;
-    memoized — :data:`_BPE_LEARN_CACHE`)."""
+    frames it grades. The three totals still come from three different
+    DERIVATIONS (writer output / dedup report / raw re-aggregation),
+    but all read one eagerly-checkpointed chunk frame: the encode fold
+    (the baked replace chain over every word — the family's dominant
+    cost) used to re-run once per total, three times in all, for
+    bit-identical chunk rows each time. NOTE: construction runs the
+    training loop and the packer's prefix-sum actions (the documented
+    eager exception; memoized — :data:`_BPE_LEARN_CACHE`)."""
     z = F.lit(0).cast("long")
-    packed = pack_deduped_chunks(spark, sf_dir).agg(
+    chunks = bpe_encode_chunks(spark, sf_dir).localCheckpoint(eager=True)
+    packed = pack_deduped_chunks_frame(chunks).agg(
         F.coalesce(F.sum("n_units"), z).alias("packed_units")
     )
-    saved = chunk_dedup(spark, sf_dir).agg(
+    saved = chunk_dedup_frame(chunks).agg(
         F.coalesce(F.sum("saved_units"), z).alias("saved_units")
     )
-    pre = bpe_encode_chunks(spark, sf_dir).agg(
+    pre = chunks.agg(
         F.coalesce(F.sum("n_units"), z).alias("pre_dedup_units")
     )
     return (
@@ -2447,6 +2470,11 @@ def shard_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sort_key"),
         )
+        # bin-cardinality slim frame feeding the rank primitive's THREE
+        # passes (sketch, counts, final — ranks.py module docstring says
+        # to persist exactly this input): without the checkpoint each
+        # pass re-runs the packer's prefix-sum window + rollup
+        .localCheckpoint(eager=True)
     )
     ranked = exact_group_rank(bins, [], "sort_key", ["bin"], rank_col="rk")
     return ranked.select(
@@ -2525,6 +2553,13 @@ def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_units").cast("long").alias("max_units"),
         )
         .withColumn("__k", F.md5(F.col("bin").cast("string")))
+        # same three-pass rationale as shard_packed_chunks' bins
+        # checkpoint: the rank primitive scans its input three times,
+        # and un-checkpointed each scan re-runs the packer's
+        # prefix-sum window + rollup (ranks.py prescribes persisting
+        # the input; same-window A/Bs at sf 0.1 measured 17-28% off
+        # the whole query)
+        .localCheckpoint(eager=True)
     )
     ranked = exact_group_rank(
         bins, [], "max_units", ["bin"], rank_col="__rk", count_col="__cnt"

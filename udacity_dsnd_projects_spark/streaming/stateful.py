@@ -232,12 +232,19 @@ def latest_per_key_stateful(
             [[key[0], *best]], columns=[key_col, seq_col, *value_cols]
         )
 
-    return updates.groupBy(key_col).applyInPandasWithState(
-        update_fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # prune to (key, seq, values) before the keyed shuffle — the
+    # opaque Python hop defeats Catalyst's column pruning, so any
+    # extra stream columns would ride shuffle + Arrow for nothing
+    return (
+        updates.select(key_col, seq_col, *value_cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -400,12 +407,21 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
                 columns=["user_id", "hr", "value_filled", "n_events", "is_observed"],
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update_fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # project to exactly the columns the fold reads BEFORE the keyed
+    # shuffle: the events stream also carries event_type and the fat
+    # ``props`` JSON payload, and an opaque Python function defeats
+    # Catalyst's pruning — without this select every unused byte
+    # crosses the shuffle AND the Arrow boundary (guide §4.1)
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -506,12 +522,18 @@ def transition_stateful(events: DataFrame) -> DataFrame:
                 rows, columns=["user_id", "prev_type", "next_type"]
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update_fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # same pruning rationale as gap_fill_stateful: the opaque Python
+    # hop would otherwise ship value + props through shuffle and Arrow
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
