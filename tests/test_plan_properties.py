@@ -165,14 +165,20 @@ def test_topk_windows_ride_window_group_limit(spark, sf_dir):
 
 def test_winnowing_pairs_reuses_hash_exchange(spark, sf_dir):
     # the match stage's two join sides and the sizes rollup all derive
-    # from the same winnowed-fingerprint frame: at AQE runtime the
-    # identical exchange subtrees collapse to ReusedExchange (3 of
-    # them), so the corpus is tokenized+hashed ONCE per execution —
-    # the same reuse contract as the shingle pair substrate
+    # from the same winnowed-fingerprint frame, which is materialized
+    # ONCE (the posting frame's eager checkpoint — ReuseExchange alone
+    # only covered the two canonically-identical self-join sides, and
+    # the sizes branch re-evaluated the whole tokenize+hash subtree
+    # under its differently-filtered exchange): every branch must read
+    # the checkpointed postings (Scan ExistingRDD), no branch may
+    # re-tokenize (no FileScan of the corpus anywhere in the plan),
+    # and the self-join sides still collapse to ReusedExchange
     df = registry.queries()["winnowing_overlap_pairs"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 3
+    assert plan.count("ReusedExchange") >= 2
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan") == 0
 
 
 def test_markup_density_prunes_document_scan(spark, sf_dir):

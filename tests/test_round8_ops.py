@@ -22,16 +22,23 @@ def _count_window_nodes(plan: str) -> int:
 def test_customer_rfm_rank_passes_share_one_scan(spark, sf_dir):
     """The r8 shape checkpointed between three exact_group_rank passes
     (one Window surviving per materialized pass); round 9 fused them
-    into exact_multi_rank — the final physical plan must now contain
-    exactly THREE Window nodes (one per rank column, composed in one
-    plan) chained over exactly ONE ExistingRDD scan of the
-    single checkpointed per-customer frame: nothing upstream
-    re-executes, and the offset lookups are literal maps (no extra
-    joins — any Scan count > 1 means a regression re-introduced a
-    re-scan or a join-back)."""
+    into exact_multi_rank, and round 15 deleted the second orders scan
+    (the corpus-max date now derives from the checkpointed per-customer
+    rollup via a broadcast, instead of its own full orders pass). The
+    final physical plan must contain exactly THREE Window nodes (one
+    per rank column, composed in one plan) chained over ONE ExistingRDD
+    scan of the single checkpointed per-customer frame, plus exactly
+    one more ExistingRDD scan inside the broadcast max subtree — and NO
+    parquet scan at all (orders is read exactly once, when the
+    checkpoint materializes; any FileScan here means a re-scan
+    regressed in). AQE may append an '== Initial Plan ==' section that
+    re-renders the same tree — count only the executed plan."""
     from udacity_dsnd_projects_spark.operators import analytics as a
 
     df = a.customer_rfm(spark, sf_dir)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     assert _count_window_nodes(plan) == 3, plan[:2000]
-    assert plan.count("Scan ExistingRDD") == 1, plan[:2000]
+    assert plan.count("Scan ExistingRDD") == 2, plan[:2000]
+    assert plan.count("Scan parquet") == 0, plan[:2000]

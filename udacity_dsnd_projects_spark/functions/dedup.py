@@ -718,8 +718,13 @@ def _bucket_pairs(bands: DataFrame, payload: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", payload))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+    # explode_outer, deliberately: plain explode makes Catalyst infer
+    # a `size(<expansion>) > 0` guard that evaluates the O(m²) pair
+    # expansion a SECOND time per bucket just to test emptiness. The
+    # `size(ms) >= 2` filter above guarantees ≥1 pair, so outer
+    # semantics are identical.
     return members.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.transform(
                     F.col("ms"),
@@ -1330,13 +1335,22 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     only 8-byte shingle hashes. The Bloom-prefilter trick of
     :func:`incremental_dedup` applies verbatim if the gram universe
     ever outgrows a shuffle."""
+    # explode_outer, deliberately (the contamination_for doctrine):
+    # plain explode lets Catalyst infer a `size(sh) > 0` filter and
+    # push it below the projections, inlining the WHOLE shingle chain
+    # into the Filter — there the th-sharing is lost and each gram's
+    # element_at re-evaluates the full token-hash array: O(tokens²)
+    # per doc, measured 28.5 → 1.5 s cpu at sf 0.01 (19×) with
+    # bit-identical output. _shingled_docs never yields an empty
+    # array (the ≥3-token filter guarantees ≥1 shingle), so outer
+    # semantics are identical.
     hist = (
         _shingled_docs(_inc_history(spark, sf_dir))
-        .select(F.explode("sh").alias("s"))
+        .select(F.explode_outer("sh").alias("s"))
         .distinct()
     )
     batch = _shingled_docs(_inc_batch(spark, sf_dir)).select(
-        "doc_id", F.explode("sh").alias("s")
+        "doc_id", F.explode_outer("sh").alias("s")
     )
     marked = batch.join(hist.withColumn("__old", F.lit(1)), "s", "left")
     agg = marked.groupBy("doc_id").agg(
@@ -1475,7 +1489,9 @@ FROM agg
 WINNOW_WINDOW = 4
 
 
-def _winnow_fp_arrays(docs: DataFrame) -> DataFrame:
+def _winnow_fp_arrays(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Shared winnowing substrate over an arbitrary (doc_id, text)
     frame — (doc_id, fps array<long>) of distinct window-minima; see
     :func:`winnowing_fingerprints`. Factored so the fingerprint face,
@@ -1483,14 +1499,19 @@ def _winnow_fp_arrays(docs: DataFrame) -> DataFrame:
     the hash/window/tie rules. Streaming-safe: per-row array math
     only, no aggregation (and :func:`_spread_for_hashing` keeps its
     layout probe batch-only). Layout-aware opener: the text-sized
-    spread exchange is skipped when the scan already parallelizes."""
+    spread exchange is skipped when the scan already parallelizes.
+    ``keep_cols`` rides extra source columns through the projection
+    chain (the :func:`bands_for_sigs` convention) so a per-source
+    consumer needs no corpus join-back."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     d = (
-        _spread_for_hashing(docs)
-        .select("doc_id", toks.alias("toks"))
+        _spread_for_hashing(docs, keep_cols)
+        .select("doc_id", *keep_cols, toks.alias("toks"))
         .filter(F.size("toks") >= 3 + WINNOW_WINDOW - 1)
     )
-    d = d.select("doc_id", F.transform("toks", _token_hash).alias("th"))
+    d = d.select(
+        "doc_id", *keep_cols, F.transform("toks", _token_hash).alias("th")
+    )
     th = F.col("th")
     g = F.transform(
         F.sequence(F.lit(1), F.size("th") - 2),
@@ -1502,13 +1523,14 @@ def _winnow_fp_arrays(docs: DataFrame) -> DataFrame:
         )
         % HASH_MOD,
     )
-    d = d.select("doc_id", g.alias("g"))
+    d = d.select("doc_id", *keep_cols, g.alias("g"))
     wins = F.transform(
         F.sequence(F.lit(1), F.size("g") - WINNOW_WINDOW + 1),
         lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_WINDOW)),
     )
     return d.select(
         "doc_id",
+        *keep_cols,
         F.size("g").alias("n_grams"),
         F.array_distinct(wins).alias("fps"),
     )
@@ -1677,17 +1699,17 @@ def winnowing_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, n_docs, n_grams, n_fps, density, expected_density).
 
     Scale shape: the per-doc (n_grams, |fps|) pair comes from the
-    shared substrate's one hashing scan; the source join moves only
-    (doc_id, source) and the rollup is map-side combinable — nothing
-    text-sized crosses an exchange."""
+    shared substrate's one hashing scan with ``source`` riding the
+    projection chain (``keep_cols`` — this used to be a corpus
+    join-back: a second documents scan plus two corpus-row-sized
+    shuffles, for a column the scan already had), and the rollup is
+    map-side combinable — nothing text-sized crosses an exchange."""
     docs = load_table(spark, "documents", sf_dir)
-    per = _winnow_fp_arrays(docs).select(
-        "doc_id", "n_grams", F.size("fps").alias("n_fps")
+    per = _winnow_fp_arrays(docs, ("source",)).select(
+        "source", "n_grams", F.size("fps").alias("n_fps")
     )
-    src = docs.select("doc_id", "source")
     return (
-        per.join(src, "doc_id")
-        .groupBy("source")
+        per.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_grams").alias("n_grams"),

@@ -710,9 +710,14 @@ def cluster_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ms") >= 2)
     )
+    # explode_outer, deliberately: plain explode makes Catalyst infer
+    # a `size(<expansion>) > 0` guard that evaluates the O(m²) pair
+    # expansion a SECOND time per cluster just to test emptiness; the
+    # `size(ms) >= 2` filter above guarantees ≥1 pair, so outer
+    # semantics are identical (the _bucket_pairs doctrine).
     pairs = grouped.select(
         "cluster",
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.transform(
                     F.col("ms"),

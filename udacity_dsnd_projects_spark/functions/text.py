@@ -275,10 +275,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
+    # explode_outer + isNotNull, deliberately: plain explode makes
+    # Catalyst infer a size()>0 guard, pushed below the projection and
+    # re-evaluating the split per row; split elements are never null,
+    # so the cheap attribute filter restores exact explode semantics
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    )
+        F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term").isNotNull())
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
@@ -444,8 +450,11 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(tokens_col(F.col("text")).alias("tk")).filter(
         F.size("tk") >= 2
     )
+    # explode_outer, deliberately: plain explode infers a size()>0
+    # guard that re-evaluates the zip_with (and the tokenize it
+    # inlines) once more per row; size(tk) >= 2 guarantees >= 1 bigram
     pairs = t.select(
-        F.explode(
+        F.explode_outer(
             F.zip_with(
                 F.slice("tk", 1, F.size("tk") - 1),
                 F.slice("tk", 2, F.size("tk") - 1),
@@ -524,7 +533,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     counts = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        docs.select(
+            # explode_outer + isNotNull: stops the inferred size()>0
+            # guard from re-tokenizing per row; split elements are
+            # never null so the attribute filter restores exactness
+            F.explode_outer(tokens_col(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("neg_cnt", -F.col("cnt"))
@@ -593,7 +608,11 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     counts = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        docs.select(
+            # same explode_outer + isNotNull rationale as above
+            F.explode_outer(tokens_col(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
@@ -604,8 +623,9 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", F.lit(1).alias("__in_vocab"))
     )
     toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
-    )
+        # same explode_outer + isNotNull rationale as the counts above
+        "doc_id", F.explode_outer(tokens_col(F.col("text"))).alias("token")
+    ).filter(F.col("token").isNotNull())
     j = toks.join(F.broadcast(vocab), "token", "left")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
@@ -954,11 +974,16 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_dsnd_projects_spark.functions.pipeline import _toks
 
     docs = load_table(spark, "documents", sf_dir)
-    words = docs.select(F.explode(_toks()).alias("w")).filter(
+    # explode_outer on both hops: plain explode infers size()>0
+    # guards that re-tokenize (hop 1) and re-expand the char pairs
+    # (hop 2) once more per row. The length >= 2 filter both bounds
+    # the pair expansion non-empty and drops any null token row, so
+    # semantics are exactly explode's.
+    words = docs.select(F.explode_outer(_toks()).alias("w")).filter(
         F.length("w") >= 2
     )
     pairs = words.select(
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.length("w") - 1),
                 lambda i: F.col("w").substr(i, F.lit(2)),
@@ -1025,7 +1050,10 @@ def _bpe_vocab(docs: DataFrame) -> DataFrame:
     from udacity_dsnd_projects_spark.functions.pipeline import _toks
 
     return (
-        docs.select(F.explode(_toks()).alias("w"))
+        # explode_outer: the inferred size()>0 guard would re-tokenize
+        # per row; the length filter below drops a null row exactly as
+        # explode would have dropped the (impossible) empty array
+        docs.select(F.explode_outer(_toks()).alias("w"))
         .filter((F.length("w") >= 1) & ~F.col("w").contains(BPE_SEP))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1144,7 +1172,10 @@ def _learn_merges_with_stages(
     for _ in range(rounds):
         pairs = v.filter(F.size("syms") >= 2).select(
             "cnt",
-            F.explode(
+            # explode_outer: stops the inferred size()>0 guard from
+            # running the pair expansion twice per word row, every
+            # merge round; size(syms) >= 2 guarantees >= 1 pair
+            F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(1), F.size("syms") - 1),
                     lambda j: F.struct(
@@ -2715,7 +2746,10 @@ def char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s") >= 2
     )
     grams = d.select(
-        F.explode(
+        # explode_outer: the inferred size()>0 guard would re-expand
+        # the whole char-bigram array per row; length(s) >= 2
+        # guarantees >= 1 bigram, so outer semantics are identical
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.length("s") - 1),
                 lambda i: F.col("s").substr(i, F.lit(2)),

@@ -143,9 +143,16 @@ def synthesize_domain_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical domain still has to come out of
     :func:`normalize_url`, not string concat."""
     docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", "source", _domain_url_col().alias("url"))
+
+
+def _domain_url_col() -> Column:
+    """:func:`synthesize_domain_urls`' raw-url expression over the
+    documents row itself (needs only ``doc_id`` + ``source``) — shared
+    with :func:`domain_stats`' single-scan rollup."""
     did = F.col("doc_id")
     scheme = F.when(did % 2 == 0, "HTTP").otherwise("https")
-    url = F.concat(
+    return F.concat(
         scheme,
         F.lit("://WWW."),
         F.upper("source"),
@@ -156,17 +163,20 @@ def synthesize_domain_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did % 5).cast("string"),
         F.lit("#frag"),
     )
-    return docs.select("doc_id", "source", url.alias("url"))
+
+
+def _domain_col(url: Column) -> Column:
+    """Canonical host from a raw url column (the single-sourced
+    extraction :func:`doc_domains` and :func:`domain_stats` share)."""
+    return F.regexp_extract(normalize_url(url), r"^https?://([^/:?]+)", 1)
 
 
 def doc_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, domain): canonical host per document, extracted from
     the NORMALIZED url (lowercased authority, ``www.`` stripped) —
     pure projection, no shuffle."""
-    canon = normalize_url(F.col("url"))
     return synthesize_domain_urls(spark, sf_dir).select(
-        "doc_id",
-        F.regexp_extract(canon, r"^https?://([^/:?]+)", 1).alias("domain"),
+        "doc_id", _domain_col(F.col("url")).alias("domain")
     )
 
 
@@ -177,21 +187,26 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering (domain-level signals catch spam farms whose individual
     pages pass).
 
-    Scale shape: the doc→domain projection joins
-    :func:`~udacity_dsnd_projects_spark.functions.text.quality_score`
-    on ``doc_id`` (high-cardinality equi-join, AQE-friendly), then ONE
-    map-side-combined groupBy on the domain string. Output is
-    domain-cardinality — metadata-sized, broadcastable downstream."""
-    from udacity_dsnd_projects_spark.functions.text import quality_score, tokens_col
-
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok")
+    Scale shape: ONE corpus scan — domain, token count and composite
+    quality are all row-local projections of the same documents row,
+    so they compute in a single select feeding ONE map-side-combined
+    groupBy on the domain string (this used to be three separate
+    corpus scans joined twice on doc_id: two corpus-sized shuffle
+    joins that bought nothing — identical rows, same expressions).
+    Output is domain-cardinality — metadata-sized, broadcastable
+    downstream."""
+    from udacity_dsnd_projects_spark.functions.text import (
+        quality_score_expr,
+        tokens_col,
     )
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    d = doc_domains(spark, sf_dir)
+
     return (
-        d.join(docs, "doc_id")
-        .join(q, "doc_id")
+        load_table(spark, "documents", sf_dir)
+        .select(
+            _domain_col(_domain_url_col()).alias("domain"),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+            quality_score_expr(F.col("text")).alias("quality"),
+        )
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

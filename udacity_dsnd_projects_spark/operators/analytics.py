@@ -798,8 +798,16 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .localCheckpoint(eager=True)
     )
+    # explode_outer + isNotNull, deliberately: plain explode makes
+    # Catalyst infer a `size(<expansion>) > 0` guard that evaluates
+    # the O(m²) pair expansion a SECOND time per basket just to test
+    # emptiness. Single-part baskets DO produce empty arrays here, so
+    # outer alone isn't equivalent — the isNotNull filter on the
+    # exploded attribute (cheap, never inlined below the Generate)
+    # restores exact explode semantics: empty/null array → no row
+    # either way, and the pair structs themselves are never null.
     pairs = baskets.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.transform(
                     "parts",
@@ -810,7 +818,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("p")
-    )
+    ).filter(F.col("p").isNotNull())
     counts = pairs.groupBy(
         F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
     ).agg(F.count(F.lit(1)).alias("n_both"))
@@ -1343,22 +1351,31 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, "orders", sf_dir)
-    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("__mx"))
-    per = (
+    # one orders scan, checkpointed per-customer: the corpus-max date
+    # used to be a SECOND full orders scan, but max(last order date)
+    # over customers IS max(o_orderdate) over orders — derive it from
+    # the materialized rollup instead (guide §1.2: remove a pass). The
+    # datediff projection rides above the checkpoint un-persisted: the
+    # rank primitive's three passes re-run only a broadcast join over
+    # the already-materialized slim frame.
+    per0 = (
         orders.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_d"),
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("__mon"),
         )
-        .crossJoin(F.broadcast(mx))
+        .localCheckpoint(eager=True)
+    )
+    mx = per0.agg(F.max("last_d").alias("__mx"))
+    per = (
+        per0.crossJoin(F.broadcast(mx))
         .select(
             "custkey",
             F.datediff("__mx", "last_d").alias("recency_days"),
             "n_orders",
             F.col("__mon").cast("double").alias("monetary_d"),
         )
-        .localCheckpoint(eager=True)
     )
     m = exact_multi_rank(
         per,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -223,10 +224,17 @@ def latest_per_key_stateful(
             best = list(state.get)
         else:
             best = None
-        for pdf in pdfs:
-            for row in pdf[[seq_col, *value_cols]].itertuples(index=False, name=None):
-                if best is None or row[0] > best[0]:
-                    best = list(row)
+        # vectorized batch argmax (guide §4.2): idxmax keeps the FIRST
+        # row of the max sequence, matching the old per-row strict-``>``
+        # fold (an equal-seq later row never overwrites)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            )
+            cand = batch.iloc[int(batch[seq_col].to_numpy().argmax())]
+            if best is None or cand[seq_col] > best[0]:
+                best = [cand[c] for c in (seq_col, *value_cols)]
         state.update(tuple(best))
         yield pd.DataFrame(
             [[key[0], *best]], columns=[key_col, seq_col, *value_cols]
@@ -347,64 +355,130 @@ def gap_fill_stateful(events: DataFrame) -> DataFrame:
             st = stored[1:]
         else:
             st = None
-        rows: list[list] = []
 
-        def emit(hr_us: int, val, n_ev: int, observed: int) -> None:
-            rows.append(
-                [
-                    key[0],
-                    pd.Timestamp(hr_us, unit="us"),
-                    val,
-                    n_ev,
-                    observed,
-                ]
-            )
-
+        # Vectorized fold (guide §4.2) — equivalent to the row-loop
+        # state machine because the batch is sorted by (ts, event_id):
+        # the batch-internal frontier never regresses, so "late" rows
+        # (hour < frontier) can only be late vs the STORED frontier and
+        # sit at the head of the sort; and within each hour group the
+        # LAST row is its (ts, event_id) argmax.
+        #
         # One group can arrive as SEVERAL Arrow chunks (rows beyond
         # arrow.maxRecordsPerBatch split); sorting per chunk would
         # process events out of time order and corrupt the frontier —
         # concatenate first, sort ONCE.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
+            batch = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            ).sort_values(["ts", "event_id"])
             # unit-safe epoch-us: Arrow may hand pandas datetime64[ns]
             # OR [us] depending on version — normalize before the
             # integer view instead of assuming nanoseconds
-            ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
-            for t_us, eid, val in zip(
-                ts_us, batch["event_id"], batch["value"]
-            ):
-                hr_us = (t_us // _HOUR_US) * _HOUR_US
-                if st is None:
-                    st = [hr_us, t_us, int(eid), float(val), 1, 0]
-                    continue
-                if hr_us < st[0]:
-                    # no-time-travel: fold into the frontier hour, but
-                    # COUNT the contract violation (detect, don't trust)
-                    hr_us = st[0]
-                    st[5] += 1
-                if hr_us == st[0]:
-                    st[4] += 1
-                    if (t_us, int(eid)) > (st[1], st[2]):
-                        st[1], st[2], st[3] = t_us, int(eid), float(val)
+            ts_us = (
+                batch["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+            )
+            eids = batch["event_id"].to_numpy()
+            vals = batch["value"].to_numpy()
+            hrs = (ts_us // _HOUR_US) * _HOUR_US
+            late_n = 0
+            if st is not None:
+                # no-time-travel: fold pre-frontier rows into the
+                # frontier hour, COUNTING the contract violations
+                # (detect, don't trust). Late rows keep their original
+                # (ts, event_id) for the argmax compare — all below the
+                # stored best (best_ts >= frontier start > late ts), so
+                # clamping the hour alone matches the row-loop exactly.
+                late = hrs < st[0]
+                late_n = int(late.sum())
+                if late_n:
+                    hrs = np.where(late, st[0], hrs)
+            # hour-group boundaries over the (clamped) non-decreasing
+            # hour array: last index per hour == per-hour argmax row
+            last_idx = np.append(np.flatnonzero(np.diff(hrs) != 0), len(hrs) - 1)
+            uh = hrs[last_idx]
+            n_per = np.diff(np.append(-1, last_idx))
+            # resolve the first hour against stored state
+            obs_hr = uh
+            obs_nev = n_per
+            obs_val = vals[last_idx].astype("float64", copy=False)
+            if st is None:
+                start_hr = int(uh[0])
+                late_total = 0
+            else:
+                late_total = st[5] + late_n
+                start_hr = st[0]
+                if uh[0] == st[0]:
+                    # cross-batch merge into the stored frontier hour
+                    obs_nev = obs_nev.copy()
+                    obs_nev[0] += st[4]
+                    i = last_idx[0]
+                    if (int(ts_us[i]), int(eids[i])) <= (st[1], st[2]):
+                        obs_val = obs_val.copy()
+                        obs_val[0] = st[3]
                 else:
-                    # close the frontier hour, fill the silent gap
-                    emit(st[0], st[3], st[4], 1)
-                    carry = st[3]
-                    h = st[0] + _HOUR_US
-                    while h < hr_us:
-                        emit(h, carry, 0, 0)
-                        h += _HOUR_US
-                    st = [hr_us, t_us, int(eid), float(val), 1, st[5]]
-        if st is not None:
-            state.update((GAP_FILL_STATE_VER, *st))
-            emit(st[0], st[3], st[4], 1)  # current (possibly partial) hour
-        if rows:
+                    # the stored frontier hour closes in front of the
+                    # batch's hours
+                    obs_hr = np.append(st[0], uh)
+                    obs_nev = np.append(st[4], n_per)
+                    obs_val = np.append(st[3], obs_val)
+            # new state = the (possibly merged) LAST hour's winner
+            j = last_idx[-1]
+            if (
+                st is not None
+                and len(uh) == 1
+                and uh[0] == st[0]
+                and (int(ts_us[j]), int(eids[j])) <= (st[1], st[2])
+            ):
+                best_ts, best_eid, best_val = st[1], st[2], st[3]
+            else:
+                best_ts, best_eid, best_val = (
+                    int(ts_us[j]),
+                    int(eids[j]),
+                    float(vals[j]),
+                )
+            st = [
+                int(uh[-1]),
+                best_ts,
+                best_eid,
+                best_val,
+                int(obs_nev[-1]),
+                int(late_total),
+            ]
+            # dense hour range [start_hr, frontier]: observed hours get
+            # their stats, silent hours carry the last observed value
+            # forward (LOCF via a running last-observed-index scan)
+            all_hr = np.arange(start_hr, uh[-1] + _HOUR_US, _HOUR_US)
+            pos = ((obs_hr - start_hr) // _HOUR_US).astype("int64")
+            observed = np.zeros(len(all_hr), dtype="int32")
+            observed[pos] = 1
+            n_events = np.zeros(len(all_hr), dtype="int64")
+            n_events[pos] = obs_nev
+            val_at = np.zeros(len(all_hr), dtype="float64")
+            val_at[pos] = obs_val
+            carry_idx = np.maximum.accumulate(
+                np.where(observed == 1, np.arange(len(all_hr)), 0)
+            )
             yield pd.DataFrame(
-                rows,
-                columns=["user_id", "hr", "value_filled", "n_events", "is_observed"],
+                {
+                    "user_id": np.full(len(all_hr), key[0], dtype="int64"),
+                    "hr": all_hr.astype("datetime64[us]"),
+                    "value_filled": val_at[carry_idx],
+                    "n_events": n_events,
+                    "is_observed": observed,
+                }
+            )
+            state.update((GAP_FILL_STATE_VER, *st))
+        elif st is not None:
+            state.update((GAP_FILL_STATE_VER, *st))
+            yield pd.DataFrame(
+                {
+                    "user_id": np.array([key[0]], dtype="int64"),
+                    "hr": np.array([st[0]], dtype="int64").astype("datetime64[us]"),
+                    "value_filled": np.array([st[3]], dtype="float64"),
+                    "n_events": np.array([st[4]], dtype="int64"),
+                    "is_observed": np.array([1], dtype="int32"),
+                }
             )
 
     # project to exactly the columns the fold reads BEFORE the keyed
@@ -498,29 +572,44 @@ def transition_stateful(events: DataFrame) -> DataFrame:
             st = stored[1:]
         else:
             st = None
-        rows: list[list] = []
+        # Vectorized fold (guide §4.2) — equivalent to the row loop
+        # because the batch is sorted by (ts, event_id): the in-batch
+        # frontier never regresses, so a row can only be late vs the
+        # STORED frontier, and all late rows sit at the head of the
+        # sort; the surviving rows' transitions are a 1-shift zip.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
+            batch = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            ).sort_values(["ts", "event_id"])
             # unit-safe epoch-us (Arrow may deliver [ns] or [us])
-            ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
-            for t_us, etype in zip(ts_us, batch["event_type"]):
-                if st is not None and t_us < st[0]:
-                    st[2] += 1  # late row: drop, never mis-emit
-                    continue
-                if st is not None:
-                    rows.append([key[0], st[1], etype])
-                    st = [int(t_us), etype, st[2]]
-                else:
-                    st = [int(t_us), etype, 0]
+            ts_us = (
+                batch["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+            )
+            etypes = batch["event_type"].to_numpy()
+            if st is not None:
+                n_late = int(np.count_nonzero(ts_us < st[0]))
+                if n_late:  # late rows: drop, never mis-emit — but COUNT
+                    ts_us, etypes = ts_us[n_late:], etypes[n_late:]
+                    st = [st[0], st[1], st[2] + n_late]
+            if len(etypes):
+                prev = (
+                    etypes[:-1]
+                    if st is None
+                    else np.append(np.array([st[1]], dtype=object), etypes[:-1])
+                )
+                nxt = etypes if st is not None else etypes[1:]
+                st = [int(ts_us[-1]), etypes[-1], 0 if st is None else st[2]]
+                if len(nxt):
+                    yield pd.DataFrame(
+                        {
+                            "user_id": np.full(len(nxt), key[0], dtype="int64"),
+                            "prev_type": prev,
+                            "next_type": nxt,
+                        }
+                    )
         if st is not None:
             state.update((TRANSITION_STATE_VER, *st))
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["user_id", "prev_type", "next_type"]
-            )
 
     # same pruning rationale as gap_fill_stateful: the opaque Python
     # hop would otherwise ship value + props through shuffle and Arrow
