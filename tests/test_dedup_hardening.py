@@ -184,6 +184,41 @@ def test_vectorized_shingles_equal_jvm_on_adversarial_text(spark):
     assert fa == fb
 
 
+def test_fused_signature_kernel_equals_single_family_kernels(spark, sf_dir):
+    """The fused (mh, simhash) kernel dedup_method_agreement shares one
+    corpus pass through must be bit-identical to BOTH single-family
+    kernels — on the corpus and on adversarial text (non-ASCII,
+    repeats, single-char and long tokens)."""
+    corpora = [
+        load_table(spark, "documents", sf_dir).select("doc_id", "text"),
+        spark.createDataFrame(
+            [
+                (1, "héllo wörld ünïcode tökens ärë fün"),
+                (2, "中文 分词 测试 中文 分词"),
+                (3, "a b c d e f g"),
+                (4, "the the the the the"),
+                (5, "  spaced   out\ttokens \n everywhere  "),
+            ],
+            ["doc_id", "text"],
+        ),
+    ]
+    for docs in corpora:
+        fused = {
+            r["doc_id"]: (list(r["mh"]), r["simhash"])
+            for r in d.signatures_and_simhash_vectorized(docs).collect()
+        }
+        mh = {
+            r["doc_id"]: list(r["mh"])
+            for r in d.signatures_vectorized(docs).collect()
+        }
+        fp = {
+            r["doc_id"]: r["simhash"]
+            for r in d.simhash_vectorized(docs).collect()
+        }
+        assert {k: v[0] for k, v in fused.items()} == mh
+        assert {k: v[1] for k, v in fused.items()} == fp
+
+
 def _jvm_simhash(docs):
     """JVM simhash over an arbitrary frame (the registered face is
     table-bound)."""

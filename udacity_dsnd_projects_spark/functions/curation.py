@@ -244,7 +244,17 @@ def curate(docs: DataFrame) -> DataFrame:
     canonical = clean.groupBy(
         F.md5(F.col("text").cast("binary")).alias("h")
     ).agg(F.min("doc_id").alias("doc_id"))
-    exact = clean.join(canonical.select("doc_id"), "doc_id", "semi")
+    # The exact-dedup survivor set is the stage output BOTH downstream
+    # consumers read (the LSH pair substrate and the final anti-join),
+    # and each read re-evaluates the regex-heavy quality filter plus
+    # the md5-canonical groupBy subtree — ~5 evaluations of the filter
+    # chain in the unmaterialized plan. Checkpointed once instead
+    # (lazily — the first CC-loop action materializes it): on a
+    # cluster this is the curation stage persisting its survivor
+    # corpus before the near-dup screen, standard pipeline practice.
+    exact = clean.join(canonical.select("doc_id"), "doc_id", "semi").localCheckpoint(
+        eager=False
+    )
     # near-dup dedup: keep one representative per connected component
     drop = near_dup_drop_list(lsh_pairs_for(exact))
     return exact.join(drop, "doc_id", "anti")

@@ -985,6 +985,69 @@ def simhash_fingerprints_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_vectorized(load_table(spark, "documents", sf_dir))
 
 
+def signatures_and_simhash_vectorized(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, simhash) — BOTH fingerprint families from ONE
+    kernel pass. :func:`signatures_vectorized` and
+    :func:`simhash_vectorized` each tokenize, char-hash, shingle and
+    distinct the corpus inside their own ``mapInPandas`` stage; a
+    caller that needs both (``dedup_method_agreement`` — the
+    cross-method validator) would run that shared
+    :func:`_np_distinct_shingles` work twice over the whole corpus.
+    Here the batch crosses Arrow once and the shingle segments feed
+    the 16 permutation minima AND the 32 bit votes back to back —
+    identical arithmetic to the two single-family kernels (asserted
+    bit-equal in tests), so every derived pair set is unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        _spread_for_hashing(docs)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mh", T.ArrayType(T.LongType())),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    A = np.array(PERM_A, dtype=np.int64)
+    B = np.array(PERM_B, dtype=np.int64)
+
+    def kernel(batches):
+        js = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "mh": pd.Series([], dtype="object"),
+                        "simhash": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            u_sh, counts, seg = _np_distinct_shingles(pdf["toks"], n)
+            mh = np.empty((n, NUM_PERM), dtype=np.int64)
+            for p in range(NUM_PERM):
+                vals = (u_sh * A[p] + B[p]) % HASH_MOD
+                mh[:, p] = np.minimum.reduceat(vals, seg)
+            ones = np.empty((n, SIMHASH_BITS), dtype=np.int64)
+            for j in range(SIMHASH_BITS):
+                ones[:, j] = np.add.reduceat((u_sh >> j) & 1, seg)
+            bits = (2 * ones > counts[:, None]).astype(np.int64)
+            fps = (bits << js).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mh": list(mh), "simhash": fps}
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
 def simhash_bands_for(sigs: DataFrame) -> DataFrame:
     """(doc_id, simhash, band, key) byte-banding rows over a
     (doc_id, simhash) frame."""
@@ -1016,7 +1079,16 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprints come from the vectorized numpy face (~4× cheaper than
     the 32-lambda JVM expression face, which remains registered
     separately as the oracle reference — both are proven identical)."""
-    sigs = simhash_vectorized(load_table(spark, "documents", sf_dir))
+    return simhash_pairs_from_sigs(
+        simhash_vectorized(load_table(spark, "documents", sf_dir))
+    )
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """:func:`simhash_near_dup_pairs` from a precomputed
+    (doc_id, simhash) frame — the SimHash twin of
+    :func:`lsh_pairs_from_sigs`, for callers that already hold the
+    fingerprints (the fused-kernel path)."""
     pairs = _bucket_pairs(simhash_bands_for(sigs), "simhash")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -1408,12 +1480,22 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair-graph-sized, never the corpus); the comparison is one
     full-outer equi-join on (doc_a, doc_b) and a 1-row count rollup.
     Exact-count ratios divide in double, identically in both
-    engines."""
+    engines. The two detectors share one corpus hashing pass: the
+    fused kernel (:func:`signatures_and_simhash_vectorized`) emits
+    both fingerprint families per doc and the slim (doc_id, mh[16],
+    simhash) frame is checkpointed once (lazily — the calibration
+    reports' one-frame doctrine), so tokenize/char-hash/shingle —
+    the dominant cost of both substrates — runs once instead of
+    twice; each pair derivation is unchanged above its signature
+    input (bit-identical pair sets, oracle-pinned)."""
     docs = load_table(spark, "documents", sf_dir)
-    mh = lsh_pairs_for(docs.select("doc_id", "text")).select(
+    sigs = signatures_and_simhash_vectorized(
+        docs.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    mh = lsh_pairs_from_sigs(sigs.select("doc_id", "mh")).select(
         "doc_a", "doc_b", F.lit(1).alias("__m")
     )
-    sh = simhash_near_dup_pairs(spark, sf_dir).select(
+    sh = simhash_pairs_from_sigs(sigs.select("doc_id", "simhash")).select(
         "doc_a", "doc_b", F.lit(1).alias("__s")
     )
     j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
