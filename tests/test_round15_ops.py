@@ -381,3 +381,95 @@ def test_curriculum_pack_order_empty_corpus(spark, tmp_path_factory):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     assert curriculum_pack_order(spark, str(d)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Round-15 OPTIMIZATION pins: driver-local metadata frames must be JVM
+# literal relations (operators/localframe.py), never pickled Python
+# RDDs — a createDataFrame offsets frame launches one Python-worker
+# task per defaultParallelism partition on every action (measured:
+# 31/32 task threads blocked in SparkEnv.createPythonWorker inside
+# curriculum_pack_order's broadcast builds).
+# --------------------------------------------------------------------------
+
+
+def test_local_frame_equals_createdataframe(spark):
+    """Value/schema equality with createDataFrame on typed rows,
+    nulls included, plus the empty-frame case."""
+    from udacity_dsnd_projects_spark.operators.localframe import local_frame
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("o", T.LongType()),
+        ]
+    )
+    rows = [("x", 1.5, 3), (None, 2.0, 0), ("y", None, None)]
+    lf = local_frame(spark, rows, schema)
+    cf = spark.createDataFrame(rows, schema)
+    assert lf.schema == cf.schema
+    key = lambda t: tuple(map(str, t))  # None-safe sort
+    assert sorted(map(tuple, lf.collect()), key=key) == sorted(
+        map(tuple, cf.collect()), key=key
+    )
+    empty = local_frame(spark, [], schema)
+    assert empty.schema == schema and empty.count() == 0
+
+
+def test_local_frame_plan_has_no_python_stage(spark):
+    """The literal relation's physical plan must contain no Python
+    evaluation or RDD scan node — that is the whole point."""
+    from udacity_dsnd_projects_spark.operators.localframe import local_frame
+
+    lf = local_frame(spark, [(1, "a")], "k long, v string")
+    plan = lf._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "ExistingRDD", "PythonRDD"):
+        assert bad not in plan, plan
+
+
+def test_rank_offsets_join_has_no_python_stage(spark, sf_dir):
+    """exact_group_rank's broadcast offsets side rides the literal
+    relation: the whole ranked plan is Python-free."""
+    from udacity_dsnd_projects_spark.operators.ranks import exact_group_rank
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", F.col("l_linenumber").cast("long").alias("ln")
+    )
+    ranked = exact_group_rank(
+        li, ["ln"], "l_extendedprice", ["l_orderkey"], rank_col="rk"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonRDD"):
+        assert bad not in plan, plan
+    # and the rank values still match the window-function reference
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ln").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc()
+    )
+    ref = li.withColumn("rk2", F.row_number().over(w))
+    bad_rows = (
+        ranked.join(ref, ["ln", "l_orderkey", "l_extendedprice"])
+        .filter(F.col("rk") != F.col("rk2"))
+        .count()
+    )
+    assert bad_rows == 0
+
+
+def test_cc_loop_restores_shuffle_partitions(spark, sf_dir):
+    """The CC loop sizes spark.sql.shuffle.partitions to label volume
+    for its own actions and must restore the session value on exit
+    (including the convergence path)."""
+    from udacity_dsnd_projects_spark.functions.curation import (
+        connected_components,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

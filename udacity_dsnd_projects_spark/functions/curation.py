@@ -67,6 +67,13 @@ def _quality_filter(docs: DataFrame) -> DataFrame:
 #: recursive-CTE oracle and leave >1 survivor per component).
 MAX_CC_ITERS = 20
 
+#: Label rows per shuffle partition inside the CC loop — the loop
+#: re-partitions every round on node-sized frames, so its partition
+#: count must track graph volume, not the session's batch default
+#: (see _connected_components_loop). ~4M rows ≈ 64 MB at 16 B/row,
+#: inside the guide's 100 MB-1 GB per-partition band.
+CC_LABEL_ROWS_PER_PARTITION = 4_000_000
+
 #: Reentrancy bookkeeping for connected_components' scoped
 #: constraint-propagation disable: {id(session): (depth, prev_value)}.
 #: Guarded by a lock so overlapping calls on one session restore the
@@ -130,8 +137,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 
 def _connected_components_loop(pairs: DataFrame) -> DataFrame:
-    from pyspark.sql import Observation
-
+    sess = pairs.sparkSession
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -142,6 +148,34 @@ def _connected_components_loop(pairs: DataFrame) -> DataFrame:
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # Size the loop's shuffle partitions to LABEL VOLUME, not the
+    # session's batch default (the same volume-not-core-count rule the
+    # bench applies to streaming state partitions): every per-round
+    # exchange here carries at most node-sized frames, so the
+    # batch-tuned partition count just multiplies per-round scheduler
+    # and commit overhead across O(log diameter) rounds. The count is
+    # derived from the materialized label frame, so it scales with the
+    # graph (1 partition per CC_LABEL_ROWS_PER_PARTITION labels —
+    # thousands of partitions for a billion-node graph, one for the
+    # test corpora). Same-window A/B on the sf 0.1 winnowing match
+    # graph (1086 nodes, 12 rounds): 32 partitions 5.5-7.7 s, sized
+    # 4.1-4.7 s, identical labels. Restored in the finally below;
+    # concurrent loops on one session share the conf (the same caveat
+    # the constraint-propagation scope documents).
+    n_nodes = labels.count()
+    loop_parts = max(1, -(-n_nodes // CC_LABEL_ROWS_PER_PARTITION))
+    _SP = "spark.sql.shuffle.partitions"
+    prev_parts = sess.conf.get(_SP)
+    sess.conf.set(_SP, str(loop_parts))
+    try:
+        return _cc_iterate(edges, labels)
+    finally:
+        sess.conf.set(_SP, prev_parts)
+
+
+def _cc_iterate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+
     for _ in range(MAX_CC_ITERS):
         # ONE fused plan + ONE action per iteration (was three): the
         # propagation aggregate, the pointer-doubling self-join, and
@@ -158,7 +192,13 @@ def _connected_components_loop(pairs: DataFrame) -> DataFrame:
         )
         # pointer doubling: lbl <- min(lbl, labels[lbl]). A label is
         # always a node id present in prop, but left+coalesce keeps the
-        # step total even mid-convergence.
+        # step total even mid-convergence. (r15 note: applying the
+        # shortcut TWICE per round was tried and measured — round count
+        # IDENTICAL at 12 on the sf 0.1 winnowing match graph, because
+        # the pointer jumps to the ball's MINIMUM node, not its
+        # frontier, so shortcuts don't compose multiplicatively within
+        # a round; reach per round is bounded at ~2× for this whole
+        # algorithm family. The lever is per-round cost, not rounds.)
         doubled = (
             prop.alias("a")
             .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")

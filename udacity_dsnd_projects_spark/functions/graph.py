@@ -60,6 +60,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
         )
         .distinct()
+        # checkpoint the HALF-sized directed pair set, not the
+        # symmetric union: pagerank() evaluates its edge input twice
+        # (deg's checkpoint and w's), so un-materialized the
+        # orders⋈lineitem join + distinct ran twice end-to-end
+        # (stage-profiled at sf 0.1: two full build chains). The union
+        # below is a row-local flip over the checkpointed blocks.
+        .localCheckpoint(eager=True)
     )
     return fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

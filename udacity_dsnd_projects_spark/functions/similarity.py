@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from udacity_dsnd_projects_spark.operators.localframe import local_frame
 from udacity_dsnd_projects_spark.sources.catalog import load_table
 
 #: Query set: vec_id < N_QUERIES serve as the search queries.
@@ -364,7 +365,7 @@ def cosine_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no vec_id < N_QUERIES): no queries means no scores — return
         # an empty, correctly-typed frame instead of letting the 1-D
         # empty query matrix crash the axis-1 ops / matmul below
-        return spark.createDataFrame([], out_schema)
+        return local_frame(spark, [], out_schema)
     q_ids = [r["vec_id"] for r in queries]
     q_mat = np.array([r["embedding"] for r in queries], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -15,6 +15,7 @@ from collections import OrderedDict
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from udacity_dsnd_projects_spark.operators.localframe import local_frame
 from udacity_dsnd_projects_spark.sources.catalog import load_table
 
 #: Modulus for the polynomial rolling hash (fits acc*31+255 in int64).
@@ -1240,8 +1241,13 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, x, y, x + y, n)
         for i, (x, y, n) in enumerate(_learn_merges(vocab))
     ]
-    return spark.createDataFrame(
-        rows, "step long, lhs string, rhs string, merged string, n_occurrences long"
+    # literal relation (operators/localframe.py): createDataFrame on a
+    # driver-local list is a pickled Python RDD whose every action
+    # forks Python workers; the merge list is metadata-sized
+    return local_frame(
+        spark,
+        rows,
+        "step long, lhs string, rhs string, merged string, n_occurrences long",
     )
 
 
@@ -2005,7 +2011,8 @@ def bpe_merge_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = m_even[k][0] + m_even[k][1] if k < len(m_even) else None
         o = m_odd[k][0] + m_odd[k][1] if k < len(m_odd) else None
         rows.append((k + 1, e, o, e == o))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "step long, merged_even string, merged_odd string, agree boolean",
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from udacity_dsnd_projects_spark.operators.localframe import local_frame
+
 
 def quality_metrics(
     cols: list[str],
@@ -101,7 +103,8 @@ def guard_metrics_report(spark, sf_dir: str) -> DataFrame:
     # the "real job": a full-plan action the metrics ride along with
     df.selectExpr("sum(hash(*)) AS h").collect()
     v = obs.get
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 int(v["n_rows"]),

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from udacity_dsnd_projects_spark.operators.localframe import local_frame
+
 _BKT = "__rank_bkt"
 
 
@@ -152,7 +154,10 @@ def exact_group_rank(
             T.StructField("__n", T.LongType()),
         ]
     )
-    offsets = df.sparkSession.createDataFrame(rows, schema)
+    # literal relation, not createDataFrame: the offsets are metadata-
+    # sized driver rows, and the RDD path would launch a Python-worker
+    # stage per action just to re-read them (see localframe.py)
+    offsets = local_frame(df.sparkSession, rows, schema)
 
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     order += [F.col(c).asc() for c in tiebreak_cols]
@@ -323,7 +328,7 @@ def exact_multi_rank(
                 ]
                 + ([T.StructField("__n", T.LongType())] if want_n else [])
             )
-            offsets = df.sparkSession.createDataFrame(rows, schema)
+            offsets = local_frame(df.sparkSession, rows, schema)
             out = _join_offsets(out, offsets, group_cols, bkt_col=bkt_cols[i])
             out = out.withColumn(
                 rank_col, (F.col("__off") + F.row_number().over(w)).cast("long")
@@ -395,7 +400,7 @@ def exact_group_cumsum(
         [df.schema[c] for c in group_cols]
         + [T.StructField(_BKT, T.DoubleType()), T.StructField("__off", T.LongType())]
     )
-    offsets = df.sparkSession.createDataFrame(rows, schema)
+    offsets = local_frame(df.sparkSession, rows, schema)
 
     w = (
         Window.partitionBy(*group_cols, _BKT)
