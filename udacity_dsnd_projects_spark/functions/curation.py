@@ -726,8 +726,9 @@ def screen_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality map-side-combined groupBy. Text is scanned
     once per substrate and never shuffled (hashes only)."""
     from udacity_dsnd_projects_spark.functions.dedup import (
-        lsh_pairs_for,
-        winnowing_pairs_for,
+        lsh_pairs_from_sigs,
+        signatures_and_winnow_vectorized,
+        winnowing_pairs_from_rows,
     )
 
     docs = load_table(spark, "documents", sf_dir).select(
@@ -750,8 +751,23 @@ def screen_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
 
-    near_ids = _pair_ids(lsh_pairs_for(docs.select("doc_id", "text")))
-    sub_ids = _pair_ids(winnowing_pairs_for(docs.select("doc_id", "text")))
+    # ONE corpus hashing pass for both similarity screens (r15 §15):
+    # the fused kernel emits the MinHash signature and the winnowing
+    # fingerprint set from the same positional gram sequence, and the
+    # slim (doc_id, mh, fps) frame is checkpointed so each screen's
+    # pair derivation reads it instead of re-crossing Arrow / re-running
+    # the JVM hash chain. Plain explode on the checkpointed fps COLUMN
+    # is guard-safe (the inferred size() filter tests a stored array,
+    # not a re-evaluated expansion — the §9 distinction).
+    sigfp = signatures_and_winnow_vectorized(
+        docs.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    near_ids = _pair_ids(lsh_pairs_from_sigs(sigfp.select("doc_id", "mh")))
+    sub_ids = _pair_ids(
+        winnowing_pairs_from_rows(
+            sigfp.select("doc_id", F.explode("fps").alias("fp"))
+        )
+    )
     flagged = (
         ids.join(
             exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left"

@@ -607,14 +607,15 @@ def signatures_vectorized(docs: DataFrame) -> DataFrame:
     return d.mapInPandas(kernel, out_schema)
 
 
-def _np_distinct_shingles(tok_lists, n: int):
-    """Shared numpy shingle kernel over one Arrow batch of token
-    lists: char-hash every token (Horner over a padded byte matrix),
-    combine consecutive triples into shingle hashes, and distinct them
-    per document. Returns ``(u_sh, counts, seg)``: the per-doc-sorted
-    distinct shingle hashes, the distinct count per doc, and the
-    segment start offsets for ``np.*.reduceat`` — identical arithmetic
-    to :func:`_shingled_docs` (asserted in tests)."""
+def _np_positional_grams(tok_lists, n: int):
+    """Positional word-3-gram hash sequence over one Arrow batch of
+    token lists: char-hash every token (Horner over a padded byte
+    matrix) and combine consecutive triples — identical arithmetic to
+    :func:`_shingled_docs`' pre-distinct gram array (asserted in
+    tests). Returns ``(sh, doc_of_sh)``: the flat IN-ORDER gram hashes
+    and each gram's batch-row index. Shared by the distinct-shingle
+    (MinHash) and winnowing (window-min) kernels, which differ only in
+    what they reduce over this sequence."""
     import numpy as np
 
     n_toks = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
@@ -645,6 +646,18 @@ def _np_distinct_shingles(tok_lists, n: int):
     t2 = np.roll(th, -2)[keep]
     sh = ((t0 * SHINGLE_P + t1) % HASH_MOD * SHINGLE_P + t2) % HASH_MOD
     doc_of_sh = doc_of_tok[keep]
+    return sh, doc_of_sh
+
+
+def _np_distinct_shingles(tok_lists, n: int):
+    """Per-doc distinct shingle hashes over one Arrow batch (see
+    :func:`_np_positional_grams` for the hashing). Returns
+    ``(u_sh, counts, seg)``: the per-doc-sorted distinct shingle
+    hashes, the distinct count per doc, and the segment start offsets
+    for ``np.*.reduceat``."""
+    import numpy as np
+
+    sh, doc_of_sh = _np_positional_grams(tok_lists, n)
     # distinct (doc, shingle): np.unique on a fused key
     fused = np.unique(doc_of_sh * (HASH_MOD + 1) + sh)
     u_doc = fused // (HASH_MOD + 1)
@@ -1043,6 +1056,93 @@ def signatures_and_simhash_vectorized(docs: DataFrame) -> DataFrame:
             fps = (bits << js).sum(axis=1)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "mh": list(mh), "simhash": fps}
+            )
+
+    return d.mapInPandas(kernel, out_schema)
+
+
+def signatures_and_winnow_vectorized(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, fps) — the MinHash signature AND the winnowing
+    fingerprint set from ONE kernel pass. Both families reduce the
+    SAME positional word-3-gram hash sequence
+    (:func:`_np_positional_grams`): MinHash takes permutation minima
+    over its distinct values, winnowing takes the distinct
+    sliding-window minima of the in-order sequence. A caller that
+    needs both screens (``screen_funnel_report``) previously ran the
+    numpy MinHash kernel AND the JVM winnowing expression chain — two
+    full tokenize+char-hash passes over the corpus. Arithmetic is
+    bit-identical to :func:`signatures_vectorized` and
+    :func:`_winnow_fp_arrays` (asserted in tests); docs with at least
+    3 tokens get a signature, and ``fps`` is empty below one full
+    window (< ``3 + WINNOW_WINDOW - 1`` tokens) exactly as the JVM
+    face's token filter drops them."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        _spread_for_hashing(docs)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mh", T.ArrayType(T.LongType())),
+            T.StructField("fps", T.ArrayType(T.LongType())),
+        ]
+    )
+    A = np.array(PERM_A, dtype=np.int64)
+    B = np.array(PERM_B, dtype=np.int64)
+    W = WINNOW_WINDOW
+
+    def kernel(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "mh": pd.Series([], dtype="object"),
+                        "fps": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            sh, doc_of_sh = _np_positional_grams(pdf["toks"], n)
+            # MinHash over the distinct values (as _np_distinct_shingles)
+            fused = np.unique(doc_of_sh * (HASH_MOD + 1) + sh)
+            u_doc = fused // (HASH_MOD + 1)
+            u_sh = fused % (HASH_MOD + 1)
+            counts = np.bincount(u_doc.astype(np.intp), minlength=n)
+            seg = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            mh = np.empty((n, NUM_PERM), dtype=np.int64)
+            for p in range(NUM_PERM):
+                vals = (u_sh * A[p] + B[p]) % HASH_MOD
+                mh[:, p] = np.minimum.reduceat(vals, seg)
+            # winnowing over the in-order sequence: window minima whose
+            # start and end land in the same doc (doc_of_sh is
+            # non-decreasing, so start==end doc <=> window within doc;
+            # docs with fewer than W grams contribute no window — the
+            # JVM face's >= 3+W-1 token filter, expressed as a mask)
+            m = len(sh)
+            if m >= W:
+                wmin = sliding_window_view(sh, W).min(axis=1)
+                same = doc_of_sh[: m - W + 1] == doc_of_sh[W - 1 :]
+                fused2 = np.unique(
+                    doc_of_sh[: m - W + 1][same] * (HASH_MOD + 1) + wmin[same]
+                )
+                fdoc = (fused2 // (HASH_MOD + 1)).astype(np.intp)
+                fval = fused2 % (HASH_MOD + 1)
+                fcts = np.bincount(fdoc, minlength=n)
+                fps_col = np.split(fval, np.cumsum(fcts)[:-1])
+            else:
+                fps_col = [np.empty(0, dtype=np.int64)] * n
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mh": list(mh), "fps": fps_col}
             )
 
     return d.mapInPandas(kernel, out_schema)
@@ -1682,16 +1782,25 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs_for(load_table(spark, "documents", sf_dir))
 
 
+def winnowing_pairs_from_rows(rows: DataFrame) -> DataFrame:
+    """The winnowing match stage from a precomputed (doc_id, fp)
+    fingerprint frame — lets a caller that ALSO needs the MinHash
+    signatures (``screen_funnel_report``) hash the corpus once via
+    :func:`signatures_and_winnow_vectorized` and feed both screens
+    (the :func:`lsh_pairs_from_sigs` convention)."""
+    pairs = _capped_pair_counts(rows, "fp")
+    ov = F.col("common") / F.least("na", "nb")
+    return pairs.filter(ov >= WINNOW_OVERLAP_T).select(
+        "doc_a", "doc_b", "common", F.round(ov, 5).alias("overlap")
+    )
+
+
 def winnowing_pairs_for(docs: DataFrame) -> DataFrame:
     """Core of :func:`winnowing_overlap_pairs` over any (doc_id, text)
     frame — factored so the action face
     (:func:`~udacity_dsnd_projects_spark.functions.curation.winnowing_strip`)
     consumes the exact same match stage the report publishes."""
-    pairs = _capped_pair_counts(_winnow_fp_rows(docs), "fp")
-    ov = F.col("common") / F.least("na", "nb")
-    return pairs.filter(ov >= WINNOW_OVERLAP_T).select(
-        "doc_a", "doc_b", "common", F.round(ov, 5).alias("overlap")
-    )
+    return winnowing_pairs_from_rows(_winnow_fp_rows(docs))
 
 
 _ORACLE_WINNOW_FPS = rf"""
