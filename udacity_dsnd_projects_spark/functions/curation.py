@@ -74,13 +74,21 @@ MAX_CC_ITERS = 20
 #: inside the guide's 100 MB-1 GB per-partition band.
 CC_LABEL_ROWS_PER_PARTITION = 4_000_000
 
-#: Reentrancy bookkeeping for connected_components' scoped
-#: constraint-propagation disable: {id(session): (depth, prev_value)}.
-#: Guarded by a lock so overlapping calls on one session restore the
-#: TRUE pre-entry value exactly once (outermost exit), never a 'false'
-#: we set ourselves.
+#: Reentrancy bookkeeping for connected_components' scoped conf
+#: overrides (constraint-propagation disable AND the loop's
+#: volume-sized shuffle partitions): {id(session): (depth,
+#: {conf: prev_value})}. Guarded by a lock so overlapping calls on one
+#: session restore the TRUE pre-entry values exactly once (outermost
+#: exit), never a temporary value we set ourselves — without the
+#: guard, two overlapping loops could capture each other's scratch
+#: value and leave the session permanently at the tiny loop partition
+#: count (ADVICE r15).
 _CC_CONF_LOCK = threading.Lock()
-_CC_CONF_DEPTH: dict[int, tuple[int, str | None]] = {}
+_CC_CONF_DEPTH: dict[int, tuple[int, dict[str, str | None]]] = {}
+_CC_SCOPED_CONFS = (
+    "spark.sql.constraintPropagation.enabled",
+    "spark.sql.shuffle.partitions",
+)
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:
@@ -109,19 +117,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     two-row frame). The loop joins on ids only, so constraints buy
     its plans nothing; results are unaffected.
 
-    The toggle is REENTRANCY-GUARDED: a per-session depth counter
-    means only the OUTERMOST call captures and restores the previous
-    value, so nested or overlapping calls on one session (e.g. two
-    curation faces composed in one plan, or threads sharing the
-    driver's session) can never capture our own 'false' as the
-    previous value and leave constraint propagation disabled
-    session-wide after exit."""
+    Both scoped conf overrides — this toggle and the loop's
+    volume-sized ``spark.sql.shuffle.partitions`` — are
+    REENTRANCY-GUARDED in one scope: a per-session depth counter means
+    only the OUTERMOST call captures and restores the previous values,
+    so nested or overlapping calls on one session (e.g. two curation
+    faces composed in one plan, or threads sharing the driver's
+    session) can never capture a temporary value we set ourselves and
+    leave the session at 'false'/the tiny loop partition count after
+    exit (ADVICE r15)."""
     sess = pairs.sparkSession
     _CP = "spark.sql.constraintPropagation.enabled"
     with _CC_CONF_LOCK:
-        depth, prev = _CC_CONF_DEPTH.get(id(sess), (0, None))
+        depth, prev = _CC_CONF_DEPTH.get(id(sess), (0, {}))
         if depth == 0:
-            prev = sess.conf.get(_CP)
+            prev = {c: sess.conf.get(c) for c in _CC_SCOPED_CONFS}
             sess.conf.set(_CP, "false")
         _CC_CONF_DEPTH[id(sess)] = (depth + 1, prev)
     try:
@@ -130,7 +140,8 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         with _CC_CONF_LOCK:
             depth, prev = _CC_CONF_DEPTH[id(sess)]
             if depth == 1:
-                sess.conf.set(_CP, prev)
+                for c, v in prev.items():
+                    sess.conf.set(c, v)
                 del _CC_CONF_DEPTH[id(sess)]
             else:
                 _CC_CONF_DEPTH[id(sess)] = (depth - 1, prev)
@@ -159,18 +170,14 @@ def _connected_components_loop(pairs: DataFrame) -> DataFrame:
     # thousands of partitions for a billion-node graph, one for the
     # test corpora). Same-window A/B on the sf 0.1 winnowing match
     # graph (1086 nodes, 12 rounds): 32 partitions 5.5-7.7 s, sized
-    # 4.1-4.7 s, identical labels. Restored in the finally below;
-    # concurrent loops on one session share the conf (the same caveat
-    # the constraint-propagation scope documents).
+    # 4.1-4.7 s, identical labels. The pre-entry value is captured and
+    # restored by connected_components' depth-guarded scope (only the
+    # outermost of overlapping calls restores — ADVICE r15), so this
+    # set is scratch inside that scope, never the value restored.
     n_nodes = labels.count()
     loop_parts = max(1, -(-n_nodes // CC_LABEL_ROWS_PER_PARTITION))
-    _SP = "spark.sql.shuffle.partitions"
-    prev_parts = sess.conf.get(_SP)
-    sess.conf.set(_SP, str(loop_parts))
-    try:
-        return _cc_iterate(edges, labels)
-    finally:
-        sess.conf.set(_SP, prev_parts)
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    return _cc_iterate(edges, labels)
 
 
 def _cc_iterate(edges: DataFrame, labels: DataFrame) -> DataFrame:
