@@ -180,45 +180,65 @@ def _connected_components_loop(pairs: DataFrame) -> DataFrame:
     return _cc_iterate(edges, labels)
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One propagation + pointer-doubling round as a PLAN (no action):
+    take the min label over each node's neighborhood, then shortcut
+    lbl <- min(lbl, labels[lbl]). A label is always a node id present
+    in the propagated frame, but left+coalesce keeps the step total
+    even mid-convergence. (r15 note: applying the shortcut TWICE per
+    round was tried and measured — round count IDENTICAL at 12 on the
+    sf 0.1 winnowing match graph, because the pointer jumps to the
+    ball's MINIMUM node, not its frontier, so shortcuts don't compose
+    multiplicatively within a round; reach per round is bounded at ~2×
+    for this whole algorithm family. The lever is per-round cost, not
+    rounds.)"""
+    nbr = edges.join(labels, edges["src"] == labels["id"]).select(
+        F.col("dst").alias("id"), F.col("lbl")
+    )
+    prop = labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+    return (
+        prop.alias("a")
+        .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")
+        .select(
+            F.col("a.id").alias("id"),
+            F.least(
+                F.col("a.lbl"), F.coalesce(F.col("b.lbl"), F.col("a.lbl"))
+            ).alias("lbl"),
+        )
+    )
+
+
+#: Rounds composed into ONE plan per driver action. The loop's frames
+#: are node-sized, so its wall-clock is per-ACTION fixed overhead
+#: (localCheckpoint job + obs round trip + AQE stage scheduling,
+#: ~0.3-0.4 s each on this box) times the action count, and composing
+#: two rounds per materialization halves the actions for at most one
+#: wasted no-op round after the fixpoint (labels are monotone
+#: non-increasing, so "no change across the pair" == "fixpoint at the
+#: pair's start"; a no-op round is the identity, so final labels are
+#: bit-identical). 2, not more: each composed round multiplies plan
+#: depth (the pointer-double references its propagation subtree twice,
+#: so re-evaluation inside one plan grows geometrically; ReuseExchange
+#: dedups the exchanges but not the aggregates above them).
+CC_ROUNDS_PER_ACTION = 2
+
+
 def _cc_iterate(edges: DataFrame, labels: DataFrame) -> DataFrame:
     from pyspark.sql import Observation
 
-    for _ in range(MAX_CC_ITERS):
-        # ONE fused plan + ONE action per iteration (was three): the
-        # propagation aggregate, the pointer-doubling self-join, and
-        # the convergence probe all materialize in the same
-        # localCheckpoint job, with the changed-count riding the plan
-        # as an observe() metric instead of a second pass. On the
-        # metadata-sized label frame the loop's cost is per-action
-        # fixed overhead, so fewer actions is the whole game.
-        nbr = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("lbl")
-        )
-        prop = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        )
-        # pointer doubling: lbl <- min(lbl, labels[lbl]). A label is
-        # always a node id present in prop, but left+coalesce keeps the
-        # step total even mid-convergence. (r15 note: applying the
-        # shortcut TWICE per round was tried and measured — round count
-        # IDENTICAL at 12 on the sf 0.1 winnowing match graph, because
-        # the pointer jumps to the ball's MINIMUM node, not its
-        # frontier, so shortcuts don't compose multiplicatively within
-        # a round; reach per round is bounded at ~2× for this whole
-        # algorithm family. The lever is per-round cost, not rounds.)
-        doubled = (
-            prop.alias("a")
-            .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")
-            .select(
-                F.col("a.id").alias("id"),
-                F.least(
-                    F.col("a.lbl"), F.coalesce(F.col("b.lbl"), F.col("a.lbl"))
-                ).alias("lbl"),
-            )
-        )
+    # ONE fused plan + ONE action per CC_ROUNDS_PER_ACTION rounds: the
+    # propagation aggregates, the pointer-doubling self-joins, and the
+    # convergence probe all materialize in the same localCheckpoint
+    # job, with the changed-count riding the plan as an observe()
+    # metric instead of a second pass.
+    n_actions = -(-MAX_CC_ITERS // CC_ROUNDS_PER_ACTION)
+    for _ in range(n_actions):
+        stepped = labels
+        for _ in range(CC_ROUNDS_PER_ACTION):
+            stepped = _cc_round(edges, stepped)
         obs = Observation()
         new = (
-            doubled.join(labels.withColumnRenamed("lbl", "prev"), "id")
+            stepped.join(labels.withColumnRenamed("lbl", "prev"), "id")
             .observe(
                 obs,
                 F.sum(
@@ -229,6 +249,9 @@ def _cc_iterate(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         labels = new
+        # changed counts label DECREASES vs the pair's start; labels
+        # only ever decrease, so 0 across the pair means the first
+        # composed round was already a fixpoint
         if (obs.get["changed"] or 0) == 0:
             break
     else:
@@ -417,42 +440,60 @@ def quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one grouping-sets count scan, two windows in one plan); only
     the blend pass — which depends on both — ranks separately."""
     from udacity_dsnd_projects_spark.operators.ranks import (
+        checkpoint_with_sketch,
         exact_group_rank,
         exact_multi_rank,
     )
 
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tok"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
-    ).filter(F.col("n_tok") >= 1).localCheckpoint(eager=True)
+    # the quantile sketches ride the checkpoint's materialization job
+    # as observe() metrics (checkpoint_with_sketch) instead of a
+    # separate sketch pass per ranking — guide §1.2, round-16 driver-
+    # residual work
+    d, bnds = checkpoint_with_sketch(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tok"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        ).filter(F.col("n_tok") >= 1),
+        ["n_tok", "ttr"],
+    )
     # both rank passes fused over the single materialization (one
-    # sketch scan + one grouping-sets count scan + two windows in one
-    # plan) — the former chained exact_group_rank calls re-executed
-    # pass 1's window ~3x inside pass 2's scans
+    # grouping-sets count scan + two windows in one plan) — the former
+    # chained exact_group_rank calls re-executed pass 1's window ~3x
+    # inside pass 2's scans
     r2 = exact_multi_rank(
         d,
         [("n_tok", False, "rk_len"), ("ttr", False, "rk_ttr")],
         ["doc_id"],
         group_cols=["lang"],
         count_col="n_lang",
+        bounds=bnds,
     )
     # percent_rank = (rank - 1) / (n - 1); 0.0 for single-row strata
     denom = F.col("n_lang") - 1
     pr = lambda rk: F.when(  # noqa: E731
         denom > 0, (F.col(rk) - 1) / denom
     ).otherwise(F.lit(0.0))
-    scored = r2.select(
-        "doc_id",
-        "lang",
-        "n_lang",
-        F.round((pr("rk_len") + pr("rk_ttr")) / 2, 6).alias("blend"),
-    ).localCheckpoint(eager=True)
+    scored, bnds3 = checkpoint_with_sketch(
+        r2.select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            F.round((pr("rk_len") + pr("rk_ttr")) / 2, 6).alias("blend"),
+        ),
+        ["blend"],
+    )
     r3 = exact_group_rank(
-        scored, ["lang"], "blend", ["doc_id"], descending=True, rank_col="rk_blend"
+        scored,
+        ["lang"],
+        "blend",
+        ["doc_id"],
+        descending=True,
+        rank_col="rk_blend",
+        bounds=bnds3["blend"],
     )
     return r3.filter(
         F.col("rk_blend") <= F.ceil(F.col("n_lang") * QUALITY_KEEP_PCT)

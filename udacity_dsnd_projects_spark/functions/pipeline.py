@@ -1311,7 +1311,18 @@ def _shard_ranked(docs: DataFrame, *payload: Column) -> DataFrame:
         .alias("sort_key"),
         *payload,
     )
-    ranked = exact_group_rank(d, [], "sort_key", ["doc_id"], rank_col="rk")
+    # sort_key is a 60-bit md5 prefix — uniform on [0, 16^15), so the
+    # range buckets come from arithmetic (uniform_domain) instead of a
+    # quantile sketch pass over the corpus: one full scan + metadata
+    # action fewer (exactness never depends on boundaries; ranks.py)
+    ranked = exact_group_rank(
+        d,
+        [],
+        "sort_key",
+        ["doc_id"],
+        rank_col="rk",
+        uniform_domain=(0.0, float(16**15)),
+    )
     return ranked.withColumn(
         "shard", ((F.col("rk") - 1) % N_SHARDS).cast("long")
     )

@@ -1307,6 +1307,46 @@ def _sum_over_words(fn) -> Column:
     )
 
 
+#: Unresolved-expression TEMPLATES for the baked replace-chain folds,
+#: keyed on (applicationId, kind, merges, constants). Building the
+#: chain costs hundreds of py4j round trips (~0.4-0.5 s per query
+#: construction at BPE_MERGE_ROUNDS=10 — round-16 profile), while the
+#: finished Column is an immutable UNRESOLVED expression over a fixed
+#: input column name ("ws"): one instance serves every plan in the
+#: session (the analyzer resolves lambda variables per plan
+#: occurrence, trees are rewritten copy-on-write). This caches a plan
+#: FRAGMENT, never data: every action still computes from the parquet
+#: inputs. applicationId keys out stale JVM objects across session
+#: restarts (the _BPE_LEARN_CACHE convention).
+_FOLD_EXPR_CACHE: "OrderedDict[tuple, Column]" = OrderedDict()
+_FOLD_EXPR_CAP = 64
+
+
+def _cached_fold_expr(spark: SparkSession, key: tuple, build) -> Column:
+    full_key = (spark.sparkContext.applicationId, *key)
+    hit = _FOLD_EXPR_CACHE.get(full_key)
+    if hit is not None:
+        _FOLD_EXPR_CACHE.move_to_end(full_key)
+        return hit
+    col = build()
+    while len(_FOLD_EXPR_CACHE) >= _FOLD_EXPR_CAP:
+        _FOLD_EXPR_CACHE.popitem(last=False)
+    _FOLD_EXPR_CACHE[full_key] = col
+    return col
+
+
+def _merged_units_sum(spark: SparkSession, merges) -> Column:
+    """``_sum_over_words(_word_units_fn(merges))`` as a cached
+    template — the merge-aware per-document unit total every
+    token-budget face projects (see :data:`_FOLD_EXPR_CACHE`)."""
+    merges = list(merges)
+    return _cached_fold_expr(
+        spark,
+        ("merged_units_sum", tuple(merges)),
+        lambda: _sum_over_words(_word_units_fn(merges)),
+    )
+
+
 def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-tokenize the corpus with the merges :func:`bpe_learn_merges`
     learned — the merge-aware token counter the token-budget faces
@@ -1335,7 +1375,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("ws").cast("long").alias("n_words"),
         _sum_over_words(lambda w: F.length(w)).alias("n_char_units"),
-        _sum_over_words(_word_units_fn(merges)).alias("n_merged_units"),
+        _merged_units_sum(spark, merges).alias("n_merged_units"),
     )
     return per.select(
         "doc_id",
@@ -1508,7 +1548,7 @@ def bpe_token_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_merges(_bpe_vocab(docs))
     s = (
         docs.select("source", _eligible_words().alias("ws"))
-        .select("source", _sum_over_words(_word_units_fn(merges)).alias("u"))
+        .select("source", _merged_units_sum(spark, merges).alias("u"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1774,7 +1814,7 @@ def bpe_seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "lang", _eligible_words().alias("ws")).select(
         "doc_id",
         "lang",
-        _sum_over_words(_word_units_fn(merges)).alias("n_units"),
+        _merged_units_sum(spark, merges).alias("n_units"),
         # slim one-row-per-doc frame; the cumsum primitive scans its
         # input 3× (sketch, partials, final window — ranks.py
         # prescribes the caller persists it), and un-checkpointed each
@@ -1871,7 +1911,7 @@ def _tokenizer_drift_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "source",
         "tr",
         F.size("ws").cast("long").alias("w"),
-        _sum_over_words(_word_units_fn(merges)).alias("u"),
+        _merged_units_sum(spark, merges).alias("u"),
     )
     g = per.groupBy("source").agg(
         F.sum(F.when(F.col("tr"), 1).otherwise(0)).cast("long").alias("train_docs"),
@@ -2107,6 +2147,7 @@ def encode_chunks_frame(docs: DataFrame, merges) -> DataFrame:
         "array<struct<chunk_id:bigint,n_words:bigint,"
         "n_units:bigint,start_word:bigint>>"
     )
+    spark = docs.sparkSession
 
     def fin_chunk(acc):
         return F.struct(
@@ -2152,11 +2193,18 @@ def encode_chunks_frame(docs: DataFrame, merges) -> DataFrame:
             acc["ck"] >= 0, F.concat(acc["done"], F.array(fin_chunk(acc)))
         ).otherwise(acc["done"])
 
-    chunks = F.aggregate(
-        F.transform("ws", lambda w: n_units(w).cast("long")),
-        zero,
-        step,
-        finish,
+    # the full fold expression is an unresolved template over "ws" —
+    # cached per (app, merges, budget) so repeated constructions skip
+    # the ~0.4 s of py4j expression building (_FOLD_EXPR_CACHE)
+    chunks = _cached_fold_expr(
+        spark,
+        ("chunks", tuple(merges), BPE_CHUNK_BUDGET),
+        lambda: F.aggregate(
+            F.transform("ws", lambda w: n_units(w).cast("long")),
+            zero,
+            step,
+            finish,
+        ),
     )
     # chunk identity: md5 of the chunk's space-joined words, computed
     # from the (start_word, n_words) span against the retained word
@@ -2508,13 +2556,23 @@ def shard_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sort_key"),
         )
-        # bin-cardinality slim frame feeding the rank primitive's THREE
-        # passes (sketch, counts, final — ranks.py module docstring says
-        # to persist exactly this input): without the checkpoint each
-        # pass re-runs the packer's prefix-sum window + rollup
+        # bin-cardinality slim frame feeding the rank primitive's
+        # passes (ranks.py module docstring says to persist exactly
+        # this input): without the checkpoint each pass re-runs the
+        # packer's prefix-sum window + rollup
         .localCheckpoint(eager=True)
     )
-    ranked = exact_group_rank(bins, [], "sort_key", ["bin"], rank_col="rk")
+    # sort_key is a 60-bit md5 prefix — uniform on [0, 16^15), so the
+    # buckets come from arithmetic (uniform_domain) instead of a
+    # quantile sketch pass: one metadata action fewer per construction
+    ranked = exact_group_rank(
+        bins,
+        [],
+        "sort_key",
+        ["bin"],
+        rank_col="rk",
+        uniform_domain=(0.0, float(16**15)),
+    )
     return ranked.select(
         "bin",
         "n_chunks",
@@ -2578,11 +2636,21 @@ def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented eager exception; memoized — :data:`_BPE_LEARN_CACHE`)."""
     from udacity_dsnd_projects_spark.functions.training import CURRICULUM_PHASES
     from udacity_dsnd_projects_spark.operators.ranks import (
+        checkpoint_with_sketch,
         exact_group_rank,
         ntile_from_rank,
     )
 
-    bins = (
+    # same three-pass rationale as shard_packed_chunks' bins
+    # checkpoint: the rank primitive scans its input three times, and
+    # un-checkpointed each scan re-runs the packer's prefix-sum window
+    # + rollup (ranks.py prescribes persisting the input; same-window
+    # A/Bs at sf 0.1 measured 17-28% off the whole query). The
+    # length-rank's quantile sketch rides the SAME materialization job
+    # as an observe() metric (checkpoint_with_sketch) instead of a
+    # separate sketch pass — round-16 driver-residual work: each extra
+    # metadata action cost ~0.3-0.5 s of driver latency.
+    bins, bnds = checkpoint_with_sketch(
         pack_deduped_chunks(spark, sf_dir)
         .groupBy("bin")
         .agg(
@@ -2590,17 +2658,17 @@ def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_units").cast("long").alias("n_units"),
             F.max("n_units").cast("long").alias("max_units"),
         )
-        .withColumn("__k", F.md5(F.col("bin").cast("string")))
-        # same three-pass rationale as shard_packed_chunks' bins
-        # checkpoint: the rank primitive scans its input three times,
-        # and un-checkpointed each scan re-runs the packer's
-        # prefix-sum window + rollup (ranks.py prescribes persisting
-        # the input; same-window A/Bs at sf 0.1 measured 17-28% off
-        # the whole query)
-        .localCheckpoint(eager=True)
+        .withColumn("__k", F.md5(F.col("bin").cast("string"))),
+        ["max_units"],
     )
     ranked = exact_group_rank(
-        bins, [], "max_units", ["bin"], rank_col="__rk", count_col="__cnt"
+        bins,
+        [],
+        "max_units",
+        ["bin"],
+        rank_col="__rk",
+        count_col="__cnt",
+        bounds=bnds["max_units"],
     )
     # same 60-bit-prefix trick as curriculum_order: equal-length
     # lowercase-hex strings sort like their numeric value, so the
@@ -2623,6 +2691,11 @@ def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__kn",
         ["__k", "bin"],
         rank_col="position",
+        # __kn is the first 60 bits of an md5 digest — uniform on
+        # [0, 16^15) by construction, so the buckets come from
+        # arithmetic instead of a quantile sketch pass (exactness
+        # never depends on the boundaries; ranks.py module docstring)
+        uniform_domain=(0.0, float(16**15)),
     ).select(
         "bin",
         "n_chunks",
@@ -2691,7 +2764,7 @@ def bpe_unit_total_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = (
         docs.select(_eligible_words().alias("ws"))
-        .select(_sum_over_words(_word_units_fn(merges)).alias("u"))
+        .select(_merged_units_sum(spark, merges).alias("u"))
         .agg(F.sum("u").cast("long").alias("corpus_total_units"))
     )
     return a.crossJoin(F.broadcast(b)).select(

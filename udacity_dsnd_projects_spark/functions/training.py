@@ -163,6 +163,9 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__kn",
         ["__k", "doc_id"],
         rank_col="position",
+        # __kn is a 60-bit md5 prefix — uniform on [0, 16^15): buckets
+        # from arithmetic, no quantile sketch pass (ranks.py)
+        uniform_domain=(0.0, float(16**15)),
     ).select("doc_id", "phase", F.col("position").cast("long").alias("position"))
 
 

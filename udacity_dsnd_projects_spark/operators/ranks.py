@@ -68,6 +68,73 @@ def _join_offsets(
     )
 
 
+def checkpoint_with_sketch(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    n_buckets: int = 64,
+    relative_error: float | None = None,
+) -> tuple[DataFrame, dict[str, list[float]]]:
+    """Eagerly ``localCheckpoint`` ``df`` and return (checkpointed
+    frame, per-column quantile bounds suitable for the ``bounds=``
+    parameter of the rank primitives). The sketch rides the
+    checkpoint's materialization job as an ``observe()`` metric
+    (``approx_percentile``), so a rank caller that must persist its
+    input anyway pays ONE job for checkpoint+sketch instead of two
+    sequential driver round trips (guide §1.2 — the round-16 profile
+    measured each extra metadata action at ~0.3-0.5 s of driver
+    latency on this box). ``approx_percentile``'s bounds differ from
+    ``approxQuantile``'s Greenwald-Khanna bounds, which is immaterial:
+    bucket boundaries only affect balance, never rank order (module
+    docstring)."""
+    from pyspark.sql import Observation
+
+    err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
+    acc = max(int(1.0 / err), n_buckets)
+    probs = ",".join(str(i / n_buckets) for i in range(1, n_buckets))
+    obs = Observation()
+    ck = df.observe(
+        obs,
+        *[
+            F.expr(f"approx_percentile({c}, array({probs}), {acc})").alias(c)
+            for c in order_cols
+        ],
+    ).localCheckpoint(eager=True)
+    vals = obs.get
+    return ck, {
+        c: [float(x) for x in (vals[c] or [])] for c in order_cols
+    }
+
+
+def _uniform_bucket(
+    order_col: str, lo: float, hi: float, n_buckets: int
+) -> F.Column:
+    """Bucket id for a value KNOWN to be ~uniform on [lo, hi) — e.g.
+    the engine's 60-bit md5-prefix sort keys: provably balanced
+    buckets from pure arithmetic, no quantile sketch pass and no
+    Bucketizer. Monotone non-decreasing in the order column (floor of
+    an affine map, top edge clamped), so bucket boundaries respect the
+    total order and rank exactness is untouched even if the declared
+    domain is wrong — only balance would suffer. NULL order values
+    raise (the Bucketizer path's handleInvalid="error" contract)."""
+    width = (hi - lo) / n_buckets
+    c = F.col(order_col)
+    return F.when(
+        c.isNotNull(),
+        F.least(
+            F.floor((c - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("double"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"exact rank: NULL {order_col} under uniform_domain "
+                "(order_col must be non-null)"
+            )
+        ).cast("double")
+    )
+
+
 def _splits(bounds: list[float]) -> list[float]:
     """Strictly-increasing Bucketizer splits from (possibly duplicated
     or empty) quantile bounds. An empty sketch — empty input frame, or
@@ -92,6 +159,8 @@ def exact_group_rank(
     relative_error: float | None = None,
     rank_col: str = "rk",
     count_col: str | None = None,
+    bounds: list[float] | None = None,
+    uniform_domain: tuple[float, float] | None = None,
 ) -> DataFrame:
     """``df`` plus ``rank_col`` = the exact 1-based rank of each row
     within its ``group_cols`` group under the total order
@@ -107,9 +176,16 @@ def exact_group_rank(
     ``order_col`` must be broken to a total order by ``tiebreak_cols``.
     NULL group-key values are preserved as their own group (the offset
     join-back is null-safe), matching window-function semantics.
-    """
-    from pyspark.ml.feature import Bucketizer
 
+    The quantile sketch pass can be skipped — exactness never depends
+    on bucket boundaries (module docstring), so callers that already
+    know the distribution should say so: ``bounds`` takes precomputed
+    quantiles (e.g. from :func:`checkpoint_with_sketch`, which fuses
+    the sketch into the checkpoint job the caller runs anyway);
+    ``uniform_domain=(lo, hi)`` derives the buckets arithmetically for
+    ~uniform order columns (the md5-prefix sort keys), no sketch pass
+    and no Bucketizer at all.
+    """
     # "__n"/"__off"/the bucket column are internal scratch names that
     # are dropped before returning — a caller-chosen output name that
     # collides would be silently dropped with them (bit us twice:
@@ -120,14 +196,28 @@ def exact_group_rank(
             f"rank_col/count_col may not use reserved internal names {reserved}"
         )
 
-    err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.stat.approxQuantile(order_col, probs, err)
-    splits = _splits(bounds)
+    if uniform_domain is not None:
+        bucketed = df.withColumn(
+            _BKT, _uniform_bucket(order_col, *uniform_domain, n_buckets)
+        )
+    else:
+        from pyspark.ml.feature import Bucketizer
 
-    bucketed = Bucketizer(
-        splits=splits, inputCol=order_col, outputCol=_BKT, handleInvalid="error"
-    ).transform(df)
+        if bounds is None:
+            err = (
+                relative_error
+                if relative_error is not None
+                else 1.0 / (4 * n_buckets)
+            )
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            bounds = df.stat.approxQuantile(order_col, probs, err)
+        splits = _splits(bounds)
+        bucketed = Bucketizer(
+            splits=splits,
+            inputCol=order_col,
+            outputCol=_BKT,
+            handleInvalid="error",
+        ).transform(df)
 
     # groups × buckets rows — metadata-sized at any data scale
     counts = (
@@ -179,6 +269,7 @@ def exact_multi_rank(
     n_buckets: int = 64,
     relative_error: float | None = None,
     count_col: str | None = None,
+    bounds: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """``df`` plus one exact rank column PER spec — the fused form of N
     :func:`exact_group_rank` calls over the SAME frame (``specs`` =
@@ -247,9 +338,16 @@ def exact_multi_rank(
     from pyspark.ml.feature import Bucketizer
 
     order_cols = [c for c, _, _ in specs]
-    err = relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    all_bounds = df.stat.approxQuantile(order_cols, probs, err)  # one scan
+    if bounds is not None and all(c in bounds for c in order_cols):
+        # precomputed (e.g. checkpoint_with_sketch) — skip the sketch
+        # scan entirely; boundaries only affect balance, never order
+        all_bounds = [bounds[c] for c in order_cols]
+    else:
+        err = (
+            relative_error if relative_error is not None else 1.0 / (4 * n_buckets)
+        )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        all_bounds = df.stat.approxQuantile(order_cols, probs, err)  # one scan
     bkt_cols = [f"{_BKT}{i}" for i in range(len(specs))]
     bucketed = Bucketizer(
         splitsArray=[_splits(b) for b in all_bounds],

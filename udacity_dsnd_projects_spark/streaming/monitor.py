@@ -179,14 +179,13 @@ def token_budget_stream(docs: DataFrame, merges) -> DataFrame:
     ``n_merged_units``). Run in update mode."""
     from udacity_dsnd_projects_spark.functions.text import (
         _eligible_words,
-        _sum_over_words,
-        _word_units_fn,
+        _merged_units_sum,
     )
 
     per = docs.select("source", _eligible_words().alias("ws")).select(
         "source",
         F.size("ws").cast("long").alias("w"),
-        _sum_over_words(_word_units_fn(merges)).alias("u"),
+        _merged_units_sum(docs.sparkSession, merges).alias("u"),
     )
     return per.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
