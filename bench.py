@@ -652,6 +652,258 @@ def stream_main() -> None:
     spark.stop()
 
 
+def stream_overlap_main() -> None:
+    """``python bench.py --stream-overlap``: ADDITIVE mode (guide §2.6
+    job-overlap; VERDICT r15 task 8) — the eight stream replay faces
+    run as OVERLAPPING jobs from a small thread pool, so one face's
+    micro-batch scheduling gaps and startup are back-filled by another
+    face's tasks instead of leaving the box idle. The default driver
+    contract (sequential faces inside ``main``/``stream_main``) is
+    UNTOUCHED; this mode exists to measure how much of the sequential
+    section total is per-face dead time. Per-face ``*_sec`` values
+    here are CONTENDED walls (not comparable to sequential mode);
+    ``overlap_wall_sec`` — setup excluded — is the headline. State
+    counters must stay bit-identical to the sequential mode (each
+    face's replay is independent); they are printed for the gate.
+    Prints ONE JSON line."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from udacity_dsnd_projects_spark import registry
+    from udacity_dsnd_projects_spark.functions.corpus import (
+        boilerplate_index_for,
+        strip_against_index,
+    )
+    from udacity_dsnd_projects_spark.functions.dedup import winnowing_index_for
+    from udacity_dsnd_projects_spark.functions.text import (
+        _bpe_vocab,
+        _learn_merges,
+        chunk_dedup_frame,
+        encode_chunks_frame,
+    )
+    from udacity_dsnd_projects_spark.session import get_spark
+    from udacity_dsnd_projects_spark.sources.catalog import load_table
+    from udacity_dsnd_projects_spark.streaming.monitor import (
+        encode_chunks_stream,
+        token_budget_stream,
+    )
+    from udacity_dsnd_projects_spark.streaming.sources import file_stream
+    from udacity_dsnd_projects_spark.streaming.stateful import (
+        chunk_dedup_stream,
+        gap_fill_stateful,
+        incremental_dedup_stream,
+        substring_match_stream,
+        transition_stateful,
+    )
+    from udacity_dsnd_projects_spark.streaming.stedi import join_risk
+
+    spark = get_spark("engine-bench-stream-overlap")
+    qs = registry.queries()
+    for w in ("risk_join", "minhash_lsh_pairs", "simhash_near_dup_pairs"):
+        if w in qs:
+            qs[w](spark, "/root/testdata/sf0.001").count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    root = tempfile.mkdtemp(prefix="bench_overlap_")
+    out: dict = {}
+    try:
+        # ---- setup (sequential, excluded from the headline wall) ----
+        ev = load_table(spark, "events", SF_DIR)
+        edges = _ts_chunk_edges(ev, STREAM_CHUNKS)
+        for side, etype in (("risk", "view"), ("cust", "purchase")):
+            _write_chunks(
+                ev.filter(F.col("event_type") == etype), edges, f"{root}/{side}"
+            )
+        _write_chunks(ev, edges, f"{root}/all")
+        docs = load_table(spark, "documents", SF_DIR)
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        new_dir = f"{root}/new"
+        boilerplate_index_for(hist).write.parquet(f"{root}/index")
+        hist.select(
+            F.md5(F.col("text").cast("binary")).alias("content_md5")
+        ).distinct().write.parquet(f"{root}/hashes")
+        winnowing_index_for(hist).write.parquet(f"{root}/winnow")
+        _write_id_chunks(
+            docs.filter(F.col("doc_id") % 2 == 1), "doc_id", CRAWL_CHUNKS, new_dir
+        )
+        merges = _learn_merges(_bpe_vocab(hist))
+        chunk_dedup_frame(encode_chunks_frame(hist, merges)).select(
+            "chunk_hash"
+        ).write.parquet(f"{root}/keepers")
+        ev_schema, doc_schema = ev.schema, docs.schema
+        index = spark.read.parquet(f"{root}/index")
+        hashes = spark.read.parquet(f"{root}/hashes")
+        winnow = spark.read.parquet(f"{root}/winnow")
+        keepers = spark.read.parquet(f"{root}/keepers")
+
+        # ---- face runners (each independent; counters as in main) ----
+        def f_join_risk() -> dict:
+            risks = (
+                spark.readStream.format("parquet")
+                .schema(ev_schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(f"{root}/risk")
+                .select(
+                    F.col("user_id").alias("customer"),
+                    F.col("value").alias("score"),
+                    F.col("ts").alias("risk_event_ts"),
+                )
+            )
+            custs = (
+                spark.readStream.format("parquet")
+                .schema(ev_schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(f"{root}/cust")
+                .select(
+                    F.col("user_id").alias("email"),
+                    F.col("ts").alias("event_ts"),
+                )
+            )
+            joined = join_risk(
+                risks,
+                custs,
+                watermarks=("risk_event_ts", "event_ts"),
+                delay=STREAM_DELAY,
+            )
+            progresses, elapsed = _run_stream(joined)
+            return {
+                "join_risk_peak_state_rows": _peak_state(progresses),
+                "join_risk_output_rows": int(
+                    sum(p["sink"]["numOutputRows"] for p in progresses)
+                ),
+                "micro_batches": len(progresses),
+                "sec": elapsed,
+            }
+
+        def f_gap_fill() -> dict:
+            progresses, elapsed = _run_stream(
+                gap_fill_stateful(file_stream(spark, f"{root}/all", ev_schema)),
+                "update",
+            )
+            return {
+                "gap_fill_peak_state_rows": _peak_state(progresses),
+                "gap_fill_sec": elapsed,
+            }
+
+        def f_transition() -> dict:
+            progresses, elapsed = _run_stream(
+                transition_stateful(
+                    file_stream(spark, f"{root}/all", ev_schema)
+                ),
+                "append",
+            )
+            return {
+                "transition_peak_state_rows": _peak_state(progresses),
+                "transition_sec": elapsed,
+            }
+
+        def f_strip_index() -> dict:
+            t0 = time.perf_counter()
+            q = (
+                file_stream(spark, new_dir, doc_schema)
+                .writeStream.foreachBatch(
+                    lambda b, _: strip_against_index(b, index)
+                    .selectExpr("sum(hash(*)) AS h")
+                    .collect()
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                nb = len(q.recentProgress)
+            finally:
+                q.stop()
+            return {
+                "strip_index_micro_batches": nb,
+                "strip_index_sec": round(time.perf_counter() - t0, 4),
+            }
+
+        def f_dedup_stream() -> dict:
+            progresses, elapsed = _run_stream(
+                incremental_dedup_stream(
+                    file_stream(spark, new_dir, doc_schema), hashes
+                )
+            )
+            return {
+                "dedup_stream_peak_state_rows": _peak_state(progresses),
+                "dedup_stream_output_rows": int(
+                    sum(p["sink"]["numOutputRows"] for p in progresses)
+                ),
+                "dedup_stream_sec": elapsed,
+            }
+
+        def f_substring() -> dict:
+            progresses, elapsed = _run_stream(
+                substring_match_stream(
+                    file_stream(spark, new_dir, doc_schema), winnow
+                )
+            )
+            return {
+                "substring_stream_output_rows": int(
+                    sum(p["sink"]["numOutputRows"] for p in progresses)
+                ),
+                "substring_stream_sec": elapsed,
+            }
+
+        def f_token_budget() -> dict:
+            progresses, elapsed = _run_stream(
+                token_budget_stream(
+                    file_stream(spark, new_dir, doc_schema), merges
+                ),
+                "update",
+            )
+            return {
+                "token_budget_peak_state_rows": _peak_state(progresses),
+                "token_budget_sec": elapsed,
+            }
+
+        def f_chunk_screen() -> dict:
+            progresses, elapsed = _run_stream(
+                chunk_dedup_stream(
+                    encode_chunks_stream(
+                        file_stream(spark, new_dir, doc_schema), merges
+                    ),
+                    keepers,
+                )
+            )
+            return {
+                "chunk_screen_peak_state_rows": _peak_state(progresses),
+                "chunk_screen_output_rows": int(
+                    sum(p["sink"]["numOutputRows"] for p in progresses)
+                ),
+                "chunk_screen_sec": elapsed,
+            }
+
+        faces = [
+            f_join_risk,
+            f_gap_fill,
+            f_transition,
+            f_strip_index,
+            f_dedup_stream,
+            f_substring,
+            f_token_budget,
+            f_chunk_screen,
+        ]
+        # 3 in flight: enough to back-fill micro-batch gaps, not so
+        # many that the state stores fight for cores (guide §2.6)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for result in pool.map(lambda f: f(), faces):
+                out.update(result)
+        out["overlap_wall_sec"] = round(time.perf_counter() - t0, 2)
+        out["sequential_equiv_sec"] = stream_total_sec(out)
+        out["max_workers"] = 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     from udacity_dsnd_projects_spark import registry
     from udacity_dsnd_projects_spark.session import get_spark
@@ -749,5 +1001,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--stream-only" in sys.argv[1:]:
         stream_main()
+    elif "--stream-overlap" in sys.argv[1:]:
+        stream_overlap_main()
     else:
         main()

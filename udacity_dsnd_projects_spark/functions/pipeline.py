@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udacity_dsnd_projects_spark.operators.exprcache import cached_expr
 from udacity_dsnd_projects_spark.sources.catalog import load_table
 
 #: Split-hash constants (same family as dedup's MinHash permutations —
@@ -980,19 +981,46 @@ def _nearest(centroids: list[tuple[int, list[float]]]) -> Column:
         # input yields an empty, correctly-typed frame instead of an
         # AnalysisException.
         return F.lit(None).cast("struct<dist:double,cluster:bigint>")
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(
-                        _l2(F.col("v"), F.array(*[F.lit(x) for x in c])), 5
-                    ).alias("dist"),
-                    F.lit(cid).cast("long").alias("cluster"),
-                )
-                for cid, c in centroids
-            ]
+
+    def build() -> Column:
+        # each centroid vector renders as ONE parsed SQL array literal
+        # instead of dim F.lit() py4j round trips (K=8 × dim=64 was
+        # ~500 calls ≈ 0.5 s of driver latency per construction; the
+        # string->double CAST parse is bit-exact — localframe._sql_value)
+        from pyspark.sql import types as T
+
+        from udacity_dsnd_projects_spark.operators.localframe import (
+            _sql_value,
         )
-    )
+
+        def vec(c: list[float]) -> Column:
+            return F.expr(
+                "array("
+                + ",".join(_sql_value(float(x), T.DoubleType()) for x in c)
+                + ")"
+            )
+
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_l2(F.col("v"), vec(c)), 5).alias("dist"),
+                        F.lit(cid).cast("long").alias("cluster"),
+                    )
+                    for cid, c in centroids
+                ]
+            )
+        )
+
+    # the finished argmin is an unresolved template over column "v" —
+    # cache it per (app, centroid values) so every consumer (and every
+    # Lloyd iteration's re-assignment with ITS centroids) builds it
+    # once per session (operators/exprcache.py)
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return build()
+    key = ("nearest", tuple((cid, tuple(c)) for cid, c in centroids))
+    return cached_expr(spark, key, build)
 
 
 def first_k_centroids(emb: DataFrame, k: int = KMEANS_K) -> list[tuple[int, list[float]]]:

@@ -55,13 +55,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
        (map-side pre-limit; plan-asserted in tests — low-cardinality
        partition keys are safe exactly because of the pushdown).
     """
+    from pyspark.sql import Observation
+
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select("doc_id", _toks().alias("toks")).select(
         "doc_id", "toks", F.size("toks").cast("double").alias("dl")
-    )
-    n_and_avg = d.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg("dl").alias("__avgdl"),
     )
     # qterms is metadata-sized; postings are term-PRUNED (queried terms
     # only) and therefore tiny relative to the corpus. Checkpoint both:
@@ -78,6 +76,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Corpus stats (N, avgdl) ride the postings materialization as
+    # observe() metrics instead of a SECOND full-corpus tokenize scan
+    # (guide §1.2 — n_and_avg used to be its own d.agg pass). Exactness
+    # under observe's nondeterministic merge order: count and sum(dl)
+    # are integer-valued doubles (dl = size(toks)), whose addition is
+    # exact and therefore order-independent; avg(dl) is internally
+    # sum/count, so __avgdl below is the bit-identical double.
+    obs = Observation()
     # PRUNE BEFORE AGGREGATING: the broadcast semi-join on term sits
     # below the groupBy, so only queried-term occurrences ever reach
     # the tf shuffle — Catalyst won't push an inner join under an
@@ -85,37 +91,40 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize tf for EVERY corpus term (the full inverted index
     # this operator exists to avoid).
     postings = (
-        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        d.observe(
+            obs,
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum("dl").alias("__sumdl"),
+        )
+        .select("doc_id", "dl", F.explode("toks").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .localCheckpoint(eager=True)
     )
+    stats = obs.get
+    n_lit = F.lit(stats["__n"])
+    avgdl_lit = F.lit(
+        None if not stats["__n"] else stats["__sumdl"] / stats["__n"]
+    )
     df_tbl = postings.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    idf = F.log(
-        (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    term_scores = (
-        postings.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_and_avg))
-        .select(
-            "term",
-            "doc_id",
-            F.round(
-                idf
-                * (F.col("tf") * (BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("__avgdl"))
-                ),
-                8,
-            )
-            .cast("decimal(20,8)")
-            .alias("ts"),
+    idf = F.log((n_lit - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_scores = postings.join(F.broadcast(df_tbl), "term").select(
+        "term",
+        "doc_id",
+        F.round(
+            idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl_lit)
+            ),
+            8,
         )
+        .cast("decimal(20,8)")
+        .alias("ts"),
     )
     scored = (
         qterms.join(term_scores, "term")

@@ -103,7 +103,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tc"),
         F.sum("n").alias("rc"),
     )
-    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    # one explicit partition: the default splits 512 metadata rows
+    # defaultParallelism ways — ~32 near-empty tasks per action over
+    # the ratio subtree (the localframe.py lesson; DSIR_BUCKETS is a
+    # constant, so this is scale-independent)
+    spine = spark.range(0, DSIR_BUCKETS, 1, 1).select(
+        F.col("id").alias("bucket")
+    )
     counts = spine.join(both, "bucket", "left").select(
         "bucket",
         F.coalesce("tc", F.lit(0)).alias("tc"),

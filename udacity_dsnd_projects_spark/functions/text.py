@@ -1307,32 +1307,15 @@ def _sum_over_words(fn) -> Column:
     )
 
 
-#: Unresolved-expression TEMPLATES for the baked replace-chain folds,
-#: keyed on (applicationId, kind, merges, constants). Building the
-#: chain costs hundreds of py4j round trips (~0.4-0.5 s per query
-#: construction at BPE_MERGE_ROUNDS=10 — round-16 profile), while the
-#: finished Column is an immutable UNRESOLVED expression over a fixed
-#: input column name ("ws"): one instance serves every plan in the
-#: session (the analyzer resolves lambda variables per plan
-#: occurrence, trees are rewritten copy-on-write). This caches a plan
-#: FRAGMENT, never data: every action still computes from the parquet
-#: inputs. applicationId keys out stale JVM objects across session
-#: restarts (the _BPE_LEARN_CACHE convention).
-_FOLD_EXPR_CACHE: "OrderedDict[tuple, Column]" = OrderedDict()
-_FOLD_EXPR_CAP = 64
-
-
-def _cached_fold_expr(spark: SparkSession, key: tuple, build) -> Column:
-    full_key = (spark.sparkContext.applicationId, *key)
-    hit = _FOLD_EXPR_CACHE.get(full_key)
-    if hit is not None:
-        _FOLD_EXPR_CACHE.move_to_end(full_key)
-        return hit
-    col = build()
-    while len(_FOLD_EXPR_CACHE) >= _FOLD_EXPR_CAP:
-        _FOLD_EXPR_CACHE.popitem(last=False)
-    _FOLD_EXPR_CACHE[full_key] = col
-    return col
+# Unresolved-expression templates for the baked replace-chain folds:
+# building the chain costs hundreds of py4j round trips (~0.4-0.5 s
+# per query construction at BPE_MERGE_ROUNDS=10 — round-16 profile).
+# See operators/exprcache.py for the safety argument; this caches a
+# plan FRAGMENT keyed on the merge artifact, never data.
+from udacity_dsnd_projects_spark.operators.exprcache import (  # noqa: E402
+    _CACHE as _FOLD_EXPR_CACHE,  # exposed for tests
+    cached_expr as _cached_fold_expr,
+)
 
 
 def _merged_units_sum(spark: SparkSession, merges) -> Column:
@@ -1717,7 +1700,7 @@ def _compression_sweep_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
     for k in range(len(stages), BPE_MERGE_ROUNDS + 1):
         rows.append(
-            spark.range(1).select(
+            spark.range(0, 1, 1, 1).select(
                 F.lit(k).cast("long").alias("step"),
                 F.lit(None).cast("string").alias("merged"),
                 F.lit(None).cast("long").alias("total_units"),

@@ -98,7 +98,7 @@ def have_avro(spark: SparkSession) -> bool:
     try:
         from pyspark.sql.avro.functions import to_avro
 
-        df = spark.range(1).select(to_avro(F.col("id")).alias("a"))
+        df = spark.range(0, 1, 1, 1).select(to_avro(F.col("id")).alias("a"))
         df.collect()
         return True
     except Exception:
